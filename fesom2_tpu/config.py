@@ -1,0 +1,282 @@
+"""Typed configuration mirroring the reference namelist groups 1:1.
+
+Reference: ``src/gen_modules_config.F90`` (module g_config), ``src/oce_modules.F90``
+(o_PARAM namelist-bound variables), ``src/ice_modules.F90`` (i_PARAM).  The field
+names are kept identical to the Fortran namelist entries so reference configs
+(``config/namelist.*``) port directly; ``from_namelist`` parses the Fortran
+namelist files themselves.
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+# --------------------------------------------------------------------------
+# namelist.config  (g_config)
+# --------------------------------------------------------------------------
+@dataclass
+class TimestepConfig:
+    step_per_day: int = 72
+    run_length: int = 1
+    run_length_unit: str = "y"   # y, m, d, s
+
+    @property
+    def dt(self) -> float:
+        return 86400.0 / self.step_per_day
+
+
+@dataclass
+class ClockConfig:
+    timenew: float = 0.0
+    daynew: int = 1
+    yearnew: int = 1948
+    include_fleapyear: bool = False
+
+
+@dataclass
+class AleConfig:
+    which_ALE: str = "linfs"     # 'linfs' | 'zlevel' | 'zstar'
+    use_partial_cell: bool = False
+    partial_cell_thresh: float = 0.0
+    min_hnode: float = 0.5
+    lzstar_lev: int = 4
+    max_ice_loading: float = 5.0
+
+
+@dataclass
+class GeometryConfig:
+    cartesian: bool = False
+    fplane: bool = False
+    cyclic_length: float = 360.0   # [degree]
+    rotated_grid: bool = True
+    force_rotation: bool = True
+    alphaEuler: float = 50.0
+    betaEuler: float = 15.0
+    gammaEuler: float = -90.0
+
+
+@dataclass
+class RunConfig:
+    use_ice: bool = False
+    use_floatice: bool = False
+    use_sw_pene: bool = True
+    use_cavity: bool = False
+    toy_ocean: bool = False
+    which_toy: str = "soufflet"
+    flag_debug: bool = False
+    flag_warn_cflz: bool = True
+
+
+# --------------------------------------------------------------------------
+# namelist.oce  (o_PARAM)
+# --------------------------------------------------------------------------
+@dataclass
+class OceDynConfig:
+    state_equation: int = 1       # 1 full EoS (Jackett-McDougall), 0 linear
+    C_d: float = 0.0025           # bottom drag
+    A_ver: float = 0.001          # vertical harmonic viscosity [m^2/s]
+    gamma0: float = 0.01
+    gamma1: float = 0.1
+    gamma2: float = 10.0
+    Div_c: float = 1.0
+    Leith_c: float = 1.0
+    visc_option: int = 5
+    easy_bs_return: float = 1.0
+    scale_area: float = 2.0e8
+    mom_adv: int = 2              # 2 = flux form on scalar CV, 3 = vector invariant
+    free_slip: bool = False
+    i_vert_visc: bool = True
+    w_split: bool = False
+    w_max_cfl: float = 1.0e-5
+    SPP: bool = False
+    Fer_GM: bool = False
+    K_GM_max: float = 3000.0
+    K_GM_min: float = 2.0
+    K_GM_bvref: int = 2
+    K_GM_rampmax: float = 40.0
+    K_GM_rampmin: float = 30.0
+    scaling_Ferreira: bool = True
+    scaling_Rossby: bool = False
+    scaling_resolution: bool = True
+    scaling_FESOM14: bool = False
+    Redi: bool = False
+    visc_sh_limit: float = 5.0e-3
+    mix_scheme: str = "KPP"       # KPP | PP | cvmix_KPP | cvmix_PP | cvmix_TKE ...
+    Ricr: float = 0.3
+    concv: float = 1.6
+    # semi-implicit free surface (o_PARAM, oce_modules.F90:80-82)
+    alpha: float = 1.0
+    theta: float = 1.0
+    epsilon: float = 0.1          # AB2 offset
+
+
+@dataclass
+class OceTraConfig:
+    use_momix: bool = False
+    momix_lat: float = -50.0
+    momix_kv: float = 0.01
+    use_instabmix: bool = True
+    instabmix_kv: float = 0.1
+    use_windmix: bool = False
+    windmix_kv: float = 1.0e-3
+    windmix_nl: int = 2
+    diff_sh_limit: float = 5.0e-3
+    Kv0_const: bool = True
+    double_diffusion: bool = False
+    K_ver: float = 1.0e-5
+    K_hor: float = 10.0
+    surf_relax_T: float = 0.0
+    surf_relax_S: float = 10.0 / (60.0 * 3600.0 * 24.0)
+    balance_salt_water: bool = True
+    clim_relax: float = 0.0
+    ref_sss_local: bool = False
+    ref_sss: float = 34.7
+    i_vert_diff: bool = True
+    tracer_adv: int = 2           # 1 MUSCL, 2 MUSCL+FCT
+    num_tracers: int = 2
+    tracer_ID: List[int] = field(default_factory=lambda: [0, 1])
+    # advection scheme selection (namelist.oce &oce_tra in newer refs)
+    tra_adv_hor: str = "MFCT"     # UPW1 | MUSCL | MFCT
+    tra_adv_ver: str = "QR4C"     # UPW1 | QR4C | CDIFF | PPM
+    tra_adv_lim: str = "FCT"      # FCT | NONE
+    tra_adv_ph: float = 1.0       # horizontal high-order blend
+    tra_adv_pv: float = 1.0       # vertical high-order blend
+
+
+# --------------------------------------------------------------------------
+# namelist.ice  (i_PARAM; reference src/ice_modules.F90)
+# --------------------------------------------------------------------------
+@dataclass
+class IceConfig:
+    whichEVP: int = 0             # 0 EVP, 1 mEVP, 2 aEVP
+    Pstar: float = 30000.0        # [N/m^2]
+    ellipse: float = 2.0
+    c_pressure: float = 20.0
+    delta_min: float = 1.0e-11    # [1/s]
+    evp_rheol_steps: int = 120
+    alpha_evp: float = 250.0
+    beta_evp: float = 250.0
+    c_aevp: float = 0.15
+    Cd_oce_ice: float = 0.0055
+    ice_gamma_fct: float = 0.5
+    ice_diff: float = 0.0
+    theta_io: float = 0.0
+    ice_ave_steps: int = 1        # ice step every ice_ave_steps ocean steps
+    h0: float = 0.5               # lead closing parameter [m]
+    emiss_ice: float = 0.97
+    emiss_wat: float = 0.97
+    albsn: float = 0.81
+    albsnm: float = 0.77
+    albi: float = 0.7
+    albim: float = 0.68
+    albw: float = 0.1
+    con: float = 2.1656           # ice conductivity [W/m/K]
+    consn: float = 0.31           # snow conductivity [W/m/K]
+
+
+# --------------------------------------------------------------------------
+# top-level config
+# --------------------------------------------------------------------------
+@dataclass
+class ModelConfig:
+    runid: str = "fesom"
+    MeshPath: str = "./mesh/"
+    ClimateDataPath: str = "./hydrography/"
+    ResultPath: str = "./result/"
+    timestep: TimestepConfig = field(default_factory=TimestepConfig)
+    clock: ClockConfig = field(default_factory=ClockConfig)
+    ale: AleConfig = field(default_factory=AleConfig)
+    geometry: GeometryConfig = field(default_factory=GeometryConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+    dyn: OceDynConfig = field(default_factory=OceDynConfig)
+    tra: OceTraConfig = field(default_factory=OceTraConfig)
+    ice: IceConfig = field(default_factory=IceConfig)
+    restart_length: int = 1
+    restart_length_unit: str = "m"
+    logfile_outfreq: int = 1
+
+    @property
+    def dt(self) -> float:
+        return self.timestep.dt
+
+
+# --------------------------------------------------------------------------
+# Fortran namelist parsing (so reference configs run unmodified)
+# --------------------------------------------------------------------------
+_NML_GROUP_RE = re.compile(r"&(\w+)(.*?)(?:^|\n)\s*/", re.S)
+_NML_ITEM_RE = re.compile(r"(\w+)\s*=\s*([^=\n!]+?)(?=\s*(?:!|$|\n|,\s*\w+\s*=))", re.M)
+
+
+def _parse_value(text: str):
+    text = text.strip().rstrip(",").strip()
+    low = text.lower()
+    if low in (".true.", "t", "true"):
+        return True
+    if low in (".false.", "f", "false"):
+        return False
+    if "," in text:  # list
+        return [_parse_value(v) for v in text.split(",") if v.strip()]
+    if text.startswith(("'", '"')):
+        return text.strip("'\"")
+    try:
+        return int(text)
+    except ValueError:
+        pass
+    try:
+        return float(text.replace("d", "e").replace("D", "E"))
+    except ValueError:
+        return text
+
+
+def parse_namelist(path: str) -> dict:
+    """Parse a Fortran namelist file into {group: {key: value}}."""
+    with open(path) as fh:
+        src = fh.read()
+    groups = {}
+    for m in _NML_GROUP_RE.finditer(src):
+        name, body = m.group(1).lower(), m.group(2)
+        items = {}
+        for im in _NML_ITEM_RE.finditer(body):
+            items[im.group(1)] = _parse_value(im.group(2))
+        groups[name] = items
+    return groups
+
+
+def _apply(dc, items: dict):
+    names = {f.name.lower(): f.name for f in dataclasses.fields(dc)}
+    for key, val in items.items():
+        name = names.get(key.lower())
+        if name is not None:
+            setattr(dc, name, val)
+
+
+def load_config(namelist_config: str, namelist_oce: Optional[str] = None,
+                namelist_ice: Optional[str] = None) -> ModelConfig:
+    """Build a ModelConfig from reference-format namelist file(s)."""
+    cfg = ModelConfig()
+    g = parse_namelist(namelist_config)
+    for group, target in (("modelname", cfg), ("paths", cfg), ("restart_log", cfg),
+                          ("timestep", cfg.timestep), ("clockinit", cfg.clock),
+                          ("calendar", cfg.clock), ("ale_def", cfg.ale),
+                          ("geometry", cfg.geometry), ("run_config", cfg.run)):
+        if group in g:
+            _apply(target, g[group])
+    if namelist_oce:
+        o = parse_namelist(namelist_oce)
+        for group in ("oce_dyn",):
+            if group in o:
+                _apply(cfg.dyn, o[group])
+                _apply(cfg.tra, o[group])  # some keys live in either group
+        for group in ("oce_tra",):
+            if group in o:
+                _apply(cfg.tra, o[group])
+                _apply(cfg.dyn, o[group])
+    if namelist_ice:
+        i = parse_namelist(namelist_ice)
+        for group in ("ice_dyn", "ice_therm", "ice_stress"):
+            if group in i:
+                _apply(cfg.ice, i[group])
+    return cfg
