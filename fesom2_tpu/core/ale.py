@@ -1,0 +1,133 @@
+"""ALE vertical machinery: vertical velocity, layer-thickness updates.
+
+Reference: ``src/oce_ale.F90`` — vert_vel_ale :1692-2204, update_thickness_ale
+:800-993, init_thickness_ale :549-795.
+
+Round-1 scope: 'linfs' (no thickness motion), 'zstar' (proportional
+distribution over the column), and plain 'zlevel' (top-layer absorption;
+the local-zstar fallback of :1865-2002 is not yet implemented).
+"""
+from __future__ import annotations
+
+from dataclasses import replace
+
+import jax.numpy as jnp
+
+from ..mesh import MeshTables
+from .ops import cumsum_bottom_up
+from .state import OceanState, Forcing
+
+
+def vert_vel_ale(state: OceanState, mesh: MeshTables, cfg,
+                 forcing: Forcing) -> OceanState:
+    """Divergence-driven vertical velocity + ALE dhbar distribution."""
+    et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
+    has2 = et2 >= 0
+    et2s = jnp.where(has2, et2, 0)
+    dX1, dY1 = mesh.edge_cross_dxdy[:, 0], mesh.edge_cross_dxdy[:, 1]
+    dX2, dY2 = mesh.edge_cross_dxdy[:, 2], mesh.edge_cross_dxdy[:, 3]
+    lmask = mesh.elem_layer_mask
+    he = jnp.where(lmask, state.helem, 0.0)
+
+    # per-edge, per-layer transports (ref :1724-1780)
+    c1 = (state.v * he)[:, et1] * dX1[None] - (state.u * he)[:, et1] * dY1[None]
+    c2 = jnp.where(has2[None, :],
+                   -((state.v * he)[:, et2s] * dX2[None]
+                     - (state.u * he)[:, et2s] * dY2[None]), 0.0)
+    flux = c1 + c2                                        # [nl-1, Ed]
+    div = jnp.zeros((mesh.nl, mesh.n_nodes), flux.dtype)
+    div = div.at[:-1, mesh.edges[:, 0]].add(flux)
+    div = div.at[:-1, mesh.edges[:, 1]].add(-flux)
+
+    # bottom-up cumulative sum -> W flux through interfaces (ref :1789-1799)
+    w = cumsum_bottom_up(div)
+    # to velocity units (ref :1804-1815); area>0 only on active levels
+    w = jnp.where(mesh.node_level_mask,
+                  w / jnp.where(mesh.area > 0, mesh.area, 1.0), 0.0)
+
+    hnode_new = state.hnode
+    which = cfg.ale.which_ALE
+    if which == "zlevel":
+        dhbar = state.hbar - state.hbar_old
+        w = w.at[0].add(-dhbar / cfg.dt)
+        hnode_new = hnode_new.at[0].set(state.hnode[0] + dhbar)
+        w = w.at[0].add(-forcing.water_flux)
+    elif which == "zstar":
+        # distribute dhbar over the column proportionally to unperturbed
+        # thickness (ref :2028-2092)
+        nln_min = _nlevels_node_min(mesh)
+        dd1 = jnp.take_along_axis(state.zbar_3d,
+                                  (nln_min - 1)[None, :].astype(jnp.int32), 0)[0]
+        dd = state.zbar_3d[0] - dd1
+        dd = (state.hbar - state.hbar_old) / dd
+        dddt = dd / cfg.dt
+        lev = jnp.arange(mesh.nl)[:, None]
+        in_range = lev < (nln_min - 1)[None, :]
+        w = w - jnp.where(in_range, (state.zbar_3d - dd1[None, :]) * dddt[None, :], 0.0)
+        lay = jnp.arange(mesh.nl - 1)[:, None]
+        lay_in = lay < (nln_min - 1)[None, :]
+        hnode_new = jnp.where(
+            lay_in,
+            state.hnode + (state.zbar_3d[:-1] - state.zbar_3d[1:]) * dd[None, :],
+            state.hnode)
+        w = w.at[0].add(-forcing.water_flux)
+    # linfs: nothing to do
+
+    # vertical CFL (ref :2141-2154)
+    hsafe = jnp.where(mesh.node_layer_mask, hnode_new, 1.0)
+    c_up = jnp.abs(w[:-1] * cfg.dt / hsafe)
+    c_dn = jnp.abs(w[1:] * cfg.dt / hsafe)
+    cfl = jnp.zeros_like(state.cfl_z)
+    cfl = cfl.at[:-1].add(jnp.where(mesh.node_layer_mask, c_up, 0.0))
+    cfl = cfl.at[1:].set(jnp.where(mesh.node_layer_mask, c_dn, 0.0) + cfl[1:])
+
+    # explicit/implicit split (ref :2189-2203)
+    if cfg.dyn.w_split:
+        dd = jnp.maximum(cfl - cfg.dyn.w_max_cfl, 0.0) / max(cfg.dyn.w_max_cfl, 1e-12)
+        c1f = 1.0 / (1.0 + dd)
+        c2f = dd / (1.0 + dd)
+        w_e = c1f * w
+        w_i = c2f * w
+    else:
+        w_e = w
+        w_i = jnp.zeros_like(w)
+    return replace(state, w=w, w_e=w_e, w_i=w_i, cfl_z=cfl,
+                   hnode_new=hnode_new)
+
+
+def _nlevels_node_min(mesh: MeshTables):
+    """min over adjacent elements of nlevels (ref nlevels_nod2D_min)."""
+    nie = mesh.nod_in_elem
+    valid = nie >= 0
+    safe = jnp.where(valid, nie, 0)
+    nle = jnp.where(valid, jnp.take(mesh.nlevels_elem, safe), 10 ** 6)
+    return nle.min(-1)
+
+
+def update_thickness(state: OceanState, mesh: MeshTables, cfg) -> OceanState:
+    """hnode <- hnode_new; helem, zbar_3d, Z_3d refresh (ref :800-993)."""
+    which = cfg.ale.which_ALE
+    if which == "linfs":
+        return state
+    hnode = state.hnode_new
+    # recompute interface depths bottom-up (ref :962-970)
+    nln = mesh.nlevels_node
+    zbot = jnp.take(mesh.zbar, nln - 1)            # bottom depth (full cells)
+    hmask = jnp.where(mesh.node_layer_mask, hnode, 0.0)
+    hsum = jnp.cumsum(jnp.flip(hmask, 0), 0)
+    zbar_3d = jnp.concatenate([zbot[None, :] + jnp.flip(hsum, 0),
+                               zbot[None, :]], 0)
+    # below-bottom levels pinned to bottom depth
+    lev = jnp.arange(mesh.nl)[:, None]
+    zbar_3d = jnp.where(lev <= (nln - 1)[None, :], zbar_3d, zbot[None, :])
+    Z_3d = 0.5 * (zbar_3d[:-1] + zbar_3d[1:])
+    Z_3d = jnp.where(mesh.node_layer_mask, Z_3d, state.Z_3d)
+
+    # helem = nodal mean (ref :975-990); bottom layer kept at full-cell value
+    en = mesh.elem_nodes
+    helem = jnp.take(hnode, en, axis=-1).mean(-1)
+    lay = jnp.arange(mesh.nl - 1)[:, None]
+    is_bot_e = lay == (mesh.nlevels_elem - 2)[None, :]
+    helem = jnp.where(is_bot_e, state.helem, helem)
+    helem = jnp.where(mesh.elem_layer_mask, helem, 0.0)
+    return replace(state, hnode=hnode, helem=helem, zbar_3d=zbar_3d, Z_3d=Z_3d)

@@ -1,0 +1,186 @@
+"""Core mesh operators: gathers, scatter-adds, gradients, vertical solvers.
+
+These are the TPU-native building blocks replacing the reference's hand-written
+edge/element/node loops.  Conventions:
+
+- Layout is levels-major ``[nl(-1), X]`` where X is nodes/elements/edges.
+- Gathers use plain advanced indexing on the minor axis (XLA gather); scatters
+  use ``.at[].add`` which lowers to deterministic XLA scatter.
+- Every operator respects the bottom topography through the masks carried by
+  MeshTables; padded entries (-1 indices) must be masked by the caller where
+  noted.
+
+Reference precedents are cited per function.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh import MeshTables
+
+
+# --------------------------------------------------------------------------
+# gathers
+# --------------------------------------------------------------------------
+def gather_nodes(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x[..., N] gathered at idx[...]: returns x[..., idx] along the last axis."""
+    return jnp.take(x, idx, axis=-1)
+
+
+def elem_mean_node(x: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
+    """Average a node field to elements: [.., N] -> [.., E] (ref: sum(x(elnodes))/3)."""
+    xe = jnp.take(x, mesh.elem_nodes, axis=-1)     # [.., E, 3]
+    return xe.mean(axis=-1)
+
+
+def scatter_add_nodes(vals: jnp.ndarray, idx: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
+    """Scatter-add vals[.., K] into a zero array [.., n_nodes] at idx[K]."""
+    shape = vals.shape[:-1] + (n_nodes,)
+    return jnp.zeros(shape, vals.dtype).at[..., idx].add(vals)
+
+
+def edge_divergence(flux: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
+    """Assemble per-node divergence from signed edge fluxes.
+
+    flux[.., Ed] is the flux through each edge counted positive INTO node
+    edges[:,0]; returns [.., N] with +flux at node0 and -flux at node1.
+    (ref pattern: ssh_rhs(enodes(1))+=c; ssh_rhs(enodes(2))-=c, oce_ale.F90:1542)
+    """
+    out = jnp.zeros(flux.shape[:-1] + (mesh.n_nodes,), flux.dtype)
+    out = out.at[..., mesh.edges[:, 0]].add(flux)
+    out = out.at[..., mesh.edges[:, 1]].add(-flux)
+    return out
+
+
+def scalar_gradient(f_nodes: jnp.ndarray, mesh: MeshTables):
+    """Gradient of a node scalar on elements via gradient_sca coefficients.
+
+    f_nodes [.., N] -> (gx, gy) each [.., E].
+    ref: tracer_gradient_elements (oce_tracer_mod.F90:19-45).
+    """
+    fe = jnp.take(f_nodes, mesh.elem_nodes, axis=-1)         # [.., E, 3]
+    gx = (fe * mesh.gradient_sca[:, 0:3]).sum(-1)
+    gy = (fe * mesh.gradient_sca[:, 3:6]).sum(-1)
+    return gx, gy
+
+
+def elem_to_node_mean(x_elem: jnp.ndarray, mesh: MeshTables,
+                      weight_area: bool = True,
+                      respect_levels: bool = True) -> jnp.ndarray:
+    """Area-weighted average of an element field to nodes.
+
+    x_elem [.., nl-1, E] (or [.., E]) -> [.., nl-1, N] (or [.., N]).
+    Matches compute_vel_nodes (oce_dyn.F90:133-169): at each (node, layer) only
+    elements active on that layer contribute.
+    """
+    nie = mesh.nod_in_elem              # [N, K]
+    valid = nie >= 0
+    safe = jnp.where(valid, nie, 0)
+    w = jnp.where(valid, jnp.take(mesh.elem_area, safe), 0.0)  # [N, K]
+    if x_elem.ndim == 1:
+        xv = jnp.take(x_elem, safe, axis=-1)                   # [N, K]
+        num = (xv * w).sum(-1)
+        den = w.sum(-1)
+        return num / den
+    # leveled: x_elem [nl-1, E]
+    xv = jnp.take(x_elem, safe, axis=-1)                       # [nl-1, N, K]
+    if respect_levels:
+        lmask = jnp.take(mesh.elem_layer_mask, safe, axis=-1)  # [nl-1, N, K]
+        wl = jnp.where(lmask, w[None], 0.0)
+    else:
+        wl = jnp.broadcast_to(w[None], xv.shape)
+    num = (xv * wl).sum(-1)
+    den = wl.sum(-1)
+    return num / jnp.maximum(den, 1e-30)
+
+
+# --------------------------------------------------------------------------
+# vertical (column) solvers
+# --------------------------------------------------------------------------
+def tridiag_solve(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray,
+                  d: jnp.ndarray) -> jnp.ndarray:
+    """Thomas algorithm, batched: solves tridiag(a,b,c) x = d.
+
+    All inputs [nl, X]: a sub-, b main-, c super-diagonal along axis 0.
+    Rows outside the active column range must be preconditioned by the caller
+    to identity (a=c=0, b=1, d=0) so the sweep passes through them harmlessly.
+    Implemented as two lax.scans over the level axis (VPU-friendly: each step
+    operates on a full [X] lane vector).
+    """
+    def fwd(carry, abcd):
+        cp_prev, dp_prev = carry
+        a_, b_, c_, d_ = abcd
+        m = b_ - cp_prev * a_
+        cp = c_ / m
+        dp = (d_ - dp_prev * a_) / m
+        return (cp, dp), (cp, dp)
+
+    zeros = jnp.zeros_like(d[0])
+    (_, _), (cp, dp) = jax.lax.scan(fwd, (zeros, zeros), (a, b, c, d))
+
+    def bwd(x_next, cpdp):
+        cp_, dp_ = cpdp
+        x = dp_ - cp_ * x_next
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, zeros, (cp, dp), reverse=True)
+    return xs
+
+
+def cumsum_bottom_up(x: jnp.ndarray) -> jnp.ndarray:
+    """Cumulative sum from the bottom level upwards along axis 0.
+
+    out[k] = sum_{j>=k} x[j]  (ref: W_k = W_{k+1} + div_k, oce_ale.F90:1789-1799).
+    """
+    return jnp.flip(jnp.cumsum(jnp.flip(x, 0), 0), 0)
+
+
+# --------------------------------------------------------------------------
+# preconditioned conjugate gradient (replaces psolve.c + pARMS)
+# --------------------------------------------------------------------------
+def pcg(operator, rhs: jnp.ndarray, diag_inv: jnp.ndarray,
+        x0: jnp.ndarray = None, tol: float = 1e-10, maxiter: int = 2000,
+        psum=None):
+    """Jacobi-preconditioned CG for the SPD SSH operator.
+
+    Matrix-free replacement for the reference pARMS BiCGstab+RAS solve
+    (``psolve.c:152-221``; tolerances from ``oce_ale.F90:2295-2301``; the
+    operator is SPD so CG applies, as noted at ``oce_ale.F90:2321``).
+
+    `psum` is an optional reduction for sharded execution (defaults to jnp.sum
+    composed over the local axis — under shard_map pass a psum-wrapped sum).
+    Returns (x, iterations, relative_residual).
+    """
+    if psum is None:
+        def psum(v):
+            return jnp.sum(v)
+    if x0 is None:
+        x0 = jnp.zeros_like(rhs)
+
+    r = rhs - operator(x0)
+    z = diag_inv * r
+    p = z
+    rz = psum(r * z)
+    rhs_norm = jnp.sqrt(psum(rhs * rhs)) + 1e-300
+    tol2 = (tol * rhs_norm) ** 2
+
+    def cond(carry):
+        x, r, p, rz, it = carry
+        return jnp.logical_and(psum(r * r) > tol2, it < maxiter)
+
+    def body(carry):
+        x, r, p, rz, it = carry
+        Ap = operator(p)
+        alpha = rz / psum(p * Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = diag_inv * r
+        rz_new = psum(r * z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, p, rz_new, it + 1)
+
+    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
+    res = jnp.sqrt(psum(r * r)) / rhs_norm
+    return x, it, res

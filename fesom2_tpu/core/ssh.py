@@ -1,0 +1,168 @@
+"""Semi-implicit free-surface: operator, rhs, solve, hbar update.
+
+The reference assembles a CSR stiffness matrix (init_stiff_mat_ale,
+``src/oce_ale.F90:1088-1354``; ALE value updates :1371-1470) and solves with
+pARMS BiCGstab+RAS (``psolve.c``).  The operator is symmetric positive
+definite (noted at ``oce_ale.F90:2321``), so the TPU-native design is a
+matrix-free Jacobi-preconditioned CG built from the same edge stencil —
+no sparse matrix, no native solver library.
+
+Operator:  A(eta) = eta * areasvol(surface)/dt
+                    + g*dt*alpha*theta * D(H_eff * G(eta))
+where G is the elemental scalar gradient, H_eff = (zbar_e_bot - zbar_e_srf)
+- hbar_e (ALE accumulated depth perturbation; reference accumulates -dhe into
+the matrix each step which telescopes to -hbar_e), and D is the edge-stencil
+divergence of (grad x edge_cross) fluxes.
+"""
+from __future__ import annotations
+
+from dataclasses import replace
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import g
+from ..mesh import MeshTables
+from .ops import scalar_gradient, edge_divergence, pcg, elem_mean_node
+from .state import OceanState, Forcing
+
+
+def elem_depth(mesh: MeshTables):
+    """(zbar_e_bot - zbar_e_srf): negative total unperturbed element depth."""
+    zbot = jnp.take(mesh.zbar, mesh.nlevels_elem - 1)
+    zsrf = jnp.take(mesh.zbar, mesh.ulevels_elem - 1)
+    return zbot - zsrf
+
+
+def _edge_stencil_flux(field_gx, field_gy, H_el, mesh: MeshTables):
+    """Per-edge flux s1+s2 of the SSH stencil (ref :1202-1258 pattern)."""
+    et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
+    has2 = et2 >= 0
+    et2s = jnp.where(has2, et2, 0)
+    dX1, dY1 = mesh.edge_cross_dxdy[:, 0], mesh.edge_cross_dxdy[:, 1]
+    dX2, dY2 = mesh.edge_cross_dxdy[:, 2], mesh.edge_cross_dxdy[:, 3]
+    s1 = H_el[et1] * (field_gx[et1] * dY1 - field_gy[et1] * dX1)
+    s2 = jnp.where(has2,
+                   -H_el[et2s] * (field_gx[et2s] * dY2 - field_gy[et2s] * dX2),
+                   0.0)
+    return s1 + s2
+
+
+def ssh_operator(mesh: MeshTables, cfg, hbar_e=None):
+    """Return the matrix-free SPD operator eta -> A(eta)."""
+    dt = cfg.dt
+    factor = g * dt * cfg.dyn.alpha * cfg.dyn.theta
+    H = elem_depth(mesh)
+    if hbar_e is not None:
+        H = H - hbar_e
+    diag_mass = mesh.areasvol[0] / dt  # surface scalar area (ulevels==1)
+
+    def op(eta):
+        gx, gy = scalar_gradient(eta, mesh)
+        flux = _edge_stencil_flux(gx, gy, H, mesh)
+        return eta * diag_mass + factor * edge_divergence(flux, mesh)
+
+    return op
+
+
+def ssh_matrix_diagonal(mesh: MeshTables, cfg) -> jnp.ndarray:
+    """Exact diagonal of the assembled operator, for Jacobi preconditioning.
+
+    Host-side numpy assembly mirroring init_stiff_mat_ale's edge loop
+    (``oce_ale.F90:1202-1270``) but keeping only entries col==row.
+    """
+    edges = np.asarray(mesh.edges)
+    etri = np.asarray(mesh.edge_tri)
+    en = np.asarray(mesh.elem_nodes)
+    gsca = np.asarray(mesh.gradient_sca)
+    ecd = np.asarray(mesh.edge_cross_dxdy)
+    zbar = np.asarray(mesh.zbar)
+    H = zbar[np.asarray(mesh.nlevels_elem) - 1] - zbar[np.asarray(mesh.ulevels_elem) - 1]
+    dt = cfg.dt
+    factor = g * dt * cfg.dyn.alpha * cfg.dyn.theta
+
+    diag = np.asarray(mesh.areasvol)[0] / dt
+    diag = diag.copy()
+    for i in range(2):
+        el = etri[:, i]
+        ok = el >= 0
+        els = np.where(ok, el, 0)
+        dX = ecd[:, 2 * i]
+        dY = ecd[:, 2 * i + 1]
+        sgn = 1.0 if i == 0 else -1.0
+        # fy_k = H * (gx_k*dY - gy_k*dX), added to row=edges[:,0] (+) and
+        # row=edges[:,1] (-) when elnodes_k equals the row node.
+        for k in range(3):
+            fy = H[els] * (gsca[els, k] * dY - gsca[els, k + 3] * dX) * sgn
+            fy = np.where(ok, fy, 0.0)
+            node_k = en[els, k]
+            for j, rsgn in ((0, 1.0), (1, -1.0)):
+                row = edges[:, j]
+                hit = node_k == row
+                np.add.at(diag, row, np.where(hit, rsgn * fy * factor, 0.0))
+    return jnp.asarray(diag, mesh.zbar.dtype)
+
+
+def compute_ssh_rhs(state: OceanState, mesh: MeshTables, cfg, forcing: Forcing,
+                    u_rhs, v_rhs):
+    """ssh_rhs = -alpha*div(int (u+du) dz) + ... (ref compute_ssh_rhs_ale :1478)."""
+    alpha = cfg.dyn.alpha
+    et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
+    has2 = et2 >= 0
+    et2s = jnp.where(has2, et2, 0)
+    dX1, dY1 = mesh.edge_cross_dxdy[:, 0], mesh.edge_cross_dxdy[:, 1]
+    dX2, dY2 = mesh.edge_cross_dxdy[:, 2], mesh.edge_cross_dxdy[:, 3]
+    lmask = mesh.elem_layer_mask
+    he = jnp.where(lmask, state.helem, 0.0)
+
+    U1 = ((state.v + v_rhs) * he)[:, et1]
+    V1 = ((state.u + u_rhs) * he)[:, et1]
+    c1 = alpha * (U1 * dX1[None] - V1 * dY1[None]).sum(0)
+    U2 = ((state.v + v_rhs) * he)[:, et2s]
+    V2 = ((state.u + u_rhs) * he)[:, et2s]
+    c2 = jnp.where(has2, -alpha * (U2 * dX2[None] - V2 * dY2[None]).sum(0), 0.0)
+
+    rhs = edge_divergence(c1 + c2, mesh)
+    if cfg.ale.which_ALE == "linfs":
+        rhs = rhs + (1.0 - alpha) * state.ssh_rhs_old
+    else:
+        rhs = rhs - alpha * forcing.water_flux * mesh.areasvol[0] \
+            + (1.0 - alpha) * state.ssh_rhs_old
+    return rhs
+
+
+def solve_ssh(state: OceanState, mesh: MeshTables, cfg, diag_inv, rhs,
+              psum=None):
+    """CG solve for d_eta (replaces psolve; tolerances oce_ale.F90:2296-2301)."""
+    if cfg.ale.which_ALE == "linfs":
+        op = ssh_operator(mesh, cfg)
+    else:
+        hbar_e = elem_mean_node(state.hbar, mesh)
+        hbar_e = jnp.where(mesh.ulevels_elem == 1, hbar_e, 0.0)
+        op = ssh_operator(mesh, cfg, hbar_e=hbar_e)
+    d_eta, iters, res = pcg(op, rhs, diag_inv, tol=1e-10, maxiter=2000,
+                            psum=psum)
+    return d_eta, iters, res
+
+
+def compute_hbar(state: OceanState, mesh: MeshTables, cfg,
+                 forcing: Forcing) -> OceanState:
+    """hbar(n+1/2) update (ref compute_hbar_ale :1585-1676)."""
+    et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
+    has2 = et2 >= 0
+    et2s = jnp.where(has2, et2, 0)
+    dX1, dY1 = mesh.edge_cross_dxdy[:, 0], mesh.edge_cross_dxdy[:, 1]
+    dX2, dY2 = mesh.edge_cross_dxdy[:, 2], mesh.edge_cross_dxdy[:, 3]
+    lmask = mesh.elem_layer_mask
+    he = jnp.where(lmask, state.helem, 0.0)
+
+    c1 = ((state.v * he)[:, et1] * dX1[None] - (state.u * he)[:, et1] * dY1[None]).sum(0)
+    c2 = jnp.where(has2,
+                   -((state.v * he)[:, et2s] * dX2[None]
+                     - (state.u * he)[:, et2s] * dY2[None]).sum(0), 0.0)
+    rhs_old = edge_divergence(c1 + c2, mesh)
+    if cfg.ale.which_ALE != "linfs":
+        rhs_old = rhs_old - forcing.water_flux * mesh.areasvol[0]
+    hbar_old = state.hbar
+    hbar = hbar_old + rhs_old * cfg.dt / mesh.areasvol[0]
+    return replace(state, hbar=hbar, hbar_old=hbar_old, ssh_rhs_old=rhs_old)

@@ -1,0 +1,135 @@
+"""Model state pytrees (replaces o_ARRAYS of ``src/oce_modules.F90:221-353``).
+
+All arrays are dense ``[levels, entities]`` with inactive (below-bottom)
+entries zero; the step function is a pure transition on this pytree.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh import MeshTables
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class OceanState:
+    """Prognostic + persistent-diagnostic ocean state."""
+    # velocities on elements [nl-1, E]
+    u: jnp.ndarray
+    v: jnp.ndarray
+    # Adams-Bashforth memory of momentum rhs [nl-1, E] (UV_rhsAB)
+    u_rhsAB: jnp.ndarray
+    v_rhsAB: jnp.ndarray
+    # elevation family [N]
+    eta: jnp.ndarray          # eta_n
+    hbar: jnp.ndarray
+    hbar_old: jnp.ndarray
+    ssh_rhs_old: jnp.ndarray
+    # tracers [ntr, nl-1, N]; AB memory
+    tr: jnp.ndarray
+    tr_old: jnp.ndarray
+    # vertical velocity [nl, N]
+    w: jnp.ndarray
+    w_e: jnp.ndarray          # explicit split
+    w_i: jnp.ndarray          # implicit split
+    cfl_z: jnp.ndarray        # [nl, N]
+    # ALE thicknesses
+    hnode: jnp.ndarray        # [nl-1, N]
+    hnode_new: jnp.ndarray    # [nl-1, N]
+    helem: jnp.ndarray        # [nl-1, E]
+    zbar_3d: jnp.ndarray      # [nl, N] actual interface depths
+    Z_3d: jnp.ndarray         # [nl-1, N] actual mid depths
+    # mixing coefficients
+    Av: jnp.ndarray           # [nl, E]
+    Kv: jnp.ndarray           # [nl, N]
+    # diagnostics updated in pressure_bv
+    density_m_rho0: jnp.ndarray   # [nl-1, N] in-situ density - reference
+    hpressure: jnp.ndarray        # [nl-1, N]
+    bvfreq: jnp.ndarray           # [nl, N]
+    mld1: jnp.ndarray             # [N]
+    mld2: jnp.ndarray             # [N]
+    # PGF on elements [nl-1, E]
+    pgf_x: jnp.ndarray
+    pgf_y: jnp.ndarray
+    # node velocities (diagnostic, used by PP mixing / ice coupling)
+    unode: jnp.ndarray        # [nl-1, N]
+    vnode: jnp.ndarray        # [nl-1, N]
+    # step counter (device scalar; drives first-step AB switch)
+    step: jnp.ndarray
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Forcing:
+    """Surface forcing fields (subset of g_forcing_arrays / stress_surf etc.)."""
+    stress_x: jnp.ndarray     # [E] surface wind stress on elements
+    stress_y: jnp.ndarray     # [E]
+    heat_flux: jnp.ndarray    # [N] positive up (out of ocean)
+    water_flux: jnp.ndarray   # [N] positive up
+    virtual_salt: jnp.ndarray # [N]
+    relax_salt: jnp.ndarray   # [N]
+    real_salt_flux: jnp.ndarray  # [N]
+
+
+def allocate_state(mesh: MeshTables, n_tracers: int = 2,
+                   dtype=jnp.float64) -> OceanState:
+    nl, N, E = mesh.nl, mesh.n_nodes, mesh.n_elems
+    zE = lambda *s: jnp.zeros(s, dtype)
+    return OceanState(
+        u=zE(nl - 1, E), v=zE(nl - 1, E),
+        u_rhsAB=zE(nl - 1, E), v_rhsAB=zE(nl - 1, E),
+        eta=zE(N), hbar=zE(N), hbar_old=zE(N), ssh_rhs_old=zE(N),
+        tr=zE(n_tracers, nl - 1, N), tr_old=zE(n_tracers, nl - 1, N),
+        w=zE(nl, N), w_e=zE(nl, N), w_i=zE(nl, N), cfl_z=zE(nl, N),
+        hnode=zE(nl - 1, N), hnode_new=zE(nl - 1, N), helem=zE(nl - 1, E),
+        zbar_3d=zE(nl, N), Z_3d=zE(nl - 1, N),
+        Av=zE(nl, E), Kv=zE(nl, N),
+        density_m_rho0=zE(nl - 1, N), hpressure=zE(nl - 1, N),
+        bvfreq=zE(nl, N), mld1=zE(N), mld2=zE(N),
+        pgf_x=zE(nl - 1, E), pgf_y=zE(nl - 1, E),
+        unode=zE(nl - 1, N), vnode=zE(nl - 1, N),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def zero_forcing(mesh: MeshTables, dtype=jnp.float64) -> Forcing:
+    N, E = mesh.n_nodes, mesh.n_elems
+    z = lambda *s: jnp.zeros(s, dtype)
+    return Forcing(stress_x=z(E), stress_y=z(E), heat_flux=z(N),
+                   water_flux=z(N), virtual_salt=z(N), relax_salt=z(N),
+                   real_salt_flux=z(N))
+
+
+def init_thickness_linfs(state: OceanState, mesh: MeshTables) -> OceanState:
+    """Initialise hnode/helem/zbar_3d/Z_3d for linfs full cells.
+
+    ref: init_ale + init_thickness_ale (oce_ale.F90:82-194, :583-628) with
+    use_partial_cell=False: bottom thickness = zbar(nle-1)-zbar(nle).
+    """
+    nl = mesh.nl
+    dtype = state.eta.dtype
+    zbar = mesh.zbar.astype(dtype)
+    Z = mesh.Z.astype(dtype)
+    nln = mesh.nlevels_node          # [N] 1-based level counts
+    nle = mesh.nlevels_elem
+    lay = jnp.arange(nl - 1)
+
+    dz = (zbar[:-1] - zbar[1:])[:, None]                      # [nl-1, 1]
+    hnode = jnp.where(mesh.node_layer_mask, dz, 0.0)
+    helem = jnp.where(mesh.elem_layer_mask, dz, 0.0)
+
+    # zbar_3d: actual interface depths per node; below bottom clamp to bottom
+    lev = jnp.arange(nl)
+    zbar_3d = jnp.where(lev[:, None] < nln[None, :], zbar[:, None],
+                        zbar[nln - 1][None, :] * jnp.ones((nl, 1), dtype))
+    # keep full-depth dummy above (no cavity) and below bottom use zbar(bottom)
+    zbar_3d = jnp.where(lev[:, None] <= nln[None, :] - 1, zbar[:, None],
+                        jnp.take(zbar, nln - 1)[None, :])
+    Z_3d = jnp.where(lay[:, None] < nln[None, :] - 1, Z[:, None],
+                     jnp.take(Z, jnp.maximum(nln - 2, 0))[None, :])
+    return replace(state, hnode=hnode, hnode_new=hnode, helem=helem,
+                   zbar_3d=zbar_3d.astype(dtype), Z_3d=Z_3d.astype(dtype))

@@ -1,0 +1,481 @@
+"""Tracer transport: advection scheme library, FCT limiter, diffusion.
+
+Reference:
+- driver: do_oce_adv_tra (``src/oce_adv_tra_driver.F90:41-197``),
+  oce_tra_adv_flux2dtracer (:201-269), solve_tracers_ale / adv_tracers_ale /
+  diff_tracers_ale (``src/oce_ale_tracer.F90:101-330``)
+- horizontal fluxes: adv_tra_hor_{upw1:57,muscl:215} (``oce_adv_tra_hor.F90``)
+- vertical fluxes: adv_tra_ver_{upw1:231,qr4c:286}, adv_tra_vert_impl:83
+  (``oce_adv_tra_ver.F90``)
+- FCT limiter: oce_tra_adv_fct (``oce_adv_tra_fct.F90:58-349``)
+- MUSCL gradients: fill_up_dn_grad (``oce_muscl_adv.F90:286-447``)
+- diffusion: diff_part_hor_redi (``oce_ale_tracer.F90:934-1077``),
+  diff_ver_part_impl_ale (:398-860), bc_surface (:1154-1195)
+
+Sign convention: `flux_h[.., Ed]` is counted positive INTO edge node 0, and
+each scheme computes ``flux_new = -(scheme expression) - flux_prev`` so a
+second call on top of a stored low-order flux directly yields the
+antidiffusive flux (exactly the reference's in-place pattern).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..constants import r_earth, vcpw
+from ..mesh import MeshTables
+from .ops import tridiag_solve, elem_to_node_mean
+from .tracer_setup import TracerStatics
+
+
+# --------------------------------------------------------------------------
+# gradients
+# --------------------------------------------------------------------------
+def tracer_gradient_elements(t, mesh: MeshTables):
+    """[nl-1, N] -> (gx, gy) [nl-1, E] (ref oce_tracer_mod.F90:19-45)."""
+    te = jnp.take(t, mesh.elem_nodes, axis=-1)            # [nl-1, E, 3]
+    gx = (te * mesh.gradient_sca[:, 0:3]).sum(-1)
+    gy = (te * mesh.gradient_sca[:, 3:6]).sum(-1)
+    m = mesh.elem_layer_mask
+    return jnp.where(m, gx, 0.0), jnp.where(m, gy, 0.0)
+
+
+def tracer_gradient_z(t, Z_3d, mesh: MeshTables):
+    """d t / dz on interfaces [nl, N] (zero at surface and bottom)."""
+    dz = Z_3d[:-1] - Z_3d[1:]
+    g = (t[:-1] - t[1:]) / jnp.where(dz == 0, 1.0, dz)
+    interior = mesh.node_level_mask[1:-1] & mesh.node_layer_mask[1:]
+    out = jnp.zeros((mesh.nl, t.shape[-1]), t.dtype)
+    return out.at[1:-1].set(jnp.where(interior, g, 0.0))
+
+
+def fill_up_dn_grad(gx, gy, mesh: MeshTables, st: TracerStatics):
+    """edge_up_dn_grad [4, nl-1, Ed] (ref oce_muscl_adv.F90:286-447).
+
+    Components: 0=gx_up, 1=gx_dn, 2=gy_up, 3=gy_dn.  Where both up/downwind
+    triangles exist, shared layers take the triangle gradients and deeper
+    (non-shared) layers fall back to node-averaged gradients; where either is
+    missing, node-averaged gradients are used on all layers (linear Miura).
+    """
+    up = st.edge_up_dn_tri[:, 0]
+    dn = st.edge_up_dn_tri[:, 1]
+    both = (up >= 0) & (dn >= 0)
+    ups = jnp.where(both, up, 0)
+    dns = jnp.where(both, dn, 0)
+
+    # node-averaged gradients (area-weighted, level-aware)
+    gx_n = elem_to_node_mean(gx, mesh)                    # [nl-1, N]
+    gy_n = elem_to_node_mean(gy, mesh)
+    n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
+
+    # shared layer range: nz < min(nlevels_nod2D_min(ednodes)) - 1 (0-based)
+    nln_min = _node_min_levels(mesh)
+    shared = jnp.arange(mesh.nl - 1)[:, None] < \
+        (jnp.minimum(nln_min[n0], nln_min[n1]) - 1)[None, :]
+    use_tri = shared & both[None, :]
+
+    e0 = jnp.where(use_tri, gx[:, ups], gx_n[:, n0])
+    e1 = jnp.where(use_tri, gx[:, dns], gx_n[:, n1])
+    e2 = jnp.where(use_tri, gy[:, ups], gy_n[:, n0])
+    e3 = jnp.where(use_tri, gy[:, dns], gy_n[:, n1])
+    return jnp.stack([e0, e1, e2, e3], axis=0)
+
+
+def _node_min_levels(mesh: MeshTables):
+    nie = mesh.nod_in_elem
+    valid = nie >= 0
+    safe = jnp.where(valid, nie, 0)
+    nle = jnp.where(valid, jnp.take(mesh.nlevels_elem, safe), 10 ** 6)
+    return nle.min(-1)
+
+
+# --------------------------------------------------------------------------
+# helpers: per-edge element transports
+# --------------------------------------------------------------------------
+def _edge_vflux(u, v, helem, mesh: MeshTables):
+    """vflux [nl-1, Ed]: volume transport through the dual edge face,
+    as contribution c1 (from el1, masked) + c2 (from el2, masked)."""
+    et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
+    has2 = et2 >= 0
+    et2s = jnp.where(has2, et2, 0)
+    dX1, dY1 = mesh.edge_cross_dxdy[:, 0], mesh.edge_cross_dxdy[:, 1]
+    dX2, dY2 = mesh.edge_cross_dxdy[:, 2], mesh.edge_cross_dxdy[:, 3]
+    lmask = mesh.elem_layer_mask
+    he = jnp.where(lmask, helem, 0.0)
+    c1 = -(v * he)[:, et1] * dX1[None] + (u * he)[:, et1] * dY1[None]
+    c2 = jnp.where(has2[None, :],
+                   (v * he)[:, et2s] * dX2[None] - (u * he)[:, et2s] * dY2[None],
+                   0.0)
+    return c1 + c2
+
+
+def _edge_union_mask(mesh: MeshTables):
+    """[nl-1, Ed] True where at least one adjacent element is active."""
+    et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
+    has2 = et2 >= 0
+    et2s = jnp.where(has2, et2, 0)
+    lmask = mesh.elem_layer_mask
+    return lmask[:, et1] | (lmask[:, et2s] & has2[None, :])
+
+
+# --------------------------------------------------------------------------
+# horizontal advection schemes
+# --------------------------------------------------------------------------
+def adv_hor_upw1(t, u, v, helem, mesh: MeshTables, flux_prev=None):
+    """First-order upwind horizontal flux (ref adv_tra_hor_upw1 :57-213)."""
+    vflux = _edge_vflux(u, v, helem, mesh)
+    t1 = t[:, mesh.edges[:, 0]]
+    t2 = t[:, mesh.edges[:, 1]]
+    av = jnp.abs(vflux)
+    expr = 0.5 * (t1 * (vflux + av) + t2 * (vflux - av))
+    flux = -expr
+    if flux_prev is not None:
+        flux = flux - flux_prev
+    return flux
+
+
+def adv_hor_muscl(t, u, v, helem, mesh: MeshTables, st: TracerStatics,
+                  eg, num_ord, flux_prev=None):
+    """MUSCL horizontal flux (ref adv_tra_hor_muscl :215-485)."""
+    vflux = _edge_vflux(u, v, helem, mesh)
+    n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
+    t1 = t[:, n0]
+    t2 = t[:, n1]
+
+    # edge blending factor a (ref :306,:281): cos factor, averaged when el2
+    et2 = mesh.edge_tri[:, 1]
+    has2 = et2 >= 0
+    cos1 = mesh.elem_cos[mesh.edge_tri[:, 0]]
+    cos2 = mesh.elem_cos[jnp.where(has2, et2, 0)]
+    a = jnp.where(has2, 0.5 * (cos1 + cos2), cos1) * r_earth    # [Ed]
+
+    nz1 = jnp.arange(mesh.nl - 1)[:, None] + 1                   # 1-based layer
+    c1 = (st.nboundary_lay[n0][None, :] >= nz1).astype(t.dtype)
+    c2 = (st.nboundary_lay[n1][None, :] >= nz1).astype(t.dtype)
+
+    dx = mesh.edge_dxdy[:, 0][None, :] * a[None, :]
+    dy = mesh.edge_dxdy[:, 1][None, :] * r_earth
+    common = 2.0 * (t2 - t1)
+    tm1 = t1 + (common + dx * eg[0] + dy * eg[2]) / 6.0 * c1
+    tm2 = t2 - (common + dx * eg[1] + dy * eg[3]) / 6.0 * c2
+
+    av = jnp.abs(vflux)
+    cHO = (vflux + av) * tm1 + (vflux - av) * tm2
+    expr = 0.5 * (1.0 - num_ord) * cHO + vflux * num_ord * 0.5 * (tm1 + tm2)
+    flux = -expr
+    if flux_prev is not None:
+        flux = flux - flux_prev
+    return flux
+
+
+# --------------------------------------------------------------------------
+# vertical advection schemes
+# --------------------------------------------------------------------------
+def adv_ver_upw1(t, w, mesh: MeshTables, flux_prev=None):
+    """First-order upwind vertical flux [nl, N] (ref :231-284)."""
+    area = mesh.area
+    nln = mesh.nlevels_node
+    lev = jnp.arange(mesh.nl)[:, None]
+    aw = jnp.abs(w)
+    t_above = jnp.concatenate([t[:1], t], 0)     # t[k-1] at interface k
+    t_below = jnp.concatenate([t, t[-1:]], 0)    # t[k]   at interface k
+    interior = 0.5 * (t_below * (w + aw) + t_above * (w - aw)) * area
+    surf = w[0] * t[0] * area[0]                 # [N]
+    expr = jnp.where(lev == 0, surf[None, :], interior)
+    expr = jnp.where(lev >= (nln - 1)[None, :], 0.0, expr)  # zero bottom flux
+    flux = -expr
+    if flux_prev is not None:
+        flux = flux - flux_prev
+    return flux
+
+
+def adv_ver_qr4c(t, w, Z3, zb3, mesh: MeshTables, num_ord, flux_prev=None):
+    """QR4C 3rd/4th-order vertical flux (ref adv_tra_ver_qr4c :286-360)."""
+    nl = mesh.nl
+    nln = mesh.nlevels_node
+    lev = jnp.arange(nl)[:, None]
+    area = mesh.area
+
+    # padded layer arrays aligned on the interface axis k: interface k sits
+    # between layer k-1 (above) and layer k (below)
+    tm1 = jnp.concatenate([t[:1], t], 0)[:nl]        # t[k-1]
+    t0 = jnp.concatenate([t, t[-1:]], 0)[:nl]        # t[k]
+    tm2 = jnp.concatenate([t[:1], t[:1], t], 0)[:nl]  # t[k-2]
+    tp1 = jnp.concatenate([t[1:], t[-1:], t[-1:]], 0)[:nl]  # t[k+1]
+
+    Zm1 = jnp.concatenate([Z3[:1], Z3], 0)[:nl]
+    Z0 = jnp.concatenate([Z3, Z3[-1:]], 0)[:nl]
+    Zm2 = jnp.concatenate([Z3[:1], Z3[:1], Z3], 0)[:nl]
+    Zp1 = jnp.concatenate([Z3[1:], Z3[-1:], Z3[-1:]], 0)[:nl]
+
+    def safediff(a, b):
+        d = a - b
+        return jnp.where(d == 0, 1.0, d)
+
+    qc = (tm1 - t0) / safediff(Zm1, Z0)
+    qu = (t0 - tp1) / safediff(Z0, Zp1)
+    qd = (tm2 - tm1) / safediff(Zm2, Zm1)
+    Tmean1 = t0 + (2.0 * qc + qu) * (zb3 - Z0) / 3.0
+    Tmean2 = tm1 + (2.0 * qc + qd) * (zb3 - Zm1) / 3.0
+    aw = jnp.abs(w)
+    Tup = (w + aw) * Tmean1 + (w - aw) * Tmean2
+    inner = (0.5 * (1.0 - num_ord) * Tup + num_ord * 0.5 * (Tmean1 + Tmean2) * w) * area
+
+    centered = 0.5 * (tm1 + t0) * w * area
+    surf = w[0] * t[0] * area[0]                 # [N]
+
+    is_surf = lev == 0
+    is_bot = lev >= (nln - 1)[None, :]
+    is_cent = (lev == 1) | (lev == (nln - 2)[None, :])
+    expr = jnp.where(is_cent, centered, inner)
+    expr = jnp.where(is_surf, surf[None, :], expr)
+    expr = jnp.where(is_bot, 0.0, expr)
+    flux = -expr
+    if flux_prev is not None:
+        flux = flux - flux_prev
+    return flux
+
+
+def adv_vert_impl(t, w, hnode_new, mesh: MeshTables, dt):
+    """Implicit vertical advection tridiagonal update (ref :83-230)."""
+    nl, N = mesh.nl, t.shape[-1]
+    nln = mesh.nlevels_node
+    lay = jnp.arange(nl - 1)[:, None]
+    lmask = mesh.node_layer_mask
+    is_surf = lay == 0
+    is_bot = lay == (nln - 2)[None, :]
+
+    ratio_up = dt * mesh.area[:-1] / jnp.where(mesh.areasvol[:-1] > 0,
+                                               mesh.areasvol[:-1], 1.0)
+    ratio_dn = dt * mesh.area[1:] / jnp.where(mesh.areasvol[:-1] > 0,
+                                              mesh.areasvol[:-1], 1.0)
+    wu = w[:-1]
+    wd = w[1:]
+    a = jnp.where(is_surf, 0.0, jnp.minimum(0.0, wu) * ratio_up)
+    b_up = jnp.where(is_surf, wu * ratio_up, jnp.maximum(0.0, wu) * ratio_up)
+    b_dn = jnp.where(is_bot, 0.0, -jnp.minimum(0.0, wd) * ratio_dn)
+    c = jnp.where(is_bot, 0.0, -jnp.maximum(0.0, wd) * ratio_dn)
+    h = jnp.where(lmask, hnode_new, 1.0)
+    b = h + b_up + b_dn
+
+    t_up = jnp.concatenate([jnp.zeros_like(t[:1]), t[:-1]], 0)
+    t_dn = jnp.concatenate([t[1:], jnp.zeros_like(t[:1])], 0)
+    rhs = -a * t_up - (b - h) * t - c * jnp.where(is_bot, 0.0, t_dn)
+    a = jnp.where(lmask, a, 0.0)
+    c = jnp.where(lmask, c, 0.0)
+    b = jnp.where(lmask, b, 1.0)
+    rhs = jnp.where(lmask, rhs, 0.0)
+    dtr = tridiag_solve(a, b, c, rhs)
+    return t + jnp.where(lmask, dtr, 0.0)
+
+
+# --------------------------------------------------------------------------
+# FCT limiter
+# --------------------------------------------------------------------------
+def fct_limiter(ttf, lo, adf_h, adf_v, mesh: MeshTables, dt):
+    """Zalesak FCT (ref oce_tra_adv_fct.F90:58-349, vlimit=1).
+
+    Returns limited (adf_h, adf_v).
+    """
+    flux_eps = 1e-16
+    bignumber = 1e3
+    nmask = mesh.node_layer_mask
+    emask = mesh.elem_layer_mask
+
+    # a1: node max/min of (LO, ttf)
+    tmax = jnp.where(nmask, jnp.maximum(lo, ttf), -bignumber)
+    tmin = jnp.where(nmask, jnp.minimum(lo, ttf), bignumber)
+
+    # a2: elementwise max/min over vertices
+    te_max = jnp.take(tmax, mesh.elem_nodes, axis=-1).max(-1)
+    te_min = jnp.take(tmin, mesh.elem_nodes, axis=-1).min(-1)
+    te_max = jnp.where(emask, te_max, -bignumber)
+    te_min = jnp.where(emask, te_min, bignumber)
+
+    # a3 (vlimit=1): cluster max/min over adjacent elements, +-1 layer
+    nie = mesh.nod_in_elem
+    valid = nie >= 0
+    safe = jnp.where(valid, nie, 0)
+    cl_max = jnp.where(valid[None, :, :], jnp.take(te_max, safe, axis=-1),
+                       -bignumber).max(-1)        # [nl-1, N]
+    cl_min = jnp.where(valid[None, :, :], jnp.take(te_min, safe, axis=-1),
+                       bignumber).min(-1)
+    up_max = jnp.concatenate([cl_max[:1], cl_max[:-1]], 0)
+    dn_max = jnp.concatenate([cl_max[1:], cl_max[-1:]], 0)
+    up_min = jnp.concatenate([cl_min[:1], cl_min[:-1]], 0)
+    dn_min = jnp.concatenate([cl_min[1:], cl_min[-1:]], 0)
+    nln = mesh.nlevels_node
+    lay = jnp.arange(mesh.nl - 1)[:, None]
+    interior = (lay >= 1) & (lay <= (nln - 3)[None, :])
+    vmax = jnp.where(interior, jnp.maximum(cl_max, jnp.maximum(up_max, dn_max)), cl_max)
+    vmin = jnp.where(interior, jnp.minimum(cl_min, jnp.minimum(up_min, dn_min)), cl_min)
+    inc_max = jnp.where(nmask, vmax - lo, 0.0)
+    inc_min = jnp.where(nmask, vmin - lo, 0.0)
+
+    # b1: positive/negative antidiffusive sums
+    pv = jnp.maximum(0.0, adf_v[:-1]) + jnp.maximum(0.0, -adf_v[1:])
+    mv = jnp.minimum(0.0, adf_v[:-1]) + jnp.minimum(0.0, -adf_v[1:])
+    n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
+    fplus = pv.at[:, n0].add(jnp.maximum(0.0, adf_h)) \
+              .at[:, n1].add(jnp.maximum(0.0, -adf_h))
+    fminus = mv.at[:, n0].add(jnp.minimum(0.0, adf_h)) \
+               .at[:, n1].add(jnp.minimum(0.0, -adf_h))
+
+    # b2: limiting factors
+    av = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
+    fplus = jnp.minimum(1.0, inc_max / (fplus * dt / av + flux_eps))
+    fminus = jnp.minimum(1.0, inc_min / (fminus * dt / av - flux_eps))
+    fplus = jnp.where(nmask, fplus, 0.0)
+    fminus = jnp.where(nmask, fminus, 0.0)
+
+    # b3 vertical: ae from donor/receiver cells (ref :284-313)
+    fplus_up = jnp.concatenate([jnp.full_like(fplus[:1], 1.0), fplus[:-1]], 0)
+    fminus_up = jnp.concatenate([jnp.full_like(fminus[:1], 1.0), fminus[:-1]], 0)
+    pos = adf_v[:-1] >= 0.0
+    lev = jnp.arange(mesh.nl - 1)[:, None]
+    ae_surf = jnp.where(pos, fplus, fminus)
+    ae_int = jnp.where(pos, jnp.minimum(fminus_up, fplus),
+                       jnp.minimum(fplus_up, fminus))
+    ae_v = jnp.where(lev == 0, ae_surf, ae_int)
+    ae_v = jnp.clip(ae_v, None, 1.0)
+    adf_v = adf_v.at[:-1].set(adf_v[:-1] * ae_v)
+
+    # b3 horizontal
+    posh = adf_h >= 0.0
+    ae_h = jnp.where(posh,
+                     jnp.minimum(fplus[:, n0], fminus[:, n1]),
+                     jnp.minimum(fminus[:, n0], fplus[:, n1]))
+    ae_h = jnp.clip(ae_h, None, 1.0)
+    adf_h = adf_h * ae_h
+    return adf_h, adf_v
+
+
+# --------------------------------------------------------------------------
+# flux -> tracer increments
+# --------------------------------------------------------------------------
+def flux2dtracer(flux_h, flux_v, mesh: MeshTables, dt,
+                 ttf=None, lo=None, hnode=None, hnode_new=None):
+    """(ref oce_tra_adv_flux2dtracer :201-269). Returns (dttf_h, dttf_v)."""
+    av = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
+    nmask = mesh.node_layer_mask
+    dttf_v = (flux_v[:-1] - flux_v[1:]) * dt / av
+    if lo is not None:
+        dttf_v = dttf_v - ttf * hnode + lo * hnode_new
+    n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
+    dttf_h = jnp.zeros_like(dttf_v)
+    dttf_h = dttf_h.at[:, n0].add(flux_h)
+    dttf_h = dttf_h.at[:, n1].add(-flux_h)
+    dttf_h = dttf_h * dt / av
+    return jnp.where(nmask, dttf_h, 0.0), jnp.where(nmask, dttf_v, 0.0)
+
+
+# --------------------------------------------------------------------------
+# diffusion
+# --------------------------------------------------------------------------
+def diff_hor(gx, gy, helem, Ki_node, mesh: MeshTables, dt):
+    """Explicit horizontal (harmonic) diffusion increment (ref :934-1077,
+    Redi terms off).  gx/gy are CURRENT-step tracer gradients on elements."""
+    et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
+    has2 = et2 >= 0
+    et2s = jnp.where(has2, et2, 0)
+    dX1, dY1 = mesh.edge_cross_dxdy[:, 0], mesh.edge_cross_dxdy[:, 1]
+    dX2, dY2 = mesh.edge_cross_dxdy[:, 2], mesh.edge_cross_dxdy[:, 3]
+    n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
+    lmask = mesh.elem_layer_mask
+    m1 = lmask[:, et1]
+    m2 = lmask[:, et2s] & has2[None, :]
+    both = m1 & m2
+
+    Kh = 0.5 * (Ki_node[n0] + Ki_node[n1])[None, :]
+    he = jnp.where(lmask, helem, 0.0)
+    h1 = he[:, et1]
+    h2 = he[:, et2s]
+    gx1, gy1 = gx[:, et1], gy[:, et1]
+    gx2, gy2 = gx[:, et2s], gy[:, et2s]
+
+    # shared layers: mean gradient, mean h, combined (dX2-dX1) stencil;
+    # single-sided layers: one element only
+    c_both = ((dX2 - dX1)[None] * Kh * 0.5 * (gy1 + gy2)
+              - (dY2 - dY1)[None] * Kh * 0.5 * (gx1 + gx2)) * 0.5 * (h1 + h2)
+    c_el1 = (-dX1[None] * Kh * gy1 + dY1[None] * Kh * gx1) * h1
+    c_el2 = (dX2[None] * Kh * gy2 - dY2[None] * Kh * gx2) * h2
+    c = jnp.where(both, c_both, jnp.where(m1, c_el1, 0.0) + jnp.where(m2 & ~m1, c_el2, 0.0))
+    # NOTE: below min-depth one side can continue (D/E cases) — handled by the
+    # jnp.where chain: both -> combined; only el1 -> c_el1; only el2 -> c_el2.
+
+    av = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
+    out = jnp.zeros((mesh.nl - 1, mesh.n_nodes), gx.dtype)
+    out = out.at[:, n0].add(c).at[:, n1].add(-c)
+    return jnp.where(mesh.node_layer_mask, out * dt / av, 0.0)
+
+
+def bc_surface(tracer_id: int, t_surf, forcing, dt, is_nonlinfs: float):
+    """Surface boundary source (ref bc_surface :1154-1195)."""
+    if tracer_id == 0:
+        return -dt * (forcing.heat_flux / vcpw
+                      + t_surf * forcing.water_flux * is_nonlinfs)
+    if tracer_id == 1:
+        return dt * (forcing.virtual_salt + forcing.relax_salt
+                     - forcing.real_salt_flux * is_nonlinfs)
+    return jnp.zeros_like(t_surf)
+
+
+def diff_ver_impl(t, Kv, hnode_new, zbar_n_bot, mesh: MeshTables, dt,
+                  surf_bc, w_i=None, sw_source=None):
+    """Implicit vertical diffusion (ref diff_ver_part_impl_ale :398-860).
+
+    `surf_bc` [N] is the bc_surface source added to the top row; `w_i` adds
+    the implicit vertical-advection split when not using FCT.
+    """
+    nl = mesh.nl
+    nln = mesh.nlevels_node
+    lay = jnp.arange(nl - 1)[:, None]
+    lmask = mesh.node_layer_mask
+    is_surf = lay == 0
+    is_bot = lay == (nln - 2)[None, :]
+
+    # actual interface/mid depths from hnode_new (ref :536-548)
+    hm = jnp.where(lmask, hnode_new, 0.0)
+    hsum = jnp.cumsum(jnp.flip(hm, 0), 0)
+    zbar_n = jnp.concatenate([zbar_n_bot[None, :] + jnp.flip(hsum, 0),
+                              zbar_n_bot[None, :]], 0)       # [nl, N]
+    Z_n = 0.5 * (zbar_n[:-1] + zbar_n[1:])
+
+    dZ = Z_n[:-1] - Z_n[1:]                                  # [nl-2, N]
+    dZ = jnp.where(dZ == 0, 1.0, dZ)
+    ratio_up = mesh.area[:-1] / jnp.where(mesh.areasvol[:-1] > 0,
+                                          mesh.areasvol[:-1], 1.0)
+    ratio_dn = mesh.area[1:] / jnp.where(mesh.areasvol[:-1] > 0,
+                                         mesh.areasvol[:-1], 1.0)
+
+    a = jnp.zeros_like(t).at[1:].set(-Kv[1:-1] / dZ * dt)
+    a = a * ratio_up
+    a = jnp.where(is_surf, 0.0, a)
+    c = jnp.zeros_like(t).at[:-1].set(-Kv[1:-1] / dZ * dt)
+    c = c * ratio_dn
+    c = jnp.where(is_bot, 0.0, c)
+    h = jnp.where(lmask, hnode_new, 1.0)
+    b = -a - c + h
+
+    if w_i is not None:
+        wu, wd = w_i[:-1], w_i[1:]
+        zinv = dt
+        a = a + jnp.where(is_surf, 0.0, jnp.minimum(0.0, wu)) * zinv * ratio_up
+        b = b + jnp.where(is_surf, wu, jnp.maximum(0.0, wu)) * zinv * ratio_up
+        b = b - jnp.where(is_bot, 0.0, jnp.minimum(0.0, wd)) * zinv * ratio_dn
+        c = c - jnp.where(is_bot, 0.0, jnp.maximum(0.0, wd)) * zinv * ratio_dn
+
+    t_up = jnp.concatenate([jnp.zeros_like(t[:1]), t[:-1]], 0)
+    t_dn = jnp.concatenate([t[1:], jnp.zeros_like(t[:1])], 0)
+    rhs = -a * t_up - (b - h) * t - jnp.where(is_bot, 0.0, c * t_dn)
+    rhs = rhs + jnp.where(is_surf, surf_bc[None, :], 0.0)
+    if sw_source is not None:
+        rhs = rhs + sw_source
+
+    a = jnp.where(lmask, a, 0.0)
+    c = jnp.where(lmask, c, 0.0)
+    b = jnp.where(lmask, b, 1.0)
+    rhs = jnp.where(lmask, rhs, 0.0)
+    dtr = tridiag_solve(a, b, c, rhs)
+    return t + jnp.where(lmask, dtr, 0.0)

@@ -1,0 +1,265 @@
+"""Top-level model: setup + the jittable ocean timestep.
+
+The step mirrors the reference orchestrator ``oce_timestep_ale``
+(``src/oce_ale.F90:2521-2799``) and the per-step pre-phase of
+``fvom_main.F90:199-268`` (compute_vel_nodes, before_oce_step), re-expressed
+as a pure state transition compiled with jax.jit.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig
+from .constants import rad
+from .mesh import MeshTables, build_mesh
+from .core import ops
+from .core.state import OceanState, Forcing, allocate_state, zero_forcing, \
+    init_thickness_linfs
+from .core import eos, dynamics, ssh, ale, tracers
+from .core.tracer_setup import TracerStatics, build_tracer_statics
+from .core.mixing import pp as pp_mixing
+from .toy import soufflet
+
+
+@dataclass
+class Model:
+    """Holds static data (mesh, config, precomputes) and the step function."""
+    mesh: MeshTables
+    cfg: ModelConfig
+    tracer_statics: TracerStatics
+    ssh_diag_inv: jnp.ndarray
+    density_ref: jnp.ndarray
+    soufflet_statics: Optional[soufflet.SouffletStatics] = None
+
+    # ------------------------------------------------------------------
+    def initial_state(self, dtype=jnp.float64) -> OceanState:
+        state = allocate_state(self.mesh, self.cfg.tra.num_tracers, dtype)
+        state = init_thickness_linfs(state, self.mesh)
+        if self.cfg.run.toy_ocean and self.cfg.run.which_toy == "soufflet":
+            T, U, _ = soufflet.setup_soufflet(self.mesh, dtype)
+            tr = state.tr.at[0].set(T).at[1].set(
+                jnp.where(self.mesh.node_layer_mask, 35.0, 0.0))
+            state = replace(state, tr=tr, tr_old=tr, u=U)
+        return state
+
+    # ------------------------------------------------------------------
+    def step_fn(self):
+        """Return the jitted pure step: (state, forcing) -> state."""
+        mesh = self.mesh
+        cfg = self.cfg
+        st = self.tracer_statics
+        diag_inv = self.ssh_diag_inv
+        density_ref = self.density_ref
+        sst = self.soufflet_statics
+        is_souf = cfg.run.toy_ocean and cfg.run.which_toy == "soufflet"
+        if is_souf:
+            mesh = replace_coriolis(mesh, sst.coriolis)
+        is_nonlinfs = 0.0 if cfg.ale.which_ALE == "linfs" else 1.0
+
+        def step(state: OceanState, forcing: Forcing) -> OceanState:
+            # --- pre-phase (fvom_main loop top) ---------------------------
+            state = dynamics.compute_vel_nodes(state, mesh)
+
+            # --- mix & pressure (ref :2558-2655) --------------------------
+            state = eos.pressure_bv(state, mesh, cfg, density_ref)
+            state = dynamics.pressure_force_linfs(state, mesh)
+            state = pp_mixing.oce_mixing_pp(state, mesh, cfg)
+            state = pp_mixing.mo_convect(state, mesh, cfg)
+
+            # --- momentum (ref :2663-2682) --------------------------------
+            state, u_rhs, v_rhs = dynamics.compute_vel_rhs(state, mesh, forcing, cfg)
+            u_rhs, v_rhs = dynamics.viscosity_filter(state, mesh, cfg, u_rhs, v_rhs)
+            if cfg.dyn.i_vert_visc:
+                u_rhs, v_rhs = dynamics.impl_vert_visc(state, mesh, cfg, forcing,
+                                                       u_rhs, v_rhs)
+
+            # --- SSH (ref :2687-2722) -------------------------------------
+            rhs = ssh.compute_ssh_rhs(state, mesh, cfg, forcing, u_rhs, v_rhs)
+            d_eta, _, _ = ssh.solve_ssh(state, mesh, cfg, diag_inv, rhs)
+
+            if is_souf:
+                zvel, ztem = soufflet.zonal_means(state, mesh, sst)
+                u_rhs = soufflet.relax_zonal_vel(state, mesh, sst, cfg.dt,
+                                                 u_rhs, zvel)
+
+            state = dynamics.update_vel(state, mesh, cfg, u_rhs, v_rhs, d_eta)
+            state = ssh.compute_hbar(state, mesh, cfg, forcing)
+            eta = cfg.dyn.alpha * state.hbar + (1.0 - cfg.dyn.alpha) * state.hbar_old
+            state = replace(state, eta=eta)
+
+            # --- ALE vertical velocity (ref :2744) ------------------------
+            state = ale.vert_vel_ale(state, mesh, cfg, forcing)
+
+            # --- tracers (ref :2749) --------------------------------------
+            state = solve_tracers(state, mesh, cfg, st, forcing,
+                                  is_nonlinfs, sst if is_souf else None)
+
+            # --- thickness update (ref :2754) -----------------------------
+            state = ale.update_thickness(state, mesh, cfg)
+            return replace(state, step=state.step + 1)
+
+        return jax.jit(step)
+
+
+def replace_coriolis(mesh: MeshTables, coriolis_elem) -> MeshTables:
+    import dataclasses
+    return dataclasses.replace(mesh, coriolis=coriolis_elem)
+
+
+# --------------------------------------------------------------------------
+# tracer driver (ref solve_tracers_ale, oce_ale_tracer.F90:101-199)
+# --------------------------------------------------------------------------
+def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
+                  st: TracerStatics, forcing: Forcing, is_nonlinfs: float,
+                  sst=None) -> OceanState:
+    dt = cfg.dt
+    eps = cfg.dyn.epsilon
+    use_fct = cfg.tra.tra_adv_lim == "FCT"
+    nmask = mesh.node_layer_mask
+    av = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
+    nln = mesh.nlevels_node
+    zbar_n_bot = jnp.take(mesh.zbar, nln - 1)
+
+    tr_list = []
+    tr_old_list = []
+    for i in range(cfg.tra.num_tracers):
+        t = state.tr[i]
+        t_prev = state.tr_old[i]
+        # AB interpolation (init_tracers_AB, oce_tracer_mod.F90:48-62)
+        tAB = -(0.5 + eps) * t_prev + (1.5 + eps) * t
+        gxAB, gyAB = tracers.tracer_gradient_elements(tAB, mesh)
+        eg = tracers.fill_up_dn_grad(gxAB, gyAB, mesh, st)
+
+        # ---- advection (do_oce_adv_tra) -------------------------------
+        flux_h_lo = tracers.adv_hor_upw1(t, state.u, state.v, state.helem, mesh)
+        flux_v_lo = tracers.adv_ver_upw1(t, state.w_e, mesh)
+        if use_fct:
+            lo_h = jnp.zeros_like(t).at[:, mesh.edges[:, 0]].add(flux_h_lo) \
+                                    .at[:, mesh.edges[:, 1]].add(-flux_h_lo)
+            fct_lo = (t * state.hnode
+                      + (lo_h + (flux_v_lo[:-1] - flux_v_lo[1:])) * dt / av) \
+                / jnp.where(nmask, state.hnode_new, 1.0)
+            fct_lo = jnp.where(nmask, fct_lo, 0.0)
+            if cfg.dyn.w_split:
+                fct_lo = tracers.adv_vert_impl(fct_lo, state.w_i,
+                                               state.hnode_new, mesh, dt)
+                flux_v_lo = tracers.adv_ver_upw1(t, state.w, mesh)
+            w_for_ho = state.w
+        else:
+            fct_lo = None
+            w_for_ho = state.w_e
+
+        if cfg.tra.tra_adv_hor in ("MUSCL", "MFCT"):
+            flux_h = tracers.adv_hor_muscl(tAB, state.u, state.v, state.helem,
+                                           mesh, st, eg, cfg.tra.tra_adv_ph,
+                                           flux_prev=flux_h_lo if use_fct else None)
+        else:
+            flux_h = tracers.adv_hor_upw1(tAB, state.u, state.v, state.helem,
+                                          mesh,
+                                          flux_prev=flux_h_lo if use_fct else None)
+        if cfg.tra.tra_adv_ver == "QR4C":
+            flux_v = tracers.adv_ver_qr4c(tAB, w_for_ho, state.Z_3d,
+                                          state.zbar_3d, mesh, cfg.tra.tra_adv_pv,
+                                          flux_prev=flux_v_lo if use_fct else None)
+        else:
+            flux_v = tracers.adv_ver_upw1(tAB, w_for_ho, mesh,
+                                          flux_prev=flux_v_lo if use_fct else None)
+
+        if use_fct:
+            flux_h, flux_v = tracers.fct_limiter(t, fct_lo, flux_h, flux_v,
+                                                 mesh, dt)
+            dttf_h, dttf_v = tracers.flux2dtracer(flux_h, flux_v, mesh, dt,
+                                                  ttf=t, lo=fct_lo,
+                                                  hnode=state.hnode,
+                                                  hnode_new=state.hnode_new)
+        else:
+            dttf_h, dttf_v = tracers.flux2dtracer(flux_h, flux_v, mesh, dt)
+        del_ttf = dttf_h + dttf_v
+
+        # ---- diffusion (diff_tracers_ale) ------------------------------
+        t_old_next = t                       # reset AB memory to T^n
+        gx, gy = tracers.tracer_gradient_elements(t, mesh)
+        del_ttf = del_ttf + tracers.diff_hor(gx, gy, state.helem, st.Ki, mesh, dt)
+
+        del_ttf = del_ttf + t * (state.hnode - state.hnode_new)
+        t = t + del_ttf / jnp.where(nmask, state.hnode_new, 1.0)
+        t = jnp.where(nmask, t, 0.0)
+
+        tid = cfg.tra.tracer_ID[i] if i < len(cfg.tra.tracer_ID) else i
+        surf_bc = tracers.bc_surface(tid, t[0], forcing, dt, is_nonlinfs)
+        w_i = None
+        if (not use_fct) and cfg.dyn.w_split:
+            w_i = state.w_i
+        if cfg.tra.i_vert_diff:
+            t = tracers.diff_ver_impl(t, state.Kv, state.hnode_new, zbar_n_bot,
+                                      mesh, dt, surf_bc, w_i=w_i)
+
+        tr_list.append(t)
+        tr_old_list.append(t_old_next)
+
+    tr = jnp.stack(tr_list)
+    tr_old = jnp.stack(tr_old_list)
+    state = replace(state, tr=tr, tr_old=tr_old)
+
+    # relax to climatology / zonal profile (ref :149-155)
+    if sst is not None:
+        _, ztem = soufflet.zonal_means(state, mesh, sst)
+        tr = soufflet.relax_zonal_temp(state, mesh, sst, dt, ztem)
+        state = replace(state, tr=tr)
+
+    # salinity clamp [3,45] psu (ref :176-198)
+    if cfg.tra.num_tracers >= 2:
+        s = jnp.clip(state.tr[1], 3.0, 45.0)
+        s = jnp.where(nmask, s, 0.0)
+        state = replace(state, tr=state.tr.at[1].set(s))
+    return state
+
+
+# --------------------------------------------------------------------------
+# setup
+# --------------------------------------------------------------------------
+def setup_soufflet_model(mesh_path: str = "/root/reference/test/meshes/soufflet",
+                         dtype=jnp.float64, step_per_day: int = 72) -> Model:
+    """Build the soufflet toy-channel model (ref namelist.config.toy_soufflet)."""
+    cfg = ModelConfig()
+    cfg.timestep.step_per_day = step_per_day
+    cfg.run.toy_ocean = True
+    cfg.run.which_toy = "soufflet"
+    cfg.run.use_sw_pene = False
+    cfg.geometry.cyclic_length = 4.5
+    cfg.geometry.force_rotation = False
+    cfg.ale.which_ALE = "linfs"
+    cfg.dyn.state_equation = 0
+    cfg.dyn.visc_option = 5
+    cfg.dyn.gamma0 = 0.0
+    cfg.dyn.gamma1 = 0.002
+    cfg.dyn.gamma2 = 0.02
+    cfg.dyn.easy_bs_return = 1.5
+    cfg.dyn.A_ver = 1.0e-4
+    cfg.dyn.mom_adv = 2
+    cfg.dyn.scale_area = 5.8e9
+    cfg.tra.K_ver = 1.0e-5
+    cfg.tra.K_hor = 10.0
+    cfg.tra.use_instabmix = True
+    cfg.tra.instabmix_kv = 0.1
+    cfg.tra.tra_adv_hor = "MUSCL"
+    cfg.tra.tra_adv_ver = "QR4C"
+    cfg.tra.tra_adv_lim = "FCT"
+    cfg.dyn.mix_scheme = "PP"
+
+    mesh = build_mesh(mesh_path, cyclic_length_deg=4.5, force_rotation=False,
+                      dtype=dtype)
+    tst = build_tracer_statics(mesh, K_hor=cfg.tra.K_hor, dtype=dtype)
+    diag = ssh.ssh_matrix_diagonal(mesh, cfg)
+    diag_inv = 1.0 / diag
+    Z3 = jnp.broadcast_to(mesh.Z[:, None], (mesh.nl - 1, mesh.n_nodes))
+    dref = eos.reference_density(mesh, Z3, cfg.dyn.state_equation,
+                                 toy_soufflet=True)
+    _, _, sst = soufflet.setup_soufflet(mesh, dtype)
+    return Model(mesh=mesh, cfg=cfg, tracer_statics=tst, ssh_diag_inv=diag_inv,
+                 density_ref=dref, soufflet_statics=sst)
