@@ -135,8 +135,9 @@ def compute_vel_rhs(state: OceanState, mesh: MeshTables, forcing: Forcing,
 
     # combine; first step uses pure forward (ff_ab=1.0, ref :123-127)
     ff_ab = jnp.where(state.step == 0, 1.0, 1.5 + eps)
-    u_rhs = dt * (u_rhs + u_rhsAB * ff_ab) / area[None]
-    v_rhs = dt * (v_rhs + v_rhsAB * ff_ab) / area[None]
+    inv_area = 1.0 / jnp.maximum(area, 1e-30)
+    u_rhs = dt * (u_rhs + u_rhsAB * ff_ab) * inv_area[None]
+    v_rhs = dt * (v_rhs + v_rhsAB * ff_ab) * inv_area[None]
     u_rhs = jnp.where(lmask, u_rhs, 0.0)
     v_rhs = jnp.where(lmask, v_rhs, 0.0)
     return replace(state, u_rhsAB=u_rhsAB, v_rhsAB=v_rhsAB), u_rhs, v_rhs
@@ -154,8 +155,8 @@ def visc_filt_bcksct(state: OceanState, mesh: MeshTables, cfg, u_rhs, v_rhs):
     et2s = jnp.where(et2 >= 0, et2, 0)
 
     area = mesh.elem_area
-    inv_a1 = 1.0 / area[et1]
-    inv_a2 = 1.0 / area[et2s]
+    inv_a1 = 1.0 / jnp.maximum(area[et1], 1e-30)
+    inv_a2 = 1.0 / jnp.maximum(area[et2s], 1e-30)
     length = jnp.sqrt(area[et1] + area[et2s])
 
     lmask = mesh.elem_layer_mask
@@ -206,8 +207,10 @@ def visc_filt_harmon(state: OceanState, mesh: MeshTables, cfg, u_rhs, v_rhs):
     vi = dt * d.gamma0 * length[None]
     du = jnp.where(shared, du * vi, 0.0)
     dv = jnp.where(shared, dv * vi, 0.0)
-    u_rhs = u_rhs.at[:, et1].add(-du / area[et1][None]).at[:, et2s].add(du / area[et2s][None])
-    v_rhs = v_rhs.at[:, et1].add(-dv / area[et1][None]).at[:, et2s].add(dv / area[et2s][None])
+    ia1 = 1.0 / jnp.maximum(area[et1], 1e-30)
+    ia2 = 1.0 / jnp.maximum(area[et2s], 1e-30)
+    u_rhs = u_rhs.at[:, et1].add(-du * ia1[None]).at[:, et2s].add(du * ia2[None])
+    v_rhs = v_rhs.at[:, et1].add(-dv * ia1[None]).at[:, et2s].add(dv * ia2[None])
     return u_rhs, v_rhs
 
 

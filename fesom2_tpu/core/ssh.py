@@ -164,5 +164,5 @@ def compute_hbar(state: OceanState, mesh: MeshTables, cfg,
     if cfg.ale.which_ALE != "linfs":
         rhs_old = rhs_old - forcing.water_flux * mesh.areasvol[0]
     hbar_old = state.hbar
-    hbar = hbar_old + rhs_old * cfg.dt / mesh.areasvol[0]
+    hbar = hbar_old + rhs_old * cfg.dt * mesh.areasvol_inv[0]
     return replace(state, hbar=hbar, hbar_old=hbar_old, ssh_rhs_old=rhs_old)

@@ -48,8 +48,8 @@ class Model:
         return state
 
     # ------------------------------------------------------------------
-    def step_fn(self):
-        """Return the jitted pure step: (state, forcing) -> state."""
+    def step_fn(self, jit: bool = True):
+        """Return the (optionally jitted) pure step: (state, forcing) -> state."""
         mesh = self.mesh
         cfg = self.cfg
         st = self.tracer_statics
@@ -103,7 +103,7 @@ class Model:
             state = ale.update_thickness(state, mesh, cfg)
             return replace(state, step=state.step + 1)
 
-        return jax.jit(step)
+        return jax.jit(step) if jit else step
 
 
 def replace_coriolis(mesh: MeshTables, coriolis_elem) -> MeshTables:
@@ -224,7 +224,8 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
 # setup
 # --------------------------------------------------------------------------
 def setup_soufflet_model(mesh_path: str = "/root/reference/test/meshes/soufflet",
-                         dtype=jnp.float64, step_per_day: int = 72) -> Model:
+                         dtype=jnp.float64, step_per_day: int = 72,
+                         pad_to: int = 1) -> Model:
     """Build the soufflet toy-channel model (ref namelist.config.toy_soufflet)."""
     cfg = ModelConfig()
     cfg.timestep.step_per_day = step_per_day
@@ -254,9 +255,12 @@ def setup_soufflet_model(mesh_path: str = "/root/reference/test/meshes/soufflet"
 
     mesh = build_mesh(mesh_path, cyclic_length_deg=4.5, force_rotation=False,
                       dtype=dtype)
+    if pad_to > 1:
+        from .parallel.padding import pad_mesh
+        mesh = pad_mesh(mesh, pad_to)
     tst = build_tracer_statics(mesh, K_hor=cfg.tra.K_hor, dtype=dtype)
     diag = ssh.ssh_matrix_diagonal(mesh, cfg)
-    diag_inv = 1.0 / diag
+    diag_inv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 0.0)
     Z3 = jnp.broadcast_to(mesh.Z[:, None], (mesh.nl - 1, mesh.n_nodes))
     dref = eos.reference_density(mesh, Z3, cfg.dyn.state_equation,
                                  toy_soufflet=True)
