@@ -1,0 +1,23 @@
+"""Ice timestep driver: dynamics -> FCT advection -> thermodynamics.
+
+Reference: ``src/ice_setup_step.F90`` ice_timestep :165-279.
+"""
+from __future__ import annotations
+
+from ..mesh import MeshTables
+from .state import IceState, IceForcing, OceanSurface
+from .evp import mevp_dynamics
+from .fct import ice_fct_advect
+from .thermo import thermodynamics
+
+
+def ice_timestep(ice: IceState, mesh: MeshTables, forcing: IceForcing,
+                 ocean: OceanSurface, cfg, use_virt_salt: bool,
+                 ref_sss: float = 34.0, ref_sss_local: bool = False
+                 ) -> IceState:
+    ice_dt = cfg.dt * cfg.ice.ice_ave_steps
+    ice = mevp_dynamics(ice, mesh, forcing, ocean, cfg)
+    ice = ice_fct_advect(ice, mesh, cfg, ice_dt)
+    ice = thermodynamics(ice, mesh, forcing, ocean, cfg, use_virt_salt,
+                         ref_sss, ref_sss_local)
+    return ice
