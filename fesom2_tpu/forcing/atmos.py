@@ -1,0 +1,192 @@
+"""Atmospheric forcing engine for CORE/NCEP-style netCDF series.
+
+Reference: ``src/gen_surface_forcing.F90`` (module g_sbf: sbc_ini :877, sbc_do
+:1040, data_timeinterp :851) and the standalone branch of update_atm_forcing
+(``src/gen_forcing_couple.F90:255-325``).
+
+Round-1 design: at setup, EVERY record of each forcing file is interpolated to
+mesh nodes (numpy) and stacked into a device array ``[T, N]`` — for the
+shipped test year (5 records) this is tiny and makes the per-step forcing a
+pure on-device time interpolation (jittable, async-prefetch-free).  A
+streaming prefetch provider (reference ``forcing_provider_async_module``)
+is the planned path for multi-year production data.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace as dreplace
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import rad
+from ..mesh import MeshTables
+from ..mesh.rotation import rotation_matrix
+from ..io.netcdf import read_vars
+from ..ice.state import IceForcing, rhoair, tmelt
+from .interp import bilinear_weights, apply_weights
+from .bulk import ncar_ocean_fluxes
+
+Cd_atm_ice = 1.32e-3     # gen_modules_forcing.F90:19
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class AtmData:
+    """Nodal time series of atmospheric state + per-file time axes [s]."""
+    u_wind: jnp.ndarray     # [T, N] (rotated frame)
+    v_wind: jnp.ndarray
+    tair: jnp.ndarray       # [T, N] Celsius
+    shum: jnp.ndarray
+    t_wind: jnp.ndarray     # [T] seconds since year start
+    swdn: jnp.ndarray       # [Tr, N]
+    lwdn: jnp.ndarray
+    t_rad: jnp.ndarray
+    prec: jnp.ndarray       # [Tp, N] m/s water
+    snow: jnp.ndarray       # [Tp, N] m/s water-equivalent
+    t_prec: jnp.ndarray
+    runoff: jnp.ndarray     # [N] climatological, m/s
+
+
+def _interp_series(path, varnames, mesh_lon_deg, mesh_lat_deg):
+    data = read_vars(path, ["LON", "LAT", "TIME"] + varnames)
+    idx, w = bilinear_weights(data["LON"].astype(np.float64),
+                              data["LAT"].astype(np.float64),
+                              mesh_lon_deg, mesh_lat_deg)
+    out = [apply_weights(data[v].astype(np.float64), idx, w) for v in varnames]
+    return out, data["TIME"].astype(np.float64)
+
+
+def load_core_forcing(mesh: MeshTables, path: str,
+                      dtype=jnp.float64) -> AtmData:
+    """Load the NCEP/CORE test forcing (``test/input/global``)."""
+    glon = np.asarray(mesh.geo_coords)[:, 0] / rad
+    glat = np.asarray(mesh.geo_coords)[:, 1] / rad
+
+    (u10,), t_wind = _interp_series(os.path.join(path, "u_10.1948.nc"),
+                                    ["U_10_MOD"], glon, glat)
+    (v10,), _ = _interp_series(os.path.join(path, "v_10.1948.nc"),
+                               ["V_10_MOD"], glon, glat)
+    (t10,), _ = _interp_series(os.path.join(path, "t_10.1948.nc"),
+                               ["T_10_MOD"], glon, glat)
+    (q10,), _ = _interp_series(os.path.join(path, "q_10.1948.nc"),
+                               ["Q_10_MOD"], glon, glat)
+    (sw, lw), t_rad = _interp_series(os.path.join(path, "ncar_rad.1948.nc"),
+                                     ["SWDN_MOD", "LWDN_MOD"], glon, glat)
+    (pr, snow), t_prec = _interp_series(os.path.join(path, "ncar_precip.1948.nc"),
+                                        ["RAIN", "SNOW"], glon, glat)
+
+    # runoff: kg/m^2/s on its own grid with different variable naming
+    ro = read_vars(os.path.join(path, "runoff.nc"),
+                   ["lon", "lat", "Foxx_o_roff"])
+    idx, w = bilinear_weights(ro["lon"].astype(np.float64),
+                              ro["lat"].astype(np.float64), glon, glat)
+    roff = ro["Foxx_o_roff"][0].astype(np.float64)
+    roff = np.where(np.abs(roff) > 1e10, 0.0, roff)   # land fill values -> 0
+    runoff = apply_weights(roff, idx, w) / 1000.0
+
+    # rotate wind vectors into the mesh frame (ref gen_surface_forcing:1094)
+    gcfg_alpha, gcfg_beta, gcfg_gamma = 50.0, 15.0, -90.0
+    if not mesh.cartesian:
+        m = rotation_matrix(gcfg_alpha, gcfg_beta, gcfg_gamma)
+        # vector_g2r: rotate geographic vector components to rotated frame
+        rlon = np.asarray(mesh.coords)[:, 0]
+        rlat = np.asarray(mesh.coords)[:, 1]
+        glon_r = glon * rad
+        glat_r = glat * rad
+        u10, v10 = _vector_g2r(m, glon_r, glat_r, rlon, rlat, u10, v10)
+
+    # time axes: u/t/q 6-hourly "hours since 1948-01-01 03:00"; rad daily
+    # "days since 1948-01-01 12:00"; precip monthly "hours since 1948-01-16 12:00"
+    f = lambda x: jnp.asarray(x, dtype)
+    return AtmData(
+        u_wind=f(u10), v_wind=f(v10), tair=f(t10 - tmelt), shum=f(q10),
+        t_wind=f(t_wind * 3600.0 + 3.0 * 3600.0),
+        swdn=f(sw), lwdn=f(lw), t_rad=f(t_rad * 86400.0 + 12.0 * 3600.0),
+        prec=f(pr / 1000.0), snow=f(snow / 1000.0),
+        t_prec=f(t_prec * 3600.0 + 15.5 * 86400.0),
+        runoff=f(runoff))
+
+
+def _vector_g2r(m, glon, glat, rlon, rlat, u, v):
+    """Rotate geographic vector components (u,v) to the rotated frame.
+
+    Reference: gen_modules_rotate_grid.F90 vector_g2r (flag=0 path): convert
+    lon/lat components to 3D Cartesian, rotate, project back.
+    """
+    # geographic basis
+    tg = np.array([-np.sin(glon), np.cos(glon), np.zeros_like(glon)])       # e_lon
+    ng = np.array([-np.sin(glat) * np.cos(glon), -np.sin(glat) * np.sin(glon),
+                   np.cos(glat)])                                            # e_lat
+    # 3D vector in geographic cartesian
+    V = u[..., None, :] * tg[None, :, :] if u.ndim == 2 else u * tg
+    if u.ndim == 2:
+        V = u[:, None, :] * tg[None] + v[:, None, :] * ng[None]   # [T, 3, N]
+    else:
+        V = u * tg + v * ng
+    # rotate: r = M . g  (M is r2g matrix; g->r uses M as row-transform)
+    Vr = np.einsum("ij,tjn->tin", m, V) if V.ndim == 3 else m @ V
+    # rotated basis
+    tr = np.array([-np.sin(rlon), np.cos(rlon), np.zeros_like(rlon)])
+    nr = np.array([-np.sin(rlat) * np.cos(rlon), -np.sin(rlat) * np.sin(rlon),
+                   np.cos(rlat)])
+    if Vr.ndim == 3:
+        ur = np.einsum("tin,in->tn", Vr, tr)
+        vr = np.einsum("tin,in->tn", Vr, nr)
+    else:
+        ur = (Vr * tr).sum(0)
+        vr = (Vr * nr).sum(0)
+    return ur, vr
+
+
+def _time_interp(series, taxis, t):
+    """Linear interpolation of [T, N] series at scalar time t [s] (clamped)."""
+    T = series.shape[0]
+    i = jnp.clip(jnp.searchsorted(taxis, t) - 1, 0, T - 2)
+    t0 = taxis[i]
+    t1 = taxis[i + 1]
+    w = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1.0), 0.0, 1.0)
+    return (1.0 - w) * series[i] + w * series[i + 1]
+
+
+def atm_state_at(atm: AtmData, t_sec):
+    """Atmospheric state at model time t_sec (jittable)."""
+    return dict(
+        u_wind=_time_interp(atm.u_wind, atm.t_wind, t_sec),
+        v_wind=_time_interp(atm.v_wind, atm.t_wind, t_sec),
+        tair=_time_interp(atm.tair, atm.t_wind, t_sec),
+        shum=_time_interp(atm.shum, atm.t_wind, t_sec),
+        shortwave=_time_interp(atm.swdn, atm.t_rad, t_sec),
+        longwave=_time_interp(atm.lwdn, atm.t_rad, t_sec),
+        prec=_time_interp(atm.prec, atm.t_prec, t_sec),
+        snow=_time_interp(atm.snow, atm.t_prec, t_sec),
+        runoff=atm.runoff,
+    )
+
+
+def update_atm_forcing(atm: AtmData, t_sec, ice_u, ice_v, ocean_u_w,
+                       ocean_v_w, sst, base: IceForcing) -> IceForcing:
+    """Standalone-forcing path of update_atm_forcing (ref :255-325):
+    interp to time -> NCAR bulk coefficients -> wind stresses."""
+    s = atm_state_at(atm, t_sec)
+    cd, ch, ce = ncar_ocean_fluxes(s["tair"], sst, s["shum"], s["u_wind"],
+                                   s["v_wind"], ocean_u_w, ocean_v_w)
+    # ref :305-307 uses (1-Swind)*u_w with default Swind=0 => relative wind
+    dux = s["u_wind"] - ocean_u_w
+    dvy = s["v_wind"] - ocean_v_w
+    aux = jnp.sqrt(dux ** 2 + dvy ** 2) * rhoair
+    sox = cd * aux * dux
+    soy = cd * aux * dvy
+    dux = s["u_wind"] - ice_u
+    dvy = s["v_wind"] - ice_v
+    aux = jnp.sqrt(dux ** 2 + dvy ** 2) * rhoair
+    six = Cd_atm_ice * aux * dux
+    siy = Cd_atm_ice * aux * dvy
+    return dreplace(base, shortwave=s["shortwave"], longwave=s["longwave"],
+                    Tair=s["tair"], shum=s["shum"], prec_rain=s["prec"],
+                    prec_snow=s["snow"], runoff=s["runoff"],
+                    u_wind=s["u_wind"], v_wind=s["v_wind"],
+                    stress_atmoce_x=sox, stress_atmoce_y=soy,
+                    stress_atmice_x=six, stress_atmice_y=siy,
+                    Ch_atm_oce=ch, Ce_atm_oce=ce)

@@ -29,8 +29,8 @@ Sice = 4.0
 iclasses = 7
 hmin = 0.01
 Armin = 0.01
-Ch_atm_ice = 1.2e-3   # transfer coeff. sensible heat over ice
-Ce_atm_ice = 1.5e-3   # transfer coeff. evaporation over ice
+Ch_atm_ice = 1.75e-3  # transfer coeff. sensible heat over ice (gen_modules_forcing.F90:18)
+Ce_atm_ice = 1.75e-3  # transfer coeff. evaporation over ice (gen_modules_forcing.F90:17)
 
 
 @jax.tree_util.register_dataclass

@@ -1,0 +1,62 @@
+"""Minimal netCDF access: classic (netCDF3) via scipy, netCDF4/HDF5 via h5py.
+
+Replaces the reference's netCDF helper layer (``gen_modules_read_NetCDF.F90``,
+``forcing_provider_netcdf_module.F90``); output files are written as classic
+netCDF3 which every downstream tool reads.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def read_vars(path: str, names):
+    """Read variables (dict name->ndarray). Tries netCDF3 then HDF5."""
+    try:
+        from scipy.io import netcdf_file
+        nc = netcdf_file(path, "r", mmap=False)
+        out = {}
+        for n in names:
+            v = nc.variables[n]
+            out[n] = np.array(v[:])
+        nc.close()
+        return out
+    except Exception:
+        import h5py
+        out = {}
+        with h5py.File(path, "r") as h:
+            for n in names:
+                out[n] = np.array(h[n])
+        return out
+
+
+def list_vars(path: str):
+    try:
+        from scipy.io import netcdf_file
+        nc = netcdf_file(path, "r", mmap=False)
+        names = list(nc.variables)
+        nc.close()
+        return names
+    except Exception:
+        import h5py
+        with h5py.File(path, "r") as h:
+            return list(h.keys())
+
+
+def write_dataset(path: str, dims: dict, variables: dict, attrs: dict = None):
+    """Write a classic netCDF3 file.
+
+    dims: {name: size or None (unlimited)}
+    variables: {name: (dim_names tuple, ndarray)}
+    """
+    from scipy.io import netcdf_file
+    nc = netcdf_file(path, "w")
+    for d, s in dims.items():
+        nc.createDimension(d, s)
+    for name, (dnames, arr) in variables.items():
+        arr = np.asarray(arr)
+        var = nc.createVariable(name, arr.dtype, dnames)
+        var[:] = arr
+    if attrs:
+        for k, v in attrs.items():
+            setattr(nc, k, v)
+    nc.close()

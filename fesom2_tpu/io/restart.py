@@ -1,0 +1,64 @@
+"""Checkpoint/restart: raw netCDF of all prognostic state.
+
+Reference: ``src/io_restart.F90`` — variable set :80-160 (oce: eta_n, hbar,
+ssh_rhs_old, UV, w/w_expl/w_impl, T/S by tracer id, hnode; ice: area, hice,
+hsnow, uice, vice), write/read drivers :200-772.  Restarts are
+bit-continuable: raw fields, no averaging; the ALE layer geometry is
+recomputed on read (restart_thickness_ale, ``oce_ale.F90:998``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from .netcdf import write_dataset, read_vars
+from ..core.state import OceanState
+
+
+OCE_FIELDS = ["eta", "hbar", "hbar_old", "ssh_rhs_old", "u", "v",
+              "u_rhsAB", "v_rhsAB", "w", "w_e", "w_i", "tr", "tr_old",
+              "hnode", "hnode_new"]
+ICE_FIELDS = ["u_ice", "v_ice", "m_ice", "a_ice", "m_snow",
+              "sigma11", "sigma12", "sigma22", "t_skin"]
+
+
+def write_restart(path: str, state: OceanState, ice=None, step: int = 0):
+    """Write a raw full-precision restart file (netCDF3)."""
+    variables = {}
+    dims = {}
+
+    def add(name, arr):
+        arr = np.asarray(arr)
+        dnames = []
+        for k, s in enumerate(arr.shape):
+            dn = f"{name}_d{k}"
+            dims[dn] = s
+            dnames.append(dn)
+        variables[name] = (tuple(dnames), arr)
+
+    for f in OCE_FIELDS:
+        add(f, getattr(state, f))
+    add("step", np.asarray([int(state.step)]))
+    if ice is not None:
+        for f in ICE_FIELDS:
+            add("ice_" + f, getattr(ice, f))
+    write_dataset(path, dims, variables)
+
+
+def read_restart(path: str, state: OceanState, ice=None, dtype=jnp.float64):
+    """Read a restart file into (state, ice) pytrees."""
+    names = OCE_FIELDS + ["step"]
+    if ice is not None:
+        names += ["ice_" + f for f in ICE_FIELDS]
+    data = read_vars(path, names)
+    up = {f: jnp.asarray(data[f], dtype) for f in OCE_FIELDS}
+    up["step"] = jnp.asarray(int(data["step"][0]), jnp.int32)
+    state = dataclasses.replace(state, **up)
+    if ice is not None:
+        ice = dataclasses.replace(
+            ice, **{f: jnp.asarray(data["ice_" + f], dtype)
+                    for f in ICE_FIELDS})
+    return state, ice

@@ -35,6 +35,7 @@ class Model:
     ssh_diag_inv: jnp.ndarray
     density_ref: jnp.ndarray
     soufflet_statics: Optional[soufflet.SouffletStatics] = None
+    Ssurf: Optional[jnp.ndarray] = None   # initial SSS for relaxation
 
     # ------------------------------------------------------------------
     def initial_state(self, dtype=jnp.float64) -> OceanState:
@@ -109,6 +110,41 @@ class Model:
 def replace_coriolis(mesh: MeshTables, coriolis_elem) -> MeshTables:
     import dataclasses
     return dataclasses.replace(mesh, coriolis=coriolis_elem)
+
+
+def coupled_step_fn(model: "Model", jit: bool = True):
+    """Ocean+ice step following the reference hot loop (fvom_main.F90:199-268):
+    ocean2ice -> ice_timestep -> oce_fluxes_mom/oce_fluxes -> ocean step.
+
+    Signature: step(ocean_state, ice_state, ocean_forcing, ice_forcing)
+    -> (ocean_state, ice_state, ocean_forcing).  `ocean_forcing` carries the
+    ice-updated heat/water/salt fluxes forward (diagnostic output).
+    """
+    from .ice import step as ice_step_mod
+    from .ice import coupling as ice_cpl
+    mesh = model.mesh
+    cfg = model.cfg
+    use_virt_salt = cfg.ale.which_ALE == "linfs"
+    ocean_step = model.step_fn(jit=False)
+
+    def step(state, ice, ocean_forcing, ice_forcing):
+        surf = ice_cpl.ocean2ice(state, mesh)
+        ice = ice_step_mod.ice_timestep(ice, mesh, ice_forcing, surf, cfg,
+                                        use_virt_salt,
+                                        ref_sss=cfg.tra.ref_sss,
+                                        ref_sss_local=cfg.tra.ref_sss_local)
+        sx, sy = ice_cpl.oce_fluxes_mom(ice, surf, ice_forcing, mesh, cfg)
+        ocean_forcing = replace(ocean_forcing, stress_x=sx, stress_y=sy)
+        ocean_forcing = ice_cpl.oce_fluxes(ice, surf, ice_forcing,
+                                           ocean_forcing, mesh, cfg,
+                                           use_virt_salt,
+                                           Ssurf=model.Ssurf,
+                                           ref_sss=cfg.tra.ref_sss,
+                                           ref_sss_local=cfg.tra.ref_sss_local)
+        state = ocean_step(state, ocean_forcing)
+        return state, ice, ocean_forcing
+
+    return jax.jit(step) if jit else step
 
 
 # --------------------------------------------------------------------------
@@ -223,6 +259,108 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
 # --------------------------------------------------------------------------
 # setup
 # --------------------------------------------------------------------------
+def setup_pi_model(mesh_path: str = "/root/reference/test/meshes/pi",
+                   forcing_path: str = "/root/reference/test/input/global",
+                   dtype=jnp.float64, step_per_day: int = 96,
+                   pad_to: int = 1):
+    """Global pi-mesh ocean+ice configuration (CI test_pi analog,
+    ``setups/test_pi/setup.yml``).  Returns (Model, AtmData).
+
+    Round-1 deviations from the reference CI config (tracked): PP mixing
+    instead of KPP; shortwave penetration off.
+    """
+    from .forcing.atmos import load_core_forcing
+
+    cfg = ModelConfig()
+    cfg.timestep.step_per_day = step_per_day
+    cfg.run.use_ice = True
+    cfg.run.use_sw_pene = False
+    cfg.geometry.force_rotation = True
+    cfg.ale.which_ALE = "linfs"
+    cfg.dyn.state_equation = 1
+    cfg.dyn.visc_option = 5
+    cfg.dyn.w_split = True
+    cfg.dyn.w_max_cfl = 1.0
+    cfg.dyn.mix_scheme = "PP"
+    cfg.ice.whichEVP = 1
+    cfg.ice.evp_rheol_steps = 120
+    cfg.tra.tra_adv_hor = "MFCT"      # round 1: MUSCL kernel used for MFCT
+    cfg.tra.tra_adv_ver = "QR4C"
+    cfg.tra.tra_adv_lim = "FCT"
+
+    mesh = build_mesh(mesh_path, force_rotation=True, cyclic_length_deg=360.0,
+                      dtype=dtype)
+    if pad_to > 1:
+        from .parallel.padding import pad_mesh
+        mesh = pad_mesh(mesh, pad_to)
+    tst = build_tracer_statics(mesh, K_hor=cfg.tra.K_hor, dtype=dtype)
+    diag = ssh.ssh_matrix_diagonal(mesh, cfg)
+    diag_inv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 0.0)
+    Z3 = jnp.broadcast_to(mesh.Z[:, None], (mesh.nl - 1, mesh.n_nodes))
+    dref = eos.reference_density(mesh, Z3, cfg.dyn.state_equation)
+    model = Model(mesh=mesh, cfg=cfg, tracer_statics=tst,
+                  ssh_diag_inv=diag_inv, density_ref=dref)
+    atm = load_core_forcing(mesh, forcing_path, dtype=dtype)
+    return model, atm
+
+
+def pi_initial_state(model: Model, forcing_path: str =
+                     "/root/reference/test/input/global",
+                     dtype=jnp.float64):
+    """Ocean + ice initial state from the WOA18 climatology (gen_ic3d analog)
+    + reference ice_initial_state (``ice_setup_step.F90:284-330``)."""
+    import os
+    from .core.ic import climatology_ic
+    from .ice.state import allocate_ice
+    import dataclasses as dc
+
+    state = allocate_state(model.mesh, model.cfg.tra.num_tracers, dtype)
+    state = init_thickness_linfs(state, model.mesh)
+    T, S = climatology_ic(model.mesh,
+                          os.path.join(forcing_path, "woa18_netcdf_5deg.nc"))
+    tr = state.tr.at[0].set(jnp.asarray(T, dtype)).at[1].set(jnp.asarray(S, dtype))
+    state = replace(state, tr=tr, tr_old=tr)
+    model.Ssurf = tr[1, 0]
+
+    ice = allocate_ice(model.mesh, dtype)
+    glat = model.mesh.geo_coords[:, 1]
+    cold = tr[0, 0] < 0.0
+    north = glat > 0
+    ice = dc.replace(
+        ice,
+        m_ice=jnp.where(cold, jnp.where(north, 1.0, 2.0), 0.0).astype(dtype),
+        m_snow=jnp.where(cold, jnp.where(north, 0.1, 0.5), 0.0).astype(dtype),
+        a_ice=jnp.where(cold, 0.9, 0.0).astype(dtype))
+    return state, ice
+
+
+def pi_coupled_step_fn(model: Model, atm, jit: bool = True):
+    """Full coupled step with on-device atmospheric forcing update.
+
+    (state, ice, step_idx) -> (state, ice, ocean_forcing); model time =
+    step_idx*dt measured from year start (clock offset of the CI run).
+    """
+    from .forcing.atmos import update_atm_forcing
+    from .ice.state import zero_ice_forcing
+    from .ice import coupling as ice_cpl
+
+    mesh = model.mesh
+    cfg = model.cfg
+    base_ice_forcing = zero_ice_forcing(mesh, model.density_ref.dtype)
+    base_oce_forcing = zero_forcing(mesh, model.density_ref.dtype)
+    coupled = coupled_step_fn(model, jit=False)
+
+    def step(state, ice, step_idx):
+        t_sec = (step_idx.astype(model.density_ref.dtype)) * cfg.dt
+        surf = ice_cpl.ocean2ice(state, mesh)
+        ice_forcing = update_atm_forcing(atm, t_sec, ice.u_ice, ice.v_ice,
+                                         surf.u_w, surf.v_w, surf.T_oc,
+                                         base_ice_forcing)
+        return coupled(state, ice, base_oce_forcing, ice_forcing)
+
+    return jax.jit(step) if jit else step
+
+
 def setup_soufflet_model(mesh_path: str = "/root/reference/test/meshes/soufflet",
                          dtype=jnp.float64, step_per_day: int = 72,
                          pad_to: int = 1) -> Model:
