@@ -54,6 +54,12 @@ def write_dataset(path: str, dims: dict, variables: dict, attrs: dict = None):
         nc.createDimension(d, s)
     for name, (dnames, arr) in variables.items():
         arr = np.asarray(arr)
+        if arr.dtype == np.int64:
+            arr = arr.astype(np.int32)     # classic netCDF has no 64-bit int
+        elif arr.dtype == np.float16:
+            arr = arr.astype(np.float32)
+        elif arr.dtype == np.bool_:
+            arr = arr.astype(np.int8)
         var = nc.createVariable(name, arr.dtype, dnames)
         var[:] = arr
     if attrs:

@@ -51,7 +51,7 @@ class OutputStreams:
         self.runid = runid
         self.bufs: Dict[str, _StreamBuf] = {d.name: _StreamBuf() for d in defs}
         self._acc = None             # device pytree of sums
-        self._count = 0
+        self._counts = [0] * len(defs)
         self.async_write = async_write
         self._threads: List[threading.Thread] = []
         os.makedirs(result_path, exist_ok=True)
@@ -63,7 +63,7 @@ class OutputStreams:
             self._acc = vals
         else:
             self._acc = [a + v for a, v in zip(self._acc, vals)]
-        self._count += 1
+        self._counts = [c + 1 for c in self._counts]
 
     # -- event-driven flush ------------------------------------------------
     def maybe_flush(self, clock_before: Clock, clock_after: Clock, step: int):
@@ -73,15 +73,16 @@ class OutputStreams:
 
     def _flush_stream(self, i: int, clock: Clock):
         d = self.defs[i]
-        if self._acc is None or self._count == 0:
+        if self._acc is None or self._counts[i] == 0:
             return
-        mean = np.asarray(self._acc[i]) / self._count
+        mean = np.asarray(self._acc[i]) / self._counts[i]
         if d.precision == "f4":
             mean = mean.astype(np.float32)
         buf = self.bufs[d.name]
         buf.records.append(mean)
         buf.times.append(clock.seconds_in_year)
         self._acc[i] = jnp.zeros_like(self._acc[i])
+        self._counts[i] = 0
         path = os.path.join(self.result_path,
                             f"{d.name.strip()}.{self.runid}.{clock.yearnew}.nc")
         records = list(buf.records)
@@ -105,9 +106,6 @@ class OutputStreams:
             self._threads.append(t)
         else:
             write()
-
-    def reset_count(self):
-        self._count = 0
 
     def finalize(self):
         for t in self._threads:

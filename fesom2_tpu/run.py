@@ -1,0 +1,149 @@
+"""Run driver: setup -> time loop -> output/restart/diagnostics.
+
+Reference: ``src/fvom_main.F90`` — staged setup :60-197, hot loop :199-268,
+runtime accounting + "BENCHMARK RUNTIME" report :281-327.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .model import (Model, setup_soufflet_model, setup_pi_model,
+                    pi_initial_state, pi_coupled_step_fn)
+from .core.state import zero_forcing
+from .core.diag import step_info, check_blowup, format_step_info
+from .io.streams import OutputStreams, default_ocean_streams, default_ice_streams
+from .io.restart import write_restart
+from .utils.clock import Clock, write_clock_file
+
+
+@dataclass
+class RunTimers:
+    """Per-phase wall-clock accounting (ref rtime_* + BENCHMARK RUNTIME)."""
+    step: float = 0.0
+    output: float = 0.0
+    restart: float = 0.0
+    total: float = 0.0
+    n_steps: int = 0
+
+    def report(self) -> str:
+        lines = ["=== BENCHMARK RUNTIME ===",
+                 f" steps               : {self.n_steps}",
+                 f" runtime total [s]   : {self.total:.3f}",
+                 f" runtime step  [s]   : {self.step:.3f}",
+                 f" runtime output [s]  : {self.output:.3f}",
+                 f" runtime restart [s] : {self.restart:.3f}"]
+        if self.n_steps:
+            lines.append(f" sec/step            : {self.step / self.n_steps:.4f}")
+        return "\n".join(lines)
+
+
+def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
+           dtype=jnp.float64, logfile_outfreq: int = 10,
+           restart_every: Optional[int] = None, verbose: bool = True):
+    """Run the coupled global pi configuration for n_steps (CI analog)."""
+    model, atm = setup_pi_model(dtype=dtype)
+    state, ice = pi_initial_state(model, dtype=dtype)
+    step = pi_coupled_step_fn(model, atm)
+    clock = Clock(0.0, 1, 1948)
+    streams = OutputStreams(default_ocean_streams(model.mesh)
+                            + default_ice_streams(), result_path)
+    timers = RunTimers()
+    t_all = time.perf_counter()
+    dt = model.cfg.dt
+
+    for k in range(n_steps):
+        t0 = time.perf_counter()
+        state, ice, oforc = step(state, ice, jnp.asarray(k))
+        jax.block_until_ready(state.eta)
+        timers.step += time.perf_counter() - t0
+        timers.n_steps += 1
+        clock_before = clock.copy()
+        clock.advance(dt)
+
+        t0 = time.perf_counter()
+        streams.update_means(state, ice)
+        streams.maybe_flush(clock_before, clock, k)
+        timers.output += time.perf_counter() - t0
+
+        if verbose and (k + 1) % logfile_outfreq == 0:
+            info = step_info(state, model.mesh, ice)
+            print(format_step_info(info, k + 1), flush=True)
+            if int(check_blowup(state, model.mesh, ice)) != 0:
+                blow_path = os.path.join(result_path, "blowup.nc")
+                write_restart(blow_path, state, ice, step=k)
+                raise RuntimeError(f"blowup detected at step {k + 1}; "
+                                   f"state dumped to {blow_path}")
+
+        if restart_every and (k + 1) % restart_every == 0:
+            t0 = time.perf_counter()
+            write_restart(os.path.join(result_path, "restart.nc"), state, ice, k)
+            write_clock_file(os.path.join(result_path, "fesom.clock"), clock)
+            timers.restart += time.perf_counter() - t0
+
+    streams.finalize()
+    timers.total = time.perf_counter() - t_all
+    if verbose:
+        print(timers.report(), flush=True)
+    return state, ice, timers
+
+
+def run_soufflet(n_steps: int = 72, result_path: str = "./result_souf",
+                 dtype=jnp.float64, logfile_outfreq: int = 10,
+                 verbose: bool = True):
+    """Run the soufflet channel (toy ocean, no ice, no external forcing)."""
+    model = setup_soufflet_model(dtype=dtype)
+    state = model.initial_state(dtype=dtype)
+    forcing = zero_forcing(model.mesh, dtype)
+    step = model.step_fn()
+    clock = Clock(0.0, 1, 1948)
+    streams = OutputStreams(default_ocean_streams(model.mesh), result_path)
+    timers = RunTimers()
+    t_all = time.perf_counter()
+
+    for k in range(n_steps):
+        t0 = time.perf_counter()
+        state = step(state, forcing)
+        jax.block_until_ready(state.eta)
+        timers.step += time.perf_counter() - t0
+        timers.n_steps += 1
+        clock_before = clock.copy()
+        clock.advance(model.cfg.dt)
+        streams.update_means(state, None)
+        streams.maybe_flush(clock_before, clock, k)
+        if verbose and (k + 1) % logfile_outfreq == 0:
+            info = step_info(state, model.mesh)
+            print(format_step_info(info, k + 1), flush=True)
+    streams.finalize()
+    timers.total = time.perf_counter() - t_all
+    if verbose:
+        print(timers.report(), flush=True)
+    return state, timers
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser(description="fesom2_tpu run driver")
+    p.add_argument("config", choices=["pi", "soufflet"])
+    p.add_argument("--steps", type=int, default=96)
+    p.add_argument("--result", default="./result")
+    p.add_argument("--f32", action="store_true")
+    args = p.parse_args()
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+    if args.config == "pi":
+        run_pi(args.steps, args.result, dtype)
+    else:
+        run_soufflet(args.steps, args.result, dtype)
+
+
+if __name__ == "__main__":
+    main()

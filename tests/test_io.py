@@ -1,0 +1,105 @@
+"""I/O subsystem tests: restart round-trip, output streams, clock/events,
+step-info diagnostics."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fesom2_tpu.utils.clock import Clock, event_triggered, days_in_year, \
+    write_clock_file, read_clock_file
+
+
+def test_clock_advance_and_events():
+    c = Clock(0.0, 1, 1948)
+    dt = 900.0
+    daily_fires = 0
+    for k in range(96 * 3):
+        before = c.copy()
+        c.advance(dt)
+        if event_triggered("d", 1, before, c, k):
+            daily_fires += 1
+    assert c.daynew == 4 and abs(c.timenew) < 1.0
+    assert daily_fires == 3
+
+
+def test_clock_year_rollover():
+    c = Clock(86400.0 - 900.0, 365, 1948)
+    c.advance(900.0)
+    assert (c.yearnew, c.daynew) == (1949, 1)
+    assert days_in_year(2000, True) == 366
+    assert days_in_year(1900, True) == 365
+
+
+def test_clock_file_roundtrip(tmp_path):
+    c = Clock(1800.0, 42, 1950)
+    p = str(tmp_path / "fesom.clock")
+    write_clock_file(p, c)
+    c2 = read_clock_file(p)
+    assert (c2.timenew, c2.daynew, c2.yearnew) == (1800.0, 42, 1950)
+
+
+def test_restart_roundtrip(tmp_path, souf_mesh):
+    from fesom2_tpu.core.state import allocate_state, init_thickness_linfs
+    from fesom2_tpu.io.restart import write_restart, read_restart
+    import dataclasses
+
+    state = allocate_state(souf_mesh)
+    state = init_thickness_linfs(state, souf_mesh)
+    rng = np.random.default_rng(0)
+    state = dataclasses.replace(
+        state,
+        eta=jnp.asarray(rng.normal(size=souf_mesh.n_nodes)),
+        tr=state.tr + 5.0,
+        step=jnp.asarray(17, jnp.int32))
+    p = str(tmp_path / "restart.nc")
+    write_restart(p, state)
+    blank = allocate_state(souf_mesh)
+    restored, _ = read_restart(p, blank)
+    assert np.allclose(np.asarray(restored.eta), np.asarray(state.eta))
+    assert np.allclose(np.asarray(restored.tr), np.asarray(state.tr))
+    assert int(restored.step) == 17
+
+
+def test_streams_accumulate_and_flush(tmp_path, souf_mesh):
+    from fesom2_tpu.core.state import allocate_state
+    from fesom2_tpu.io.streams import OutputStreams, StreamDef
+    from fesom2_tpu.io.netcdf import read_vars
+    import dataclasses
+
+    state = allocate_state(souf_mesh)
+    sdef = [StreamDef("sst", lambda s, i: s.tr[0, 0], freq=1, unit="d")]
+    streams = OutputStreams(sdef, str(tmp_path), async_write=False)
+    c = Clock(0.0, 1, 1948)
+    dt = 86400.0 / 4
+    for k in range(8):
+        state = dataclasses.replace(state, tr=state.tr + 1.0)
+        streams.update_means(state, None)
+        before = c.copy()
+        c.advance(dt)
+        streams.maybe_flush(before, c, k)
+    streams.finalize()
+    f = os.path.join(str(tmp_path), "sst.fesom.1948.nc")
+    assert os.path.exists(f)
+    d = read_vars(f, ["sst", "time"])
+    assert d["sst"].shape[0] == 2          # two daily records
+    # mean of first day = mean(1,2,3,4) = 2.5 per accumulation then reset:
+    # the running accumulator is shared, so record 1 mean = (1+2+3+4)/4
+    assert np.allclose(d["sst"][0], 2.5)
+
+
+def test_step_info_and_blowup(souf_mesh):
+    from fesom2_tpu.core.state import allocate_state, init_thickness_linfs
+    from fesom2_tpu.core.diag import step_info, check_blowup
+    import dataclasses
+
+    state = allocate_state(souf_mesh)
+    state = init_thickness_linfs(state, souf_mesh)
+    state = dataclasses.replace(state, tr=state.tr.at[0].add(10.0).at[1].add(35.0))
+    info = step_info(state, souf_mesh)
+    assert float(info["T_max"]) == pytest.approx(10.0)
+    assert int(check_blowup(state, souf_mesh)) == 0
+    bad = dataclasses.replace(state, eta=state.eta.at[5].set(99.0))
+    assert int(check_blowup(bad, souf_mesh)) == 1
+    nanbad = dataclasses.replace(state, u=state.u.at[0, 0].set(jnp.nan))
+    assert int(check_blowup(nanbad, souf_mesh)) == 1
