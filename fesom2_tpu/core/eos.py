@@ -103,6 +103,20 @@ def pressure_bv(state: OceanState, mesh: MeshTables, cfg, density_ref) -> OceanS
     rho = rho * rhopot / (rho + 0.1 * Z3 * sef) - density_ref   # [nl-1, N]
     rho = jnp.where(mesh.node_layer_mask, rho, 0.0)
 
+    # buoyancy difference vs surface (for KPP bldepth, ref :222-231):
+    # surface water brought adiabatically to the local depth
+    rho_srf = b0[0][None, :] + Z3 * (bpz[0][None, :] + Z3 * bpz2[0][None, :])
+    rho_srf = rho_srf * rhopot[0][None, :] / (rho_srf + 0.1 * Z3 * sef)
+    rho_full = rho + density_ref
+    dbsfc_lay = -g * (rho_srf - rho_full) / jnp.where(rho_full == 0, 1.0, rho_full)
+    dbsfc_lay = jnp.where(mesh.node_layer_mask, dbsfc_lay, 0.0)
+    nln_ = mesh.nlevels_node
+    lev_ = jnp.arange(mesh.nl)[:, None]
+    dbsfc = jnp.concatenate([dbsfc_lay, dbsfc_lay[-1:]], 0)[:mesh.nl]
+    bot_db = jnp.take_along_axis(dbsfc, (nln_ - 2)[None, :].astype(jnp.int32), 0)
+    dbsfc = jnp.where(lev_ == (nln_ - 1)[None, :], bot_db, dbsfc)
+    dbsfc = jnp.where(lev_ <= (nln_ - 1)[None, :], dbsfc, 0.0)
+
     # hydrostatic pressure at mid-levels (linfs / cavity path, ref :269-293)
     # hpressure(1) = -Z(1)*rho(1)*g ; hpressure(k) = hp(k-1) + g/2*(rho(k-1)*h(k-1)+rho(k)*h(k))
     h = state.hnode
@@ -142,7 +156,7 @@ def pressure_bv(state: OceanState, mesh: MeshTables, cfg, density_ref) -> OceanS
     mld2 = jnp.take_along_axis(Z3, idx[None, :], axis=0)[0]
 
     return replace(state, density_m_rho0=rho, hpressure=hp, bvfreq=bvfreq,
-                   mld2=mld2)
+                   dbsfc=dbsfc, mld2=mld2)
 
 
 def sw_alpha_beta(t, s, Z_3d):

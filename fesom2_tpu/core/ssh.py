@@ -65,6 +65,78 @@ def ssh_operator(mesh: MeshTables, cfg, hbar_e=None):
     return op
 
 
+def ssh_dense_matrix(mesh: MeshTables, cfg) -> np.ndarray:
+    """Assemble the full SSH operator as a dense [N, N] numpy matrix.
+
+    Host-side, used to precompute a dense inverse for small/medium meshes:
+    on TPU one [N,N]x[N] matmul on the MXU replaces O(100) latency-bound CG
+    iterations (the reference needs pARMS BiCGstab+RAS for the same solve).
+    """
+    N = mesh.n_nodes
+    edges = np.asarray(mesh.edges)
+    etri = np.asarray(mesh.edge_tri)
+    en = np.asarray(mesh.elem_nodes)
+    gsca = np.asarray(mesh.gradient_sca)
+    ecd = np.asarray(mesh.edge_cross_dxdy)
+    zbar = np.asarray(mesh.zbar)
+    H = zbar[np.asarray(mesh.nlevels_elem) - 1] - zbar[np.asarray(mesh.ulevels_elem) - 1]
+    dt = cfg.dt
+    factor = g * dt * cfg.dyn.alpha * cfg.dyn.theta
+
+    A = np.zeros((N, N))
+    np.fill_diagonal(A, np.asarray(mesh.areasvol)[0] / dt)
+    for i in range(2):
+        el = etri[:, i]
+        ok = el >= 0
+        els = np.where(ok, el, 0)
+        dX = ecd[:, 2 * i]
+        dY = ecd[:, 2 * i + 1]
+        sgn = 1.0 if i == 0 else -1.0
+        for k in range(3):
+            fy = H[els] * (gsca[els, k] * dY - gsca[els, k + 3] * dX) * sgn
+            fy = np.where(ok, fy * factor, 0.0)
+            col = en[els, k]
+            for j, rsgn in ((0, 1.0), (1, -1.0)):
+                row = edges[:, j]
+                np.add.at(A, (row, col), rsgn * fy)
+    return A
+
+
+def ssh_dense_inverse(mesh: MeshTables, cfg, dtype=jnp.float64) -> jnp.ndarray:
+    """Dense inverse of the (unperturbed-depth) SSH operator."""
+    A = ssh_dense_matrix(mesh, cfg)
+    # padded dummy rows are all-zero: make them identity so inv() exists
+    dead = np.abs(A).sum(1) == 0
+    A[dead, dead] = 1.0
+    Ainv = np.linalg.inv(A)
+    Ainv[dead, :] = 0.0
+    Ainv[:, dead] = 0.0
+    return jnp.asarray(Ainv, dtype)
+
+
+def solve_ssh_dense(state: OceanState, mesh: MeshTables, cfg, dense_inv, rhs,
+                    n_refine: int = 1):
+    """d_eta = A^-1 rhs via MXU matmul + iterative refinement.
+
+    For linfs the stored inverse is exact (matrix static); refinement drives
+    the f32 result to tolerance.  For zstar/zlevel the inverse is of the
+    unperturbed operator and refinement against the true (hbar-corrected)
+    operator converges in 1-2 sweeps since |dhe|/H ~ 1e-4.
+    """
+    if cfg.ale.which_ALE == "linfs":
+        op = ssh_operator(mesh, cfg)
+    else:
+        hbar_e = elem_mean_node(state.hbar, mesh)
+        hbar_e = jnp.where(mesh.ulevels_elem == 1, hbar_e, 0.0)
+        op = ssh_operator(mesh, cfg, hbar_e=hbar_e)
+    x = dense_inv @ rhs
+    for _ in range(n_refine):
+        r = rhs - op(x)
+        x = x + dense_inv @ r
+    res = jnp.linalg.norm(rhs - op(x)) / (jnp.linalg.norm(rhs) + 1e-300)
+    return x, jnp.asarray(1 + n_refine, jnp.int32), res
+
+
 def ssh_matrix_diagonal(mesh: MeshTables, cfg) -> jnp.ndarray:
     """Exact diagonal of the assembled operator, for Jacobi preconditioning.
 
@@ -133,14 +205,22 @@ def compute_ssh_rhs(state: OceanState, mesh: MeshTables, cfg, forcing: Forcing,
 
 def solve_ssh(state: OceanState, mesh: MeshTables, cfg, diag_inv, rhs,
               psum=None):
-    """CG solve for d_eta (replaces psolve; tolerances oce_ale.F90:2296-2301)."""
+    """CG solve for d_eta (replaces psolve; tolerances oce_ale.F90:2296-2301).
+
+    The reference's soltol=1e-10 assumes f64 arithmetic; in reduced precision
+    that level is unreachable, so the tolerance adapts to the state dtype
+    (~100x unit roundoff) unless cfg.dyn carries an explicit `ssh_tol`.
+    """
     if cfg.ale.which_ALE == "linfs":
         op = ssh_operator(mesh, cfg)
     else:
         hbar_e = elem_mean_node(state.hbar, mesh)
         hbar_e = jnp.where(mesh.ulevels_elem == 1, hbar_e, 0.0)
         op = ssh_operator(mesh, cfg, hbar_e=hbar_e)
-    d_eta, iters, res = pcg(op, rhs, diag_inv, tol=1e-10, maxiter=2000,
+    tol = getattr(cfg.dyn, "ssh_tol", None)
+    if tol is None:
+        tol = 1e-10 if jnp.finfo(rhs.dtype).bits >= 64 else 2e-5
+    d_eta, iters, res = pcg(op, rhs, diag_inv, tol=tol, maxiter=2000,
                             psum=psum)
     return d_eta, iters, res
 

@@ -50,6 +50,7 @@ class OceanState:
     density_m_rho0: jnp.ndarray   # [nl-1, N] in-situ density - reference
     hpressure: jnp.ndarray        # [nl-1, N]
     bvfreq: jnp.ndarray           # [nl, N]
+    dbsfc: jnp.ndarray            # [nl, N] buoyancy difference vs surface (KPP)
     mld1: jnp.ndarray             # [N]
     mld2: jnp.ndarray             # [N]
     # PGF on elements [nl-1, E]
@@ -89,7 +90,7 @@ def allocate_state(mesh: MeshTables, n_tracers: int = 2,
         zbar_3d=zE(nl, N), Z_3d=zE(nl - 1, N),
         Av=zE(nl, E), Kv=zE(nl, N),
         density_m_rho0=zE(nl - 1, N), hpressure=zE(nl - 1, N),
-        bvfreq=zE(nl, N), mld1=zE(N), mld2=zE(N),
+        bvfreq=zE(nl, N), dbsfc=zE(nl, N), mld1=zE(N), mld2=zE(N),
         pgf_x=zE(nl - 1, E), pgf_y=zE(nl - 1, E),
         unode=zE(nl - 1, N), vnode=zE(nl - 1, N),
         step=jnp.zeros((), jnp.int32),

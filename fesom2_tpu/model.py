@@ -25,6 +25,10 @@ from .core.tracer_setup import TracerStatics, build_tracer_statics
 from .core.mixing import pp as pp_mixing
 from .toy import soufflet
 
+# Meshes up to this size solve SSH by a precomputed dense inverse (one MXU
+# matmul per solve) instead of iterative CG; above it, CG with Jacobi.
+DENSE_SSH_MAX_NODES = 16384
+
 
 @dataclass
 class Model:
@@ -36,6 +40,7 @@ class Model:
     density_ref: jnp.ndarray
     soufflet_statics: Optional[soufflet.SouffletStatics] = None
     Ssurf: Optional[jnp.ndarray] = None   # initial SSS for relaxation
+    ssh_dense_inv: Optional[jnp.ndarray] = None  # [N,N] MXU direct solve
 
     # ------------------------------------------------------------------
     def initial_state(self, dtype=jnp.float64) -> OceanState:
@@ -55,6 +60,7 @@ class Model:
         cfg = self.cfg
         st = self.tracer_statics
         diag_inv = self.ssh_diag_inv
+        dense_inv = self.ssh_dense_inv
         density_ref = self.density_ref
         sst = self.soufflet_statics
         is_souf = cfg.run.toy_ocean and cfg.run.which_toy == "soufflet"
@@ -69,7 +75,11 @@ class Model:
             # --- mix & pressure (ref :2558-2655) --------------------------
             state = eos.pressure_bv(state, mesh, cfg, density_ref)
             state = dynamics.pressure_force_linfs(state, mesh)
-            state = pp_mixing.oce_mixing_pp(state, mesh, cfg)
+            if cfg.dyn.mix_scheme.upper() == "KPP":
+                from .core.mixing import kpp as kpp_mixing
+                state = kpp_mixing.oce_mixing_kpp(state, mesh, cfg, forcing)
+            else:
+                state = pp_mixing.oce_mixing_pp(state, mesh, cfg)
             state = pp_mixing.mo_convect(state, mesh, cfg)
 
             # --- momentum (ref :2663-2682) --------------------------------
@@ -81,7 +91,11 @@ class Model:
 
             # --- SSH (ref :2687-2722) -------------------------------------
             rhs = ssh.compute_ssh_rhs(state, mesh, cfg, forcing, u_rhs, v_rhs)
-            d_eta, _, _ = ssh.solve_ssh(state, mesh, cfg, diag_inv, rhs)
+            if dense_inv is not None:
+                d_eta, _, _ = ssh.solve_ssh_dense(state, mesh, cfg,
+                                                  dense_inv, rhs)
+            else:
+                d_eta, _, _ = ssh.solve_ssh(state, mesh, cfg, diag_inv, rhs)
 
             if is_souf:
                 zvel, ztem = soufflet.zonal_means(state, mesh, sst)
@@ -298,8 +312,11 @@ def setup_pi_model(mesh_path: str = "/root/reference/test/meshes/pi",
     diag_inv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 0.0)
     Z3 = jnp.broadcast_to(mesh.Z[:, None], (mesh.nl - 1, mesh.n_nodes))
     dref = eos.reference_density(mesh, Z3, cfg.dyn.state_equation)
+    dense_inv = ssh.ssh_dense_inverse(mesh, cfg, dtype) \
+        if mesh.n_nodes <= DENSE_SSH_MAX_NODES else None
     model = Model(mesh=mesh, cfg=cfg, tracer_statics=tst,
-                  ssh_diag_inv=diag_inv, density_ref=dref)
+                  ssh_diag_inv=diag_inv, density_ref=dref,
+                  ssh_dense_inv=dense_inv)
     atm = load_core_forcing(mesh, forcing_path, dtype=dtype)
     return model, atm
 
@@ -363,7 +380,7 @@ def pi_coupled_step_fn(model: Model, atm, jit: bool = True):
 
 def setup_soufflet_model(mesh_path: str = "/root/reference/test/meshes/soufflet",
                          dtype=jnp.float64, step_per_day: int = 72,
-                         pad_to: int = 1) -> Model:
+                         pad_to: int = 1, which_ale: str = "linfs") -> Model:
     """Build the soufflet toy-channel model (ref namelist.config.toy_soufflet)."""
     cfg = ModelConfig()
     cfg.timestep.step_per_day = step_per_day
@@ -372,7 +389,7 @@ def setup_soufflet_model(mesh_path: str = "/root/reference/test/meshes/soufflet"
     cfg.run.use_sw_pene = False
     cfg.geometry.cyclic_length = 4.5
     cfg.geometry.force_rotation = False
-    cfg.ale.which_ALE = "linfs"
+    cfg.ale.which_ALE = which_ale
     cfg.dyn.state_equation = 0
     cfg.dyn.visc_option = 5
     cfg.dyn.gamma0 = 0.0
@@ -403,5 +420,8 @@ def setup_soufflet_model(mesh_path: str = "/root/reference/test/meshes/soufflet"
     dref = eos.reference_density(mesh, Z3, cfg.dyn.state_equation,
                                  toy_soufflet=True)
     _, _, sst = soufflet.setup_soufflet(mesh, dtype)
+    dense_inv = ssh.ssh_dense_inverse(mesh, cfg, dtype) \
+        if mesh.n_nodes <= DENSE_SSH_MAX_NODES else None
     return Model(mesh=mesh, cfg=cfg, tracer_statics=tst, ssh_diag_inv=diag_inv,
-                 density_ref=dref, soufflet_statics=sst)
+                 density_ref=dref, soufflet_statics=sst,
+                 ssh_dense_inv=dense_inv)
