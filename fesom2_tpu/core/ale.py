@@ -95,6 +95,31 @@ def vert_vel_ale(state: OceanState, mesh: MeshTables, cfg,
                    hnode_new=hnode_new)
 
 
+def bolus_wvel(fer_u, fer_v, state: OceanState, mesh: MeshTables):
+    """Vertical bolus velocity from GM bolus horizontal velocity.
+
+    Same edge-divergence + bottom-up cumulation as vert_vel_ale's first part
+    (ref :1720-1815 with fer_UV -> fer_Wvel)."""
+    et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
+    has2 = et2 >= 0
+    et2s = jnp.where(has2, et2, 0)
+    dX1, dY1 = mesh.edge_cross_dxdy[:, 0], mesh.edge_cross_dxdy[:, 1]
+    dX2, dY2 = mesh.edge_cross_dxdy[:, 2], mesh.edge_cross_dxdy[:, 3]
+    lmask = mesh.elem_layer_mask
+    he = jnp.where(lmask, state.helem, 0.0)
+    c1 = (fer_v * he)[:, et1] * dX1[None] - (fer_u * he)[:, et1] * dY1[None]
+    c2 = jnp.where(has2[None, :],
+                   -((fer_v * he)[:, et2s] * dX2[None]
+                     - (fer_u * he)[:, et2s] * dY2[None]), 0.0)
+    flux = c1 + c2
+    div = jnp.zeros((mesh.nl, mesh.n_nodes), flux.dtype)
+    div = div.at[:-1, mesh.edges[:, 0]].add(flux)
+    div = div.at[:-1, mesh.edges[:, 1]].add(-flux)
+    w = cumsum_bottom_up(div)
+    return jnp.where(mesh.node_level_mask,
+                     w / jnp.where(mesh.area > 0, mesh.area, 1.0), 0.0)
+
+
 def _nlevels_node_min(mesh: MeshTables):
     """min over adjacent elements of nlevels (ref nlevels_nod2D_min)."""
     nie = mesh.nod_in_elem

@@ -107,12 +107,25 @@ class Model:
             eta = cfg.dyn.alpha * state.hbar + (1.0 - cfg.dyn.alpha) * state.hbar_old
             state = replace(state, eta=eta)
 
+            # --- GM bolus velocity (ref :2727-2739) -----------------------
+            fer = None
+            if cfg.dyn.Fer_GM:
+                from .core import gm_redi
+                sig = gm_redi.compute_sigma_xy(state, mesh)
+                ns, taper = gm_redi.compute_neutral_slope(sig, state.bvfreq, mesh)
+                fer_c, fer_K, Ki_l = gm_redi.init_redi_gm(state, mesh, cfg, ns)
+                gamma = gm_redi.fer_solve_gamma(state, mesh, sig, fer_c, fer_K)
+                fer_u, fer_v = gm_redi.fer_gamma2vel(gamma, state, mesh)
+                fer_w = ale.bolus_wvel(fer_u, fer_v, state, mesh)
+                fer = (fer_u, fer_v, fer_w)
+
             # --- ALE vertical velocity (ref :2744) ------------------------
             state = ale.vert_vel_ale(state, mesh, cfg, forcing)
 
             # --- tracers (ref :2749) --------------------------------------
             state = solve_tracers(state, mesh, cfg, st, forcing,
-                                  is_nonlinfs, sst if is_souf else None)
+                                  is_nonlinfs, sst if is_souf else None,
+                                  fer=fer)
 
             # --- thickness update (ref :2754) -----------------------------
             state = ale.update_thickness(state, mesh, cfg)
@@ -166,8 +179,18 @@ def coupled_step_fn(model: "Model", jit: bool = True):
 # --------------------------------------------------------------------------
 def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
                   st: TracerStatics, forcing: Forcing, is_nonlinfs: float,
-                  sst=None) -> OceanState:
+                  sst=None, fer=None) -> OceanState:
     dt = cfg.dt
+    # GM bolus velocities advect tracers only (ref solve_tracers_ale :126-136)
+    if fer is not None:
+        fer_u, fer_v, fer_w = fer
+        adv_u = state.u + fer_u
+        adv_v = state.v + fer_v
+        adv_we = state.w_e + fer_w
+        adv_w = state.w + fer_w
+    else:
+        adv_u, adv_v = state.u, state.v
+        adv_we, adv_w = state.w_e, state.w
     eps = cfg.dyn.epsilon
     use_fct = cfg.tra.tra_adv_lim == "FCT"
     nmask = mesh.node_layer_mask
@@ -186,8 +209,8 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
         eg = tracers.fill_up_dn_grad(gxAB, gyAB, mesh, st)
 
         # ---- advection (do_oce_adv_tra) -------------------------------
-        flux_h_lo = tracers.adv_hor_upw1(t, state.u, state.v, state.helem, mesh)
-        flux_v_lo = tracers.adv_ver_upw1(t, state.w_e, mesh)
+        flux_h_lo = tracers.adv_hor_upw1(t, adv_u, adv_v, state.helem, mesh)
+        flux_v_lo = tracers.adv_ver_upw1(t, adv_we, mesh)
         if use_fct:
             lo_h = jnp.zeros_like(t).at[:, mesh.edges[:, 0]].add(flux_h_lo) \
                                     .at[:, mesh.edges[:, 1]].add(-flux_h_lo)
@@ -198,18 +221,18 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
             if cfg.dyn.w_split:
                 fct_lo = tracers.adv_vert_impl(fct_lo, state.w_i,
                                                state.hnode_new, mesh, dt)
-                flux_v_lo = tracers.adv_ver_upw1(t, state.w, mesh)
-            w_for_ho = state.w
+                flux_v_lo = tracers.adv_ver_upw1(t, adv_w, mesh)
+            w_for_ho = adv_w
         else:
             fct_lo = None
-            w_for_ho = state.w_e
+            w_for_ho = adv_we
 
         if cfg.tra.tra_adv_hor in ("MUSCL", "MFCT"):
-            flux_h = tracers.adv_hor_muscl(tAB, state.u, state.v, state.helem,
+            flux_h = tracers.adv_hor_muscl(tAB, adv_u, adv_v, state.helem,
                                            mesh, st, eg, cfg.tra.tra_adv_ph,
                                            flux_prev=flux_h_lo if use_fct else None)
         else:
-            flux_h = tracers.adv_hor_upw1(tAB, state.u, state.v, state.helem,
+            flux_h = tracers.adv_hor_upw1(tAB, adv_u, adv_v, state.helem,
                                           mesh,
                                           flux_prev=flux_h_lo if use_fct else None)
         if cfg.tra.tra_adv_ver == "QR4C":
