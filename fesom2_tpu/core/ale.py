@@ -14,7 +14,7 @@ from dataclasses import replace
 import jax.numpy as jnp
 
 from ..mesh import MeshTables
-from .ops import cumsum_bottom_up
+from .ops import cumsum_bottom_up, edge_divergence
 from .state import OceanState, Forcing
 
 
@@ -35,9 +35,8 @@ def vert_vel_ale(state: OceanState, mesh: MeshTables, cfg,
                    -((state.v * he)[:, et2s] * dX2[None]
                      - (state.u * he)[:, et2s] * dY2[None]), 0.0)
     flux = c1 + c2                                        # [nl-1, Ed]
-    div = jnp.zeros((mesh.nl, mesh.n_nodes), flux.dtype)
-    div = div.at[:-1, mesh.edges[:, 0]].add(flux)
-    div = div.at[:-1, mesh.edges[:, 1]].add(-flux)
+    div = jnp.concatenate([edge_divergence(flux, mesh),
+                           jnp.zeros((1, mesh.n_nodes), flux.dtype)], 0)
 
     # bottom-up cumulative sum -> W flux through interfaces (ref :1789-1799)
     w = cumsum_bottom_up(div)
@@ -112,9 +111,8 @@ def bolus_wvel(fer_u, fer_v, state: OceanState, mesh: MeshTables):
                    -((fer_v * he)[:, et2s] * dX2[None]
                      - (fer_u * he)[:, et2s] * dY2[None]), 0.0)
     flux = c1 + c2
-    div = jnp.zeros((mesh.nl, mesh.n_nodes), flux.dtype)
-    div = div.at[:-1, mesh.edges[:, 0]].add(flux)
-    div = div.at[:-1, mesh.edges[:, 1]].add(-flux)
+    div = jnp.concatenate([edge_divergence(flux, mesh),
+                           jnp.zeros((1, mesh.n_nodes), flux.dtype)], 0)
     w = cumsum_bottom_up(div)
     return jnp.where(mesh.node_level_mask,
                      w / jnp.where(mesh.area > 0, mesh.area, 1.0), 0.0)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ..constants import g, density_0
 from ..mesh import MeshTables
 from .state import OceanState, Forcing
-from .ops import scalar_gradient, tridiag_solve, elem_to_node_mean
+from .ops import scalar_gradient, tridiag_solve, elem_to_node_mean, edge_divergence
 
 
 def _elem_interface_mask(mesh: MeshTables):
@@ -84,9 +84,8 @@ def momentum_adv_scalar(state: OceanState, mesh: MeshTables,
     fu = un1 * jnp.where(m1, u1, 0.0) + un2 * jnp.where(m2, u2, 0.0)
     fv = un1 * jnp.where(m1, v1, 0.0) + un2 * jnp.where(m2, v2, 0.0)
 
-    n0, n1_ = mesh.edges[:, 0], mesh.edges[:, 1]
-    un_rhs = un_rhs.at[:, n0].add(fu).at[:, n1_].add(-fu)
-    vn_rhs = vn_rhs.at[:, n0].add(fv).at[:, n1_].add(-fv)
+    un_rhs = un_rhs + edge_divergence(fu, mesh)
+    vn_rhs = vn_rhs + edge_divergence(fv, mesh)
 
     un_rhs = un_rhs * mesh.areasvol_inv[:-1]
     vn_rhs = vn_rhs * mesh.areasvol_inv[:-1]
@@ -172,10 +171,14 @@ def visc_filt_bcksct(state: OceanState, mesh: MeshTables, cfg, u_rhs, v_rhs):
     du = jnp.where(shared, du * vi, 0.0)
     dv = jnp.where(shared, dv * vi, 0.0)
 
-    U_b = jnp.zeros_like(state.u)
-    V_b = jnp.zeros_like(state.v)
-    U_b = U_b.at[:, et1].add(-du * inv_a1[None]).at[:, et2s].add(du * inv_a2[None])
-    V_b = V_b.at[:, et1].add(-dv * inv_a1[None]).at[:, et2s].add(dv * inv_a2[None])
+    # gather-based edge->element accumulation: each element touches exactly
+    # its 3 edges; sign -1 when the element is the edge's left triangle
+    ee = mesh.elem_edges                                  # [E, 3]
+    e_is_left = mesh.edge_tri[ee, 0] == jnp.arange(mesh.n_elems)[:, None]
+    esign = jnp.where(e_is_left, -1.0, 1.0)               # [E, 3]
+    inv_area_e = 1.0 / jnp.maximum(area, 1e-30)
+    U_b = (jnp.take(du, ee, axis=-1) * esign).sum(-1) * inv_area_e[None, :]
+    V_b = (jnp.take(dv, ee, axis=-1) * esign).sum(-1) * inv_area_e[None, :]
 
     # smooth to nodes (area-weighted over ALL adjacent elements, no level
     # check in the denominator — matches the reference loop :619-635)

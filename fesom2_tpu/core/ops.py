@@ -46,11 +46,48 @@ def edge_divergence(flux: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
     flux[.., Ed] is the flux through each edge counted positive INTO node
     edges[:,0]; returns [.., N] with +flux at node0 and -flux at node1.
     (ref pattern: ssh_rhs(enodes(1))+=c; ssh_rhs(enodes(2))-=c, oce_ale.F90:1542)
+
+    Implemented as a GATHER over the precomputed per-node incident-edge table
+    (mesh.node_edges/node_edge_sign) — TPU scatters serialize on colliding
+    indices, gathers don't.
     """
-    out = jnp.zeros(flux.shape[:-1] + (mesh.n_nodes,), flux.dtype)
-    out = out.at[..., mesh.edges[:, 0]].add(flux)
-    out = out.at[..., mesh.edges[:, 1]].add(-flux)
-    return out
+    ne = mesh.node_edges                   # [N, KE]
+    valid = ne >= 0
+    safe = jnp.where(valid, ne, 0)
+    sign = jnp.where(valid, mesh.node_edge_sign, 0.0)
+    vals = jnp.take(flux, safe, axis=-1)   # [.., N, KE]
+    return (vals * sign).sum(-1)
+
+
+def edge_signed_reduce(flux: jnp.ndarray, mesh: MeshTables, fn) -> jnp.ndarray:
+    """Reduce fn(sign * flux) over each node's incident edges (gather-based).
+
+    Used by the FCT limiter's plus/minus antidiffusive sums (fn = relu / -relu
+    of the node-oriented flux)."""
+    ne = mesh.node_edges
+    valid = ne >= 0
+    safe = jnp.where(valid, ne, 0)
+    sign = jnp.where(valid, mesh.node_edge_sign, 0.0)
+    vals = fn(jnp.take(flux, safe, axis=-1) * sign)
+    return jnp.where(valid, vals, 0.0).sum(-1)
+
+
+def elem_contrib_to_nodes(contrib: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
+    """Accumulate per-(element, local-vertex) contributions onto nodes.
+
+    contrib [..., E, 3]: the value element e adds to its k-th vertex.
+    Gather-based (scatter-free): each node pulls from its adjacent elements
+    using nod_in_elem plus the node's local slot within each element.
+    """
+    nie = mesh.nod_in_elem                      # [N, K]
+    valid = nie >= 0
+    safe = jnp.where(valid, nie, 0)
+    n_ids = jnp.arange(mesh.n_nodes, dtype=mesh.elem_nodes.dtype)[:, None]
+    slot = jnp.argmax(mesh.elem_nodes[safe] == n_ids[..., None], axis=-1)  # [N, K]
+    flat = contrib.reshape(contrib.shape[:-2] + (-1,))       # [..., E*3]
+    idx = safe * 3 + slot
+    vals = jnp.take(flat, idx, axis=-1)                      # [..., N, K]
+    return jnp.where(valid, vals, 0.0).sum(-1)
 
 
 def scalar_gradient(f_nodes: jnp.ndarray, mesh: MeshTables):

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..constants import r_earth, vcpw
 from ..mesh import MeshTables
-from .ops import tridiag_solve, elem_to_node_mean
+from .ops import tridiag_solve, elem_to_node_mean, edge_divergence, edge_signed_reduce
 from .tracer_setup import TracerStatics
 
 
@@ -316,11 +316,8 @@ def fct_limiter(ttf, lo, adf_h, adf_v, mesh: MeshTables, dt):
     # b1: positive/negative antidiffusive sums
     pv = jnp.maximum(0.0, adf_v[:-1]) + jnp.maximum(0.0, -adf_v[1:])
     mv = jnp.minimum(0.0, adf_v[:-1]) + jnp.minimum(0.0, -adf_v[1:])
-    n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
-    fplus = pv.at[:, n0].add(jnp.maximum(0.0, adf_h)) \
-              .at[:, n1].add(jnp.maximum(0.0, -adf_h))
-    fminus = mv.at[:, n0].add(jnp.minimum(0.0, adf_h)) \
-               .at[:, n1].add(jnp.minimum(0.0, -adf_h))
+    fplus = pv + edge_signed_reduce(adf_h, mesh, lambda x: jnp.maximum(0.0, x))
+    fminus = mv + edge_signed_reduce(adf_h, mesh, lambda x: jnp.minimum(0.0, x))
 
     # b2: limiting factors
     av = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
@@ -342,6 +339,7 @@ def fct_limiter(ttf, lo, adf_h, adf_v, mesh: MeshTables, dt):
     adf_v = adf_v.at[:-1].set(adf_v[:-1] * ae_v)
 
     # b3 horizontal
+    n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
     posh = adf_h >= 0.0
     ae_h = jnp.where(posh,
                      jnp.minimum(fplus[:, n0], fminus[:, n1]),
@@ -362,11 +360,7 @@ def flux2dtracer(flux_h, flux_v, mesh: MeshTables, dt,
     dttf_v = (flux_v[:-1] - flux_v[1:]) * dt / av
     if lo is not None:
         dttf_v = dttf_v - ttf * hnode + lo * hnode_new
-    n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
-    dttf_h = jnp.zeros_like(dttf_v)
-    dttf_h = dttf_h.at[:, n0].add(flux_h)
-    dttf_h = dttf_h.at[:, n1].add(-flux_h)
-    dttf_h = dttf_h * dt / av
+    dttf_h = edge_divergence(flux_h, mesh) * dt / av
     return jnp.where(nmask, dttf_h, 0.0), jnp.where(nmask, dttf_v, 0.0)
 
 

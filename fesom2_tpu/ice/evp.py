@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..constants import g, density_0
 from ..mesh import MeshTables
+from ..core.ops import elem_contrib_to_nodes
 from .state import IceState, IceForcing, OceanSurface, rhoice, rhosno, inv_rhowat
 
 
@@ -41,11 +42,8 @@ def mevp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
     bb = g * mesh.elem_area / 3.0
     aa_e = bb * (dx * eta_e).sum(-1)
     bb_e = bb * (dy * eta_e).sum(-1)
-    rhs_a = jnp.zeros_like(ice.u_ice)
-    rhs_m = jnp.zeros_like(ice.u_ice)
-    for k in range(3):
-        rhs_a = rhs_a.at[en[:, k]].add(-aa_e)
-        rhs_m = rhs_m.at[en[:, k]].add(-bb_e)
+    rhs_a = elem_contrib_to_nodes(jnp.broadcast_to(-aa_e[:, None], aa_e.shape + (3,)), mesh)
+    rhs_m = elem_contrib_to_nodes(jnp.broadcast_to(-bb_e[:, None], bb_e.shape + (3,)), mesh)
 
     # ---- per-node precomputes (ref :393-410) -----------------------------
     has_ice_n = ice.a_ice >= 0.01
@@ -87,15 +85,13 @@ def mevp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
         s22 = jnp.where(has_ice_e,
                         det1 * s22 + 0.5 * pressure * (eps1 - delta - eps2 * vale), s22)
 
-        # stress divergence to nodes (ref :516-545)
-        u_rhs = jnp.zeros_like(u)
-        v_rhs = jnp.zeros_like(v)
+        # stress divergence to nodes (ref :516-545), gather-based
         ea = jnp.where(has_ice_e, mesh.elem_area, 0.0)
-        for k in range(3):
-            fu = -ea * (s11 * dx[:, k] + s12 * (dy[:, k] + meancos))
-            fv = -ea * (s12 * dx[:, k] + s22 * dy[:, k] - s11 * meancos)
-            u_rhs = u_rhs.at[en[:, k]].add(fu)
-            v_rhs = v_rhs.at[en[:, k]].add(fv)
+        fu = -ea[:, None] * (s11[:, None] * dx + s12[:, None] * (dy + meancos[:, None]))
+        fv = -ea[:, None] * (s12[:, None] * dx + s22[:, None] * dy
+                             - s11[:, None] * meancos[:, None])
+        u_rhs = elem_contrib_to_nodes(fu, mesh)
+        v_rhs = elem_contrib_to_nodes(fv, mesh)
 
         u_rhs = u_rhs * mass + rhs_a
         v_rhs = v_rhs * mass + rhs_m

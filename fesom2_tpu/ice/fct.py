@@ -18,19 +18,18 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from ..mesh import MeshTables
+from ..core.ops import elem_contrib_to_nodes
 from .state import IceState
 
 
 def _mass_matvec(x, mesh: MeshTables):
-    """Consistent mass matrix times node field (matrix-free)."""
+    """Consistent mass matrix times node field (matrix-free, gather-based)."""
     en = mesh.elem_nodes
     xe = x[en]                          # [E, 3]
     s = xe.sum(-1)
-    out = jnp.zeros_like(x)
     coef = mesh.elem_area / 12.0
-    for k in range(3):
-        out = out.at[en[:, k]].add(coef * (s + xe[:, k]))
-    return out
+    contrib = coef[:, None] * (s[:, None] + xe)           # [E, 3]
+    return elem_contrib_to_nodes(contrib, mesh)
 
 
 def ice_tg_rhs_div(u_ice, v_ice, fields, mesh: MeshTables, ice_dt):
@@ -53,11 +52,11 @@ def ice_tg_rhs_div(u_ice, v_ice, fields, mesh: MeshTables, ice_dt):
     c4 = (dx * ue).sum(-1) + (dy * ve).sum(-1)     # divergence
 
     F = fields.shape[0]
-    rhs = jnp.zeros((F,) + u_ice.shape, fields.dtype)
-    rhs_div = jnp.zeros_like(rhs)
     fe = fields[:, en]                   # [F, E, 3]
     fsum = fe.sum(-1)                    # [F, E]
 
+    contrib = []
+    contrib_div = []
     for n in range(3):
         # entries(q) and entries2(q) for row node n (ref :771-781)
         acc = jnp.zeros(fields.shape[:1] + (vol.shape[0],), fields.dtype)
@@ -75,9 +74,10 @@ def ice_tg_rhs_div(u_ice, v_ice, fields, mesh: MeshTables, ice_dt):
             acc = acc + entries[None, :] * fe[:, :, q]
             acc2 = acc2 + entries2[None, :] * fe[:, :, q]
         cx = vol[None, :] * ice_dt * c4[None, :] * (fsum + fe[:, :, n] + acc2) / 12.0
-        row = en[:, n]
-        rhs = rhs.at[:, row].add(acc + cx)
-        rhs_div = rhs_div.at[:, row].add(-cx)
+        contrib.append(acc + cx)
+        contrib_div.append(-cx)
+    rhs = elem_contrib_to_nodes(jnp.stack(contrib, axis=-1), mesh)
+    rhs_div = elem_contrib_to_nodes(jnp.stack(contrib_div, axis=-1), mesh)
     return rhs, rhs_div
 
 
@@ -143,13 +143,9 @@ def ice_fct_advect(ice: IceState, mesh: MeshTables, cfg, ice_dt) -> IceState:
         tmax = jnp.maximum(tmax, nb_max) - lo
         tmin = jnp.minimum(tmin, nb_min) - lo
 
-        # sums of +/- fluxes
-        pplus = jnp.zeros_like(lo)
-        pminus = jnp.zeros_like(lo)
-        for k in range(3):
-            fk = flux_q[:, k]
-            pplus = pplus.at[en[:, k]].add(jnp.maximum(fk, 0.0))
-            pminus = pminus.at[en[:, k]].add(jnp.minimum(fk, 0.0))
+        # sums of +/- fluxes (gather-based)
+        pplus = elem_contrib_to_nodes(jnp.maximum(flux_q, 0.0), mesh)
+        pminus = elem_contrib_to_nodes(jnp.minimum(flux_q, 0.0), mesh)
         pplus = jnp.where(jnp.abs(pplus) > 0,
                           jnp.minimum(1.0, tmax / jnp.where(pplus != 0, pplus, 1.0)),
                           0.0)
@@ -164,9 +160,7 @@ def ice_fct_advect(ice: IceState, mesh: MeshTables, cfg, ice_dt) -> IceState:
             fac = jnp.where(fk >= 0, pplus[en[:, k]], pminus[en[:, k]])
             ae = jnp.minimum(ae, fac)
 
-        out = lo
-        for k in range(3):
-            out = out.at[en[:, k]].add(ae * flux_q[:, k])
+        out = lo + elem_contrib_to_nodes(ae[:, None] * flux_q, mesh)
         new_fields.append(out)
 
     m_ice, a_ice, m_snow = new_fields

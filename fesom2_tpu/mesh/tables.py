@@ -156,6 +156,8 @@ class MeshTables:
     elem_edges: jnp.ndarray        # [E,3] i32
     nod_in_elem: jnp.ndarray       # [N,K] i32, -1 padded
     nod_in_elem_num: jnp.ndarray   # [N] i32
+    node_edges: jnp.ndarray        # [N,KE] i32 incident edges, -1 padded
+    node_edge_sign: jnp.ndarray    # [N,KE] +1 if node is edge tail, -1 head
     # coordinates
     coords: jnp.ndarray            # [N,2] (lon,lat) radians, mesh (rotated) frame
     geo_coords: jnp.ndarray        # [N,2] radians, geographic frame
@@ -266,6 +268,26 @@ def build_mesh_from_raw(raw: RawMesh, *, cartesian: bool = False,
     slot = np.arange(3 * E) - offsets[inodes_s]    # position within each node's list
     nod_in_elem = np.full((N, K), -1, np.int64)
     nod_in_elem[inodes_s, slot] = ielems_s
+
+    # ---- node->edge incidence (for gather-based divergence assembly) ----
+    # TPU scatters serialize on colliding indices; precomputing per-node
+    # incident-edge lists turns every edge->node accumulation into a gather+
+    # sum (the same trick the reference plays with precomputed MPI datatypes,
+    # but for on-chip memory access instead of messages).
+    e_nodes_flat = edges.T.ravel()                 # [2*Ed]
+    e_ids = np.tile(np.arange(Ed), 2)
+    e_sign = np.concatenate([np.ones(Ed, np.int64), -np.ones(Ed, np.int64)])
+    eorder = np.argsort(e_nodes_flat, kind="stable")
+    en_s, eid_s, esg_s = e_nodes_flat[eorder], e_ids[eorder], e_sign[eorder]
+    ecount = np.bincount(e_nodes_flat, minlength=N)
+    KE = int(ecount.max())
+    eoff = np.zeros(N + 1, np.int64)
+    np.cumsum(ecount, out=eoff[1:])
+    eslot = np.arange(2 * Ed) - eoff[en_s]
+    node_edges = np.full((N, KE), -1, np.int64)
+    node_edge_sign = np.zeros((N, KE), np.int64)
+    node_edges[en_s, eslot] = eid_s
+    node_edge_sign[en_s, eslot] = esg_s
 
     # ---- levels ----------------------------------------------------------
     if raw.nlevels_elem is not None and raw.nlevels_node is not None:
@@ -434,6 +456,7 @@ def build_mesh_from_raw(raw: RawMesh, *, cartesian: bool = False,
         elem_nodes=i(elem_nodes), edges=i(edges), edge_tri=i(edge_tri),
         elem_neighbors=i(elem_neighbors), elem_edges=i(elem_edges),
         nod_in_elem=i(nod_in_elem), nod_in_elem_num=i(num),
+        node_edges=i(node_edges), node_edge_sign=f(node_edge_sign),
         coords=f(coords), geo_coords=f(geo_coords),
         elem_area=f(elem_area), area=f(area), areasvol=f(areasvol),
         area_inv=f(area_inv), areasvol_inv=f(areasvol_inv),

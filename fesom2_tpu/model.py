@@ -212,8 +212,7 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
         flux_h_lo = tracers.adv_hor_upw1(t, adv_u, adv_v, state.helem, mesh)
         flux_v_lo = tracers.adv_ver_upw1(t, adv_we, mesh)
         if use_fct:
-            lo_h = jnp.zeros_like(t).at[:, mesh.edges[:, 0]].add(flux_h_lo) \
-                                    .at[:, mesh.edges[:, 1]].add(-flux_h_lo)
+            lo_h = ops.edge_divergence(flux_h_lo, mesh)
             fct_lo = (t * state.hnode
                       + (lo_h + (flux_v_lo[:-1] - flux_v_lo[1:])) * dt / av) \
                 / jnp.where(nmask, state.hnode_new, 1.0)

@@ -152,8 +152,10 @@ def zonal_means(state: OceanState, mesh: MeshTables, st: SouffletStatics,
     u = jnp.where(emask, state.u, 0.0)
     Te = jnp.take(state.tr[0], mesh.elem_nodes, axis=-1).mean(-1)
     Te = jnp.where(emask, Te, 0.0)
-    zvel = jnp.zeros((mesh.nl - 1, NYBINS), u.dtype).at[:, st.bpos].add(u)
-    ztem = jnp.zeros((mesh.nl - 1, NYBINS), u.dtype).at[:, st.bpos].add(Te)
+    # bin accumulation as a one-hot matmul (MXU) — avoids slow TPU scatters
+    onehot = (st.bpos[:, None] == jnp.arange(NYBINS)[None, :]).astype(u.dtype)
+    zvel = u @ onehot
+    ztem = Te @ onehot
     if psum is not None:
         zvel, ztem = psum(zvel), psum(ztem)
     zvel = zvel / (st.znum + 0.001)
