@@ -367,9 +367,13 @@ def flux2dtracer(flux_h, flux_v, mesh: MeshTables, dt,
 # --------------------------------------------------------------------------
 # diffusion
 # --------------------------------------------------------------------------
-def diff_hor(gx, gy, helem, Ki_node, mesh: MeshTables, dt):
-    """Explicit horizontal (harmonic) diffusion increment (ref :934-1077,
-    Redi terms off).  gx/gy are CURRENT-step tracer gradients on elements."""
+def diff_hor(gx, gy, helem, Ki_node, mesh: MeshTables, dt,
+             tr_z=None, slope_tapered=None):
+    """Explicit horizontal (+Redi isoneutral) diffusion (ref :934-1077).
+
+    gx/gy are CURRENT-step tracer gradients on elements.  Ki_node is [N] or
+    layered [nl-1, N].  With `tr_z` [nl, N] and `slope_tapered` [3, nl-1, N]
+    given, the Redi cross terms Kh*(Sx*Tz, Sy*Tz) are added (isredi=1)."""
     et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
     has2 = et2 >= 0
     et2s = jnp.where(has2, et2, 0)
@@ -381,12 +385,28 @@ def diff_hor(gx, gy, helem, Ki_node, mesh: MeshTables, dt):
     m2 = lmask[:, et2s] & has2[None, :]
     both = m1 & m2
 
-    Kh = 0.5 * (Ki_node[n0] + Ki_node[n1])[None, :]
+    if Ki_node.ndim == 1:
+        Kh = 0.5 * (Ki_node[n0] + Ki_node[n1])[None, :]
+    else:
+        Kh = 0.5 * (Ki_node[:, n0] + Ki_node[:, n1])
     he = jnp.where(lmask, helem, 0.0)
     h1 = he[:, et1]
     h2 = he[:, et2s]
     gx1, gy1 = gx[:, et1], gy[:, et1]
     gx2, gy2 = gx[:, et2s], gy[:, et2s]
+
+    if tr_z is not None and slope_tapered is not None:
+        # Redi cross terms (ref :984-991): Tz at layer mid from the two
+        # bounding interfaces, averaged over the edge's two nodes
+        Tz_lay = 0.5 * (tr_z[:-1] + tr_z[1:])               # [nl-1, N]
+        SxTz_n = Tz_lay * slope_tapered[0]
+        SyTz_n = Tz_lay * slope_tapered[1]
+        SxTz = 0.5 * (SxTz_n[:, n0] + SxTz_n[:, n1])
+        SyTz = 0.5 * (SyTz_n[:, n0] + SyTz_n[:, n1])
+        gx1 = gx1 + SxTz
+        gy1 = gy1 + SyTz
+        gx2 = gx2 + SxTz
+        gy2 = gy2 + SyTz
 
     # shared layers: mean gradient, mean h, combined (dX2-dX1) stencil;
     # single-sided layers: one element only
@@ -404,6 +424,50 @@ def diff_hor(gx, gy, helem, Ki_node, mesh: MeshTables, dt):
     return jnp.where(mesh.node_layer_mask, out * dt / av, 0.0)
 
 
+def diff_ver_redi_expl(gx, gy, slope_tapered, Ki_layered, hnode_new,
+                       mesh: MeshTables, dt):
+    """Explicit vertical Redi flux from horizontal gradients (ref :860-934).
+
+    Returns a tracer increment [nl-1, N].  gx/gy are the element tracer
+    gradients of the CURRENT step (tr_xy).
+    """
+    # node-averaged gradients: tx/(3*areasvol) with elem_area weights
+    nie = mesh.nod_in_elem
+    valid = nie >= 0
+    safe = jnp.where(valid, nie, 0)
+    w = jnp.where(valid, jnp.take(mesh.elem_area, safe), 0.0)
+    lm = jnp.take(mesh.elem_layer_mask, safe, axis=-1)
+    wl = jnp.where(lm, w[None], 0.0)
+    av = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
+    tx = (jnp.take(gx, safe, axis=-1) * wl).sum(-1) / 3.0 / av
+    ty = (jnp.take(gy, safe, axis=-1) * wl).sum(-1) / 3.0 / av
+
+    # actual interface/mid depths
+    lmask = mesh.node_layer_mask
+    hm = jnp.where(lmask, hnode_new, 0.0)
+    nln = mesh.nlevels_node
+    zbot = jnp.take(mesh.zbar, nln - 1)
+    hsum = jnp.cumsum(jnp.flip(hm, 0), 0)
+    zbar_n = jnp.concatenate([zbot[None, :] + jnp.flip(hsum, 0),
+                              zbot[None, :]], 0)
+    Z_n = 0.5 * (zbar_n[:-1] + zbar_n[1:])
+    dZ = Z_n[:-1] - Z_n[1:]
+    dZ = jnp.where(dZ == 0, 1.0, dZ)
+
+    sxt = slope_tapered[0] * tx + slope_tapered[1] * ty      # [nl-1, N]
+    ks = Ki_layered * sxt
+    # interface flux (interior interfaces 1..nl-2)
+    fa = (Z_n[:-1] - zbar_n[1:-1]) * ks[:-1]
+    fb = (zbar_n[1:-1] - Z_n[1:]) * ks[1:]
+    vd = (fa + fb) / dZ * mesh.area[1:-1]
+    lev = jnp.arange(mesh.nl)[:, None]
+    interior = (lev >= 1) & (lev <= (nln - 2)[None, :])
+    vd_full = jnp.zeros((mesh.nl, mesh.n_nodes), gx.dtype).at[1:-1].set(vd)
+    vd_full = jnp.where(interior, vd_full, 0.0)
+    out = (vd_full[:-1] - vd_full[1:]) * dt / av
+    return jnp.where(lmask, out, 0.0)
+
+
 def bc_surface(tracer_id: int, t_surf, forcing, dt, is_nonlinfs: float):
     """Surface boundary source (ref bc_surface :1154-1195)."""
     if tracer_id == 0:
@@ -416,11 +480,14 @@ def bc_surface(tracer_id: int, t_surf, forcing, dt, is_nonlinfs: float):
 
 
 def diff_ver_impl(t, Kv, hnode_new, zbar_n_bot, mesh: MeshTables, dt,
-                  surf_bc, w_i=None, sw_source=None):
+                  surf_bc, w_i=None, sw_source=None, Ki_layered=None,
+                  slope3=None):
     """Implicit vertical diffusion (ref diff_ver_part_impl_ale :398-860).
 
     `surf_bc` [N] is the bc_surface source added to the top row; `w_i` adds
-    the implicit vertical-advection split when not using FCT.
+    the implicit vertical-advection split when not using FCT.  With
+    `Ki_layered` [nl-1,N] and tapered-slope magnitude `slope3` [nl-1,N] the
+    Redi K33 = Ki*S^2 augmentation is added to Kv (isredi=1, ref :548-590).
     """
     nl = mesh.nl
     nln = mesh.nlevels_node
@@ -443,10 +510,19 @@ def diff_ver_impl(t, Kv, hnode_new, zbar_n_bot, mesh: MeshTables, dt,
     ratio_dn = mesh.area[1:] / jnp.where(mesh.areasvol[:-1] > 0,
                                          mesh.areasvol[:-1], 1.0)
 
-    a = jnp.zeros_like(t).at[1:].set(-Kv[1:-1] / dZ * dt)
+    Kv_eff = Kv
+    if Ki_layered is not None and slope3 is not None:
+        # K33 interface augmentation Ty = weighted mean of Ki*S^2 from the
+        # two layers bounding each interior interface (ref :548-556)
+        ks2 = Ki_layered * slope3 ** 2                       # [nl-1, N]
+        wa = (Z_n[:-1] - zbar_n[1:-1]) / dZ                  # above-layer weight
+        wb = (zbar_n[1:-1] - Z_n[1:]) / dZ
+        Ty = wa * ks2[:-1] + wb * ks2[1:]                    # [nl-2, N]
+        Kv_eff = Kv.at[1:-1].add(jnp.where(jnp.isfinite(Ty), Ty, 0.0))
+    a = jnp.zeros_like(t).at[1:].set(-Kv_eff[1:-1] / dZ * dt)
     a = a * ratio_up
     a = jnp.where(is_surf, 0.0, a)
-    c = jnp.zeros_like(t).at[:-1].set(-Kv[1:-1] / dZ * dt)
+    c = jnp.zeros_like(t).at[:-1].set(-Kv_eff[1:-1] / dZ * dt)
     c = c * ratio_dn
     c = jnp.where(is_bot, 0.0, c)
     h = jnp.where(lmask, hnode_new, 1.0)

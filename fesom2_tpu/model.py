@@ -107,17 +107,21 @@ class Model:
             eta = cfg.dyn.alpha * state.hbar + (1.0 - cfg.dyn.alpha) * state.hbar_old
             state = replace(state, eta=eta)
 
-            # --- GM bolus velocity (ref :2727-2739) -----------------------
+            # --- GM bolus velocity + Redi fields (ref :2727-2739) ---------
             fer = None
-            if cfg.dyn.Fer_GM:
+            redi = None
+            if cfg.dyn.Fer_GM or cfg.dyn.Redi:
                 from .core import gm_redi
                 sig = gm_redi.compute_sigma_xy(state, mesh)
                 ns, taper = gm_redi.compute_neutral_slope(sig, state.bvfreq, mesh)
                 fer_c, fer_K, Ki_l = gm_redi.init_redi_gm(state, mesh, cfg, ns)
-                gamma = gm_redi.fer_solve_gamma(state, mesh, sig, fer_c, fer_K)
-                fer_u, fer_v = gm_redi.fer_gamma2vel(gamma, state, mesh)
-                fer_w = ale.bolus_wvel(fer_u, fer_v, state, mesh)
-                fer = (fer_u, fer_v, fer_w)
+                if cfg.dyn.Fer_GM:
+                    gamma = gm_redi.fer_solve_gamma(state, mesh, sig, fer_c, fer_K)
+                    fer_u, fer_v = gm_redi.fer_gamma2vel(gamma, state, mesh)
+                    fer_w = ale.bolus_wvel(fer_u, fer_v, state, mesh)
+                    fer = (fer_u, fer_v, fer_w)
+                if cfg.dyn.Redi:
+                    redi = (taper, Ki_l)
 
             # --- ALE vertical velocity (ref :2744) ------------------------
             state = ale.vert_vel_ale(state, mesh, cfg, forcing)
@@ -125,7 +129,7 @@ class Model:
             # --- tracers (ref :2749) --------------------------------------
             state = solve_tracers(state, mesh, cfg, st, forcing,
                                   is_nonlinfs, sst if is_souf else None,
-                                  fer=fer)
+                                  fer=fer, redi=redi)
 
             # --- thickness update (ref :2754) -----------------------------
             state = ale.update_thickness(state, mesh, cfg)
@@ -179,7 +183,7 @@ def coupled_step_fn(model: "Model", jit: bool = True):
 # --------------------------------------------------------------------------
 def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
                   st: TracerStatics, forcing: Forcing, is_nonlinfs: float,
-                  sst=None, fer=None) -> OceanState:
+                  sst=None, fer=None, redi=None) -> OceanState:
     dt = cfg.dt
     # GM bolus velocities advect tracers only (ref solve_tracers_ale :126-136)
     if fer is not None:
@@ -256,7 +260,17 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
         # ---- diffusion (diff_tracers_ale) ------------------------------
         t_old_next = t                       # reset AB memory to T^n
         gx, gy = tracers.tracer_gradient_elements(t, mesh)
-        del_ttf = del_ttf + tracers.diff_hor(gx, gy, state.helem, st.Ki, mesh, dt)
+        if redi is not None:
+            taper, Ki_l = redi
+            tr_z = tracers.tracer_gradient_z(t, state.Z_3d, mesh)
+            del_ttf = del_ttf + tracers.diff_hor(
+                gx, gy, state.helem, Ki_l, mesh, dt, tr_z=tr_z,
+                slope_tapered=taper)
+            del_ttf = del_ttf + tracers.diff_ver_redi_expl(
+                gx, gy, taper, Ki_l, state.hnode_new, mesh, dt)
+        else:
+            del_ttf = del_ttf + tracers.diff_hor(gx, gy, state.helem, st.Ki,
+                                                 mesh, dt)
 
         del_ttf = del_ttf + t * (state.hnode - state.hnode_new)
         t = t + del_ttf / jnp.where(nmask, state.hnode_new, 1.0)
@@ -268,8 +282,15 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
         if (not use_fct) and cfg.dyn.w_split:
             w_i = state.w_i
         if cfg.tra.i_vert_diff:
-            t = tracers.diff_ver_impl(t, state.Kv, state.hnode_new, zbar_n_bot,
-                                      mesh, dt, surf_bc, w_i=w_i)
+            if redi is not None:
+                t = tracers.diff_ver_impl(t, state.Kv, state.hnode_new,
+                                          zbar_n_bot, mesh, dt, surf_bc,
+                                          w_i=w_i, Ki_layered=redi[1],
+                                          slope3=redi[0][2])
+            else:
+                t = tracers.diff_ver_impl(t, state.Kv, state.hnode_new,
+                                          zbar_n_bot, mesh, dt, surf_bc,
+                                          w_i=w_i)
 
         tr_list.append(t)
         tr_old_list.append(t_old_next)
