@@ -82,8 +82,7 @@ def elem_contrib_to_nodes(contrib: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray
     nie = mesh.nod_in_elem                      # [N, K]
     valid = nie >= 0
     safe = jnp.where(valid, nie, 0)
-    n_ids = jnp.arange(mesh.n_nodes, dtype=mesh.elem_nodes.dtype)[:, None]
-    slot = jnp.argmax(mesh.elem_nodes[safe] == n_ids[..., None], axis=-1)  # [N, K]
+    slot = mesh.nod_in_elem_slot
     flat = contrib.reshape(contrib.shape[:-2] + (-1,))       # [..., E*3]
     idx = safe * 3 + slot
     vals = jnp.take(flat, idx, axis=-1)                      # [..., N, K]

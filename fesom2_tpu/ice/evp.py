@@ -115,6 +115,6 @@ def mevp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
 
     init = (ice.u_ice, ice.v_ice, ice.sigma11, ice.sigma12, ice.sigma22)
     u, v, s11, s12, s22 = jax.lax.fori_loop(0, icfg.evp_rheol_steps,
-                                            subcycle, init)
+                                            subcycle, init, unroll=4)
     return replace(ice, u_ice=u, v_ice=v, sigma11=s11, sigma12=s12,
                    sigma22=s22)

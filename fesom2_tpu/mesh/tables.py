@@ -156,6 +156,7 @@ class MeshTables:
     elem_edges: jnp.ndarray        # [E,3] i32
     nod_in_elem: jnp.ndarray       # [N,K] i32, -1 padded
     nod_in_elem_num: jnp.ndarray   # [N] i32
+    nod_in_elem_slot: jnp.ndarray  # [N,K] i32 local vertex index of the node
     node_edges: jnp.ndarray        # [N,KE] i32 incident edges, -1 padded
     node_edge_sign: jnp.ndarray    # [N,KE] +1 if node is edge tail, -1 head
     # coordinates
@@ -268,6 +269,10 @@ def build_mesh_from_raw(raw: RawMesh, *, cartesian: bool = False,
     slot = np.arange(3 * E) - offsets[inodes_s]    # position within each node's list
     nod_in_elem = np.full((N, K), -1, np.int64)
     nod_in_elem[inodes_s, slot] = ielems_s
+    # local vertex slot of each node within each adjacent element
+    safe_nie = np.where(nod_in_elem >= 0, nod_in_elem, 0)
+    nod_in_elem_slot = np.argmax(
+        elem_nodes[safe_nie] == np.arange(N)[:, None, None], axis=-1)
 
     # ---- node->edge incidence (for gather-based divergence assembly) ----
     # TPU scatters serialize on colliding indices; precomputing per-node
@@ -456,6 +461,7 @@ def build_mesh_from_raw(raw: RawMesh, *, cartesian: bool = False,
         elem_nodes=i(elem_nodes), edges=i(edges), edge_tri=i(edge_tri),
         elem_neighbors=i(elem_neighbors), elem_edges=i(elem_edges),
         nod_in_elem=i(nod_in_elem), nod_in_elem_num=i(num),
+        nod_in_elem_slot=i(nod_in_elem_slot),
         node_edges=i(node_edges), node_edge_sign=f(node_edge_sign),
         coords=f(coords), geo_coords=f(geo_coords),
         elem_area=f(elem_area), area=f(area), areasvol=f(areasvol),

@@ -55,6 +55,7 @@ def pad_mesh(mesh: MeshTables, multiple: int) -> MeshTables:
     r["elem_edges"] = _pad(mesh.elem_edges, de, Ed if dd else 0, axis=0)
     r["nod_in_elem"] = _pad(mesh.nod_in_elem, dn, -1, axis=0)
     r["nod_in_elem_num"] = _pad(mesh.nod_in_elem_num, dn, 0)
+    r["nod_in_elem_slot"] = _pad(mesh.nod_in_elem_slot, dn, 0, axis=0)
     r["node_edges"] = _pad(mesh.node_edges, dn, -1, axis=0)
     r["node_edge_sign"] = _pad(mesh.node_edge_sign, dn, 0.0, axis=0)
     # coordinates
