@@ -237,6 +237,122 @@ def adv_ver_qr4c(t, w, Z3, zb3, mesh: MeshTables, num_ord, flux_prev=None):
     return flux
 
 
+def adv_ver_cdiff(t, w, mesh: MeshTables, flux_prev=None):
+    """Centered-difference vertical flux (ref adv_tra_ver_cdiff :542-590)."""
+    area = mesh.area
+    nln = mesh.nlevels_node
+    lev = jnp.arange(mesh.nl)[:, None]
+    tm1 = jnp.concatenate([t[:1], t], 0)[:mesh.nl]
+    t0 = jnp.concatenate([t, t[-1:]], 0)[:mesh.nl]
+    interior = 0.5 * (tm1 + t0) * w * area
+    surf = w[0] * t[0] * area[0]
+    expr = jnp.where(lev == 0, surf[None, :], interior)
+    expr = jnp.where(lev >= (nln - 1)[None, :], 0.0, expr)
+    flux = -expr
+    if flux_prev is not None:
+        flux = flux - flux_prev
+    return flux
+
+
+def adv_ver_ppm(t, w, hnode_old, hnode_new, mesh: MeshTables, dt,
+                flux_prev=None):
+    """Piecewise-parabolic vertical flux (Colella & Woodward 1984).
+
+    ref adv_tra_vert_ppm (``oce_adv_tra_ver.F90:361-538``): non-uniform-grid
+    interface reconstruction (eq. 1.6-1.8) on hnode_NEW, monotonized parabola
+    per layer, CFL-dependent upwind flux on hnode_OLD.
+    """
+    nl, N = mesh.nl, t.shape[-1]
+    nln = mesh.nlevels_node
+    lev = jnp.arange(nl)[:, None]
+    lmask = mesh.node_layer_mask
+    hN = jnp.where(lmask, hnode_new, 1.0)
+    hO = jnp.where(lmask, hnode_old, 1.0)
+
+    def layshift(arr, s):
+        if s < 0:
+            return jnp.concatenate([jnp.repeat(arr[:1], -s, 0), arr], 0)[:nl - 1]
+        if s > 0:
+            return jnp.concatenate([arr[s:], jnp.repeat(arr[-1:], s, 0)], 0)[:nl - 1]
+        return arr
+
+    # interface-aligned layer quantities: interface i uses layers i-2..i+1
+    def iface(arr_lay, s):
+        # value of layer (i-1+s) on the interface axis [nl, N]
+        padded = jnp.concatenate([jnp.repeat(arr_lay[:1], 2, 0), arr_lay,
+                                  jnp.repeat(arr_lay[-1:], 2, 0)], 0)
+        return padded[1 + s: 1 + s + nl]
+
+    tA, tB, tC, tD = iface(t, -1), iface(t, 0), iface(t, 1), iface(t, 2)
+    hA, hB, hC, hD = iface(hN, -1), iface(hN, 0), iface(hN, 1), iface(hN, 2)
+
+    def slope(hm, h0, hp, tm, t0_, tp):
+        d = h0 / (hm + h0 + hp) * (
+            (2.0 * hm + h0) / (hp + h0) * (tp - t0_)
+            + (h0 + 2.0 * hp) / (hm + h0) * (t0_ - tm))
+        mono = (tp - t0_) * (t0_ - tm) > 0.0
+        lim = jnp.minimum(jnp.abs(d),
+                          jnp.minimum(2.0 * jnp.abs(tp - t0_),
+                                      2.0 * jnp.abs(t0_ - tm))) * jnp.sign(d)
+        return jnp.where(mono, lim, 0.0)
+
+    deltaj = slope(hA, hB, hC, tA, tB, tC)
+    deltajp1 = slope(hB, hC, hD, tB, tC, tD)
+    tv_int = (tB + hB / (hB + hC) * (tC - tB)
+              + 1.0 / (hA + hB + hC + hD) * (
+                  (2.0 * hC * hB) / (hB + hC)
+                  * ((hA + hB) / (2.0 * hB + hC) - (hD + hC) / (2.0 * hC + hB))
+                  * (tC - tB)
+                  - hB * (hA + hB) / (2.0 * hB + hC) * deltajp1
+                  + hC * (hC + hD) / (hB + 2.0 * hC) * deltaj))
+
+    # special interfaces (ref :407-416)
+    t_up = jnp.concatenate([t[:1], t], 0)[:nl]          # t[i-1]
+    t_dn = jnp.concatenate([t, t[-1:]], 0)[:nl]         # t[i]
+    tv = tv_int
+    tv = jnp.where(lev == 0, t[0][None, :], tv)
+    tv = jnp.where(lev == 1, 0.5 * (t_up + t_dn), tv)
+    upw = jnp.where(w >= 0, t_dn, t_up)                 # note ref sign select
+    tv = jnp.where(lev == (nln - 2)[None, :], upw, tv)
+    bot_t = jnp.take_along_axis(t_dn, (nln - 2)[None, :].astype(jnp.int32), 0)
+    tv = jnp.where(lev >= (nln - 1)[None, :], bot_t, tv)
+
+    # per-layer monotonized parabola (ref :499-520)
+    aL = tv[:-1]                                        # [nl-1, N]
+    aR = tv[1:]
+    over = (aR - t) * (t - aL) <= 0.0
+    aL = jnp.where(over, t, aL)
+    aR = jnp.where(over, t, aR)
+    steepL = (aR - aL) * (t - 0.5 * (aL + aR)) > (aR - aL) ** 2 / 6.0
+    aL = jnp.where(steepL, 3.0 * t - 2.0 * aR, aL)
+    steepR = (aR - aL) * (t - 0.5 * (aR + aL)) < -(aR - aL) ** 2 / 6.0
+    aR = jnp.where(steepR, 3.0 * t - 2.0 * aL, aR)
+    aj = 6.0 * (t - 0.5 * (aL + aR))
+
+    # interface fluxes (ref :522-536): from the layer below when W>0,
+    # from the layer above when W<0
+    w_lay = w[:-1]                                      # interface i == W at top of layer i
+    x_up = jnp.minimum(w_lay * dt / hO, 1.0)
+    from_below = (-aL - 0.5 * x_up * (aR - aL + (1.0 - 2.0 / 3.0 * x_up) * aj)) \
+        * mesh.area[:-1] * w_lay
+    w_dn = w[1:]
+    x_dn = jnp.minimum(-w_dn * dt / hO, 1.0)
+    from_above = (-aR + 0.5 * x_dn * (aR - aL - (1.0 - 2.0 / 3.0 * x_dn) * aj)) \
+        * mesh.area[1:] * w_dn
+
+    tvert = jnp.zeros((nl, N), t.dtype)
+    tvert = tvert.at[:-1].set(jnp.where(w_lay > 0, from_below, 0.0))
+    tvert = tvert.at[1:].add(jnp.where(w_dn < 0, from_above, 0.0))
+    # surface + bottom overrides (ref :540-543)
+    surf = -tv[0] * w[0] * mesh.area[0]
+    tvert = tvert.at[0].set(surf)
+    tvert = jnp.where(lev >= (nln - 1)[None, :], 0.0, tvert)
+    flux = tvert
+    if flux_prev is not None:
+        flux = flux - flux_prev
+    return flux
+
+
 def adv_vert_impl(t, w, hnode_new, mesh: MeshTables, dt):
     """Implicit vertical advection tridiagonal update (ref :83-230)."""
     nl, N = mesh.nl, t.shape[-1]

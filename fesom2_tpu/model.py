@@ -238,13 +238,19 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
             flux_h = tracers.adv_hor_upw1(tAB, adv_u, adv_v, state.helem,
                                           mesh,
                                           flux_prev=flux_h_lo if use_fct else None)
+        fp = flux_v_lo if use_fct else None
         if cfg.tra.tra_adv_ver == "QR4C":
             flux_v = tracers.adv_ver_qr4c(tAB, w_for_ho, state.Z_3d,
-                                          state.zbar_3d, mesh, cfg.tra.tra_adv_pv,
-                                          flux_prev=flux_v_lo if use_fct else None)
+                                          state.zbar_3d, mesh,
+                                          cfg.tra.tra_adv_pv, flux_prev=fp)
+        elif cfg.tra.tra_adv_ver == "PPM":
+            flux_v = tracers.adv_ver_ppm(tAB, w_for_ho, state.hnode,
+                                         state.hnode_new, mesh, dt,
+                                         flux_prev=fp)
+        elif cfg.tra.tra_adv_ver == "CDIFF":
+            flux_v = tracers.adv_ver_cdiff(tAB, w_for_ho, mesh, flux_prev=fp)
         else:
-            flux_v = tracers.adv_ver_upw1(tAB, w_for_ho, mesh,
-                                          flux_prev=flux_v_lo if use_fct else None)
+            flux_v = tracers.adv_ver_upw1(tAB, w_for_ho, mesh, flux_prev=fp)
 
         if use_fct:
             flux_h, flux_v = tracers.fct_limiter(t, fct_lo, flux_h, flux_v,
