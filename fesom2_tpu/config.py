@@ -86,6 +86,15 @@ class OceDynConfig:
     visc_option: int = 5
     easy_bs_return: float = 1.0
     scale_area: float = 2.0e8
+    # dynamic backscatter / UKE budget, visc_option=8 (oce_modules.F90:34-41)
+    K_back: float = 600.0
+    c_back: float = 0.1
+    uke_scaling: bool = True
+    uke_scaling_factor: float = 1.0
+    rosb_dis: float = 1.0
+    smooth_back: int = 2
+    smooth_dis: int = 2
+    smooth_back_tend: int = 4
     mom_adv: int = 2              # 2 = flux form on scalar CV, 3 = vector invariant
     free_slip: bool = False
     i_vert_visc: bool = True

@@ -13,7 +13,7 @@ from dataclasses import replace
 
 import jax.numpy as jnp
 
-from ..constants import g, density_0
+from ..constants import g, density_0, r_earth
 from ..mesh import MeshTables
 from .state import OceanState, Forcing
 from .ops import scalar_gradient, tridiag_solve, elem_to_node_mean, edge_divergence
@@ -217,12 +217,351 @@ def visc_filt_harmon(state: OceanState, mesh: MeshTables, cfg, u_rhs, v_rhs):
     return u_rhs, v_rhs
 
 
+def _edge_internal_shared(mesh: MeshTables):
+    et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
+    et2s = jnp.where(et2 >= 0, et2, 0)
+    internal = jnp.arange(mesh.n_edges) < mesh.n_edges_in
+    lmask = mesh.elem_layer_mask
+    return jnp.logical_and(jnp.logical_and(lmask[:, et1], lmask[:, et2s]),
+                           internal[None, :]), et1, et2s
+
+
+def _edge_diff(u, mesh, et1, et2s):
+    return u[:, et1] - u[:, et2s]
+
+
+def _accum_edge_to_elem(val, mesh: MeshTables):
+    """U_c[e] = sum over its 3 edges of (-val if e is the left tri else +val)."""
+    ee = mesh.elem_edges
+    is_left = mesh.edge_tri[ee, 0] == jnp.arange(mesh.n_elems)[:, None]
+    esign = jnp.where(is_left, -1.0, 1.0)
+    return (jnp.take(val, ee, axis=-1) * esign).sum(-1)
+
+
+def _apply_edge_filter(val_u, val_v, mesh, et1, et2s, u_rhs, v_rhs):
+    """UV_rhs update +/-(val/area) on the two adjacent elements."""
+    ia1 = 1.0 / jnp.maximum(mesh.elem_area, 1e-30)
+    du = _accum_edge_to_elem(val_u, mesh) * ia1[None, :]
+    dv = _accum_edge_to_elem(val_v, mesh) * ia1[None, :]
+    return u_rhs + du, v_rhs + dv
+
+
+def relative_vorticity(state: OceanState, mesh: MeshTables):
+    """Relative vorticity at nodes [nl-1, N] (ref oce_vel_rhs_vinv.F90:14-103)."""
+    et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
+    has2 = et2 >= 0
+    et2s = jnp.where(has2, et2, 0)
+    dX1, dY1 = mesh.edge_cross_dxdy[:, 0], mesh.edge_cross_dxdy[:, 1]
+    dX2, dY2 = mesh.edge_cross_dxdy[:, 2], mesh.edge_cross_dxdy[:, 3]
+    lmask = mesh.elem_layer_mask
+    u, v = state.u, state.v
+    c1 = jnp.where(lmask[:, et1], dX1[None] * u[:, et1] + dY1[None] * v[:, et1], 0.0)
+    c2 = jnp.where(lmask[:, et2s] & has2[None, :],
+                   -dX2[None] * u[:, et2s] - dY2[None] * v[:, et2s], 0.0)
+    vort = edge_divergence(c1 + c2, mesh) * mesh.areasvol_inv[:-1]
+    return jnp.where(mesh.node_layer_mask, vort, 0.0)
+
+
+def h_viscosity_leith(state: OceanState, mesh: MeshTables, cfg):
+    """Leith + modified-Leith viscosity coefficient on elements [nl-1, E]
+    (ref h_viscosity_leith oce_dyn.F90:461-562), smoothed twice."""
+    d = cfg.dyn
+    vort = relative_vorticity(state, mesh)
+    en = mesh.elem_nodes
+    lmask = mesh.elem_layer_mask
+    hsafe = jnp.where(lmask, state.helem, 1.0)
+    we = jnp.take(state.w, en, axis=-1)                 # [nl, E, 3]
+    dwdz = (we[:-1] - we[1:]) / hsafe[..., None]        # [nl-1, E, 3]
+    xe = (dwdz * mesh.gradient_sca[:, 0:3]).sum(-1)
+    ye = (dwdz * mesh.gradient_sca[:, 3:6]).sum(-1)
+    ve = jnp.take(vort, en, axis=-1)
+    lx = (ve * mesh.gradient_sca[:, 0:3]).sum(-1)
+    ly = (ve * mesh.gradient_sca[:, 3:6]).sum(-1)
+    A = mesh.elem_area
+    visc = jnp.minimum(
+        d.gamma1 * A[None, :] * jnp.sqrt(
+            (d.Div_c * (xe ** 2 + ye ** 2)
+             + d.Leith_c * (lx ** 2 + ly ** 2)) * A[None, :]),
+        A[None, :] / cfg.dt)
+    visc = jnp.where(lmask, visc, 0.0)
+    # two rounds of elem->node->elem smoothing (ref :525-557)
+    for _ in range(2):
+        aux = elem_to_node_mean(visc, mesh)
+        visc = jnp.take(aux, en, axis=-1).mean(-1)
+        visc = jnp.where(lmask, visc, 0.0)
+    return visc
+
+
+def visc_filt_harmon_leith(state, mesh, cfg, u_rhs, v_rhs, visc):
+    """Harmonic filter with Leith coefficient (ref visc_filt_harmon :236-273)."""
+    shared, et1, et2s = _edge_internal_shared(mesh)
+    length = jnp.sqrt(mesh.elem_area[et1] + mesh.elem_area[et2s])
+    vi = 0.5 * (visc[:, et1] + visc[:, et2s])
+    vi = jnp.maximum(vi, cfg.dyn.gamma0 * length[None]) * cfg.dt
+    du = jnp.where(shared, _edge_diff(state.u, mesh, et1, et2s) * vi, 0.0)
+    dv = jnp.where(shared, _edge_diff(state.v, mesh, et1, et2s) * vi, 0.0)
+    return _apply_edge_filter(du, dv, mesh, et1, et2s, u_rhs, v_rhs)
+
+
+def visc_filt_biharm(state, mesh, cfg, u_rhs, v_rhs, option, visc=None):
+    """Biharmonic filter (ref visc_filt_biharm :275-374): option 1 =
+    flow-aware coefficient, option 2 = Leith coefficient."""
+    d = cfg.dyn
+    shared, et1, et2s = _edge_internal_shared(mesh)
+    du = jnp.where(shared, _edge_diff(state.u, mesh, et1, et2s), 0.0)
+    dv = jnp.where(shared, _edge_diff(state.v, mesh, et1, et2s), 0.0)
+    U_c = _accum_edge_to_elem(du, mesh)
+    V_c = _accum_edge_to_elem(dv, mesh)
+    length = jnp.sqrt(mesh.elem_area)
+    if option == 1:
+        speed = jnp.sqrt(state.u ** 2 + state.v ** 2)
+        vi = jnp.maximum(d.gamma0, d.gamma1 * speed) * length[None] * cfg.dt
+    else:
+        vi = jnp.maximum(visc, d.gamma0 * length[None]) * cfg.dt
+    lmask = mesh.elem_layer_mask
+    U_c = jnp.where(lmask, -U_c * vi, 0.0)
+    V_c = jnp.where(lmask, -V_c * vi, 0.0)
+    du2 = jnp.where(shared, _edge_diff(U_c, mesh, et1, et2s), 0.0)
+    dv2 = jnp.where(shared, _edge_diff(V_c, mesh, et1, et2s), 0.0)
+    return _apply_edge_filter(du2, dv2, mesh, et1, et2s, u_rhs, v_rhs)
+
+
+def visc_filt_hbhmix(state, mesh, cfg, u_rhs, v_rhs, visc):
+    """Harmonic Leith + biharmonic background (ref visc_filt_hbhmix :376-458)."""
+    d = cfg.dyn
+    shared, et1, et2s = _edge_internal_shared(mesh)
+    du = jnp.where(shared, _edge_diff(state.u, mesh, et1, et2s), 0.0)
+    dv = jnp.where(shared, _edge_diff(state.v, mesh, et1, et2s), 0.0)
+    # harmonic part with Leith coefficient
+    vi_h = cfg.dt * 0.5 * (visc[:, et1] + visc[:, et2s])
+    u_rhs, v_rhs = _apply_edge_filter(du * vi_h, dv * vi_h, mesh, et1, et2s,
+                                      u_rhs, v_rhs)
+    # biharmonic background
+    U_c = _accum_edge_to_elem(du, mesh)
+    V_c = _accum_edge_to_elem(dv, mesh)
+    vi_b = cfg.dt * d.gamma0 * jnp.sqrt(mesh.elem_area)[None]
+    lmask = mesh.elem_layer_mask
+    U_c = jnp.where(lmask, -U_c * vi_b, 0.0)
+    V_c = jnp.where(lmask, -V_c * vi_b, 0.0)
+    du2 = jnp.where(shared, _edge_diff(U_c, mesh, et1, et2s), 0.0)
+    dv2 = jnp.where(shared, _edge_diff(V_c, mesh, et1, et2s), 0.0)
+    return _apply_edge_filter(du2, dv2, mesh, et1, et2s, u_rhs, v_rhs)
+
+
+def visc_filt_bilapl(state, mesh, cfg, u_rhs, v_rhs):
+    """Biharmonic, viscosity from velocity Laplacian (ref :658-726)."""
+    d = cfg.dyn
+    shared, et1, et2s = _edge_internal_shared(mesh)
+    du = jnp.where(shared, _edge_diff(state.u, mesh, et1, et2s), 0.0)
+    dv = jnp.where(shared, _edge_diff(state.v, mesh, et1, et2s), 0.0)
+    U_c = _accum_edge_to_elem(du, mesh)
+    V_c = _accum_edge_to_elem(dv, mesh)
+    length = jnp.sqrt(mesh.elem_area)
+    sp2 = U_c ** 2 + V_c ** 2
+    vi = jnp.maximum(d.gamma0, jnp.maximum(d.gamma1 * jnp.sqrt(sp2),
+                                           d.gamma2 * sp2)) * length[None] * cfg.dt
+    lmask = mesh.elem_layer_mask
+    U_c = jnp.where(lmask, -U_c * vi, 0.0)
+    V_c = jnp.where(lmask, -V_c * vi, 0.0)
+    du2 = jnp.where(shared, _edge_diff(U_c, mesh, et1, et2s), 0.0)
+    dv2 = jnp.where(shared, _edge_diff(V_c, mesh, et1, et2s), 0.0)
+    return _apply_edge_filter(du2, dv2, mesh, et1, et2s, u_rhs, v_rhs)
+
+
+def visc_filt_bidiff(state, mesh, cfg, u_rhs, v_rhs):
+    """Biharmonic, viscosity from velocity differences, applied symmetrically
+    in both stages (ref :734-801)."""
+    d = cfg.dyn
+    shared, et1, et2s = _edge_internal_shared(mesh)
+    length = jnp.sqrt(mesh.elem_area[et1] + mesh.elem_area[et2s])[None]
+    du = jnp.where(shared, _edge_diff(state.u, mesh, et1, et2s), 0.0)
+    dv = jnp.where(shared, _edge_diff(state.v, mesh, et1, et2s), 0.0)
+    sp2 = du ** 2 + dv ** 2
+    vi1 = jnp.sqrt(jnp.maximum(d.gamma0,
+                               jnp.maximum(d.gamma1 * jnp.sqrt(sp2),
+                                           d.gamma2 * sp2)) * length)
+    U_c = _accum_edge_to_elem(du * vi1, mesh)
+    V_c = _accum_edge_to_elem(dv * vi1, mesh)
+    lmask = mesh.elem_layer_mask
+    U_c = jnp.where(lmask, U_c, 0.0)
+    V_c = jnp.where(lmask, V_c, 0.0)
+    du2 = jnp.where(shared, _edge_diff(U_c, mesh, et1, et2s), 0.0)
+    dv2 = jnp.where(shared, _edge_diff(V_c, mesh, et1, et2s), 0.0)
+    vi2 = -cfg.dt * vi1
+    return _apply_edge_filter(du2 * vi2, dv2 * vi2, mesh, et1, et2s,
+                              u_rhs, v_rhs)
+
+
+def _smooth_elem(arr, mesh: MeshTables, n: int):
+    """n rounds of elem->node->elem mass-matrix smoothing applied per level
+    without level masks (ref smooth_elem2D gen_support.F90:183-212)."""
+    en = mesh.elem_nodes
+    for _ in range(n):
+        aux = elem_to_node_mean(arr, mesh, respect_levels=False)
+        arr = jnp.take(aux, en, axis=-1).mean(-1)
+    return arr
+
+
+def backscatter_coef(uke, mesh: MeshTables, cfg):
+    """Negative backscatter viscosity v_back [nl-1, E] from the UKE reservoir
+    (ref backscatter_coef oce_dyn.F90:958-986)."""
+    d = cfg.dyn
+    vb = -d.c_back * jnp.sqrt(mesh.elem_area)[None] \
+        * jnp.sqrt(jnp.maximum(2.0 * uke, 0.0))
+    vb = jnp.minimum(vb, 0.2 * mesh.elem_area[None] / cfg.dt)
+    return jnp.where(mesh.elem_layer_mask, vb, 0.0)
+
+
+def uke_update(state, mesh: MeshTables, cfg, U_dis, V_dis, U_back, V_back,
+               uke_dif):
+    """Unresolved-kinetic-energy budget with AB2 stepping
+    (ref uke_update oce_dyn.F90:988-1153).
+
+    Deviations from the reference, both deliberate:
+    - the V_work accumulation bug (:1062 assigns the U mean to V_work) is NOT
+      reproduced; the true area-weighted V node mean is used;
+    - the hard-coded Southern-Pacific distance taper (:1106-1123, a workaround
+      for one quarter-degree-mesh trouble spot) is omitted.
+    """
+    d = cfg.dyn
+    lmask = mesh.elem_layer_mask
+    uke_dis = jnp.where(lmask, state.u * U_dis + state.v * V_dis, 0.0)
+    uke_back = jnp.where(lmask, state.u * U_back + state.v * V_back, 0.0)
+    uke_back = _smooth_elem(uke_back, mesh, d.smooth_back)
+
+    # local Rossby number from node-averaged velocity gradients (ref :1045-1080)
+    en = mesh.elem_nodes
+    Uw = elem_to_node_mean(state.u, mesh, respect_levels=False)
+    Vw = elem_to_node_mean(state.v, mesh, respect_levels=False)
+    ue = jnp.take(Uw, en, axis=-1)                     # [nl-1, E, 3]
+    ve = jnp.take(Vw, en, axis=-1)
+    gx = mesh.gradient_sca[:, 0:3]
+    gy = mesh.gradient_sca[:, 3:6]
+    t1 = (ue * gx).sum(-1) - (ve * gy).sum(-1)
+    t2 = (ue * gy).sum(-1) + (ve * gx).sum(-1)
+    rosb = jnp.sqrt(t1 ** 2 + t2 ** 2)                 # [nl-1, E]
+
+    c_min, f_min, r_max = 0.5, 1.0e-6, 200000.0        # ref :1014
+    if d.uke_scaling:
+        # resolution / first-baroclinic-Rossby-radius cutoff (ref :1083-1100)
+        reso = jnp.sqrt(mesh.elem_area * 4.0 / jnp.sqrt(3.0))
+        bv = jnp.sqrt(jnp.maximum(state.bvfreq, 0.0))  # [nl, N]
+        integ = state.hnode_new * 0.5 * (bv[:-1] + bv[1:])
+        c1 = jnp.where(mesh.node_layer_mask, integ, 0.0).sum(0)
+        c1 = jnp.maximum(c_min, c1 / jnp.pi)
+        rr = jnp.minimum(c1 / jnp.maximum(jnp.abs(mesh.coriolis_node), f_min),
+                         r_max)
+        rosb_rad = jnp.take(rr, en, axis=-1).mean(-1)  # [E]
+        scaling = 1.0 / (1.0 + d.uke_scaling_factor * reso / rosb_rad)
+    else:
+        scaling = jnp.ones_like(mesh.elem_area)
+
+    fsum = jnp.abs(jnp.take(mesh.coriolis_node, en, axis=-1).sum(-1))
+    rosb = rosb / jnp.maximum(fsum, f_min)[None]
+    uke_dis = uke_dis * scaling[None] / (1.0 + rosb / d.rosb_dis)
+    uke_dis = _smooth_elem(uke_dis, mesh, d.smooth_dis)
+
+    # AB2 (ref :1142-1148); uke_rhs carries last step's rhs into the update
+    uke_rhs = jnp.where(lmask, -uke_dis - uke_back + uke_dif, 0.0)
+    uke = state.uke + 1.5 * uke_rhs - 0.5 * state.uke_rhs
+    return replace(state, uke=jnp.where(lmask, uke, 0.0), uke_rhs=uke_rhs)
+
+
+def visc_filt_dbcksc(state: OceanState, mesh: MeshTables, cfg, u_rhs, v_rhs):
+    """Dynamic backscatter: biharmonic dissipation plus a negative harmonic
+    viscosity whose magnitude is set by the UKE reservoir
+    (ref visc_filt_dbcksc oce_dyn.F90:806-954). Returns (state, u_rhs, v_rhs);
+    state carries the updated UKE fields."""
+    d = cfg.dyn
+    dt = cfg.dt
+    shared, et1, et2s = _edge_internal_shared(mesh)
+    lmask = mesh.elem_layer_mask
+    inv_area = 1.0 / jnp.maximum(mesh.elem_area, 1e-30)
+
+    v_back = backscatter_coef(state.uke, mesh, cfg)
+
+    du = jnp.where(shared, _edge_diff(state.u, mesh, et1, et2s), 0.0)
+    dv = jnp.where(shared, _edge_diff(state.v, mesh, et1, et2s), 0.0)
+    # first biharmonic stage, 3rd-order-upwind-like coefficient (ref :857-869)
+    U_c = _accum_edge_to_elem(du, mesh)
+    V_c = _accum_edge_to_elem(dv, mesh)
+    vi = jnp.maximum(0.2, jnp.sqrt(state.u ** 2 + state.v ** 2)) \
+        * (dt * jnp.sqrt(mesh.elem_area) / 30.0)[None]
+    U_c = jnp.where(lmask, -U_c * vi, 0.0)
+    V_c = jnp.where(lmask, -V_c * vi, 0.0)
+
+    # edge length / circumcenter-distance geometry (ref :877-884)
+    lex = mesh.edge_dxdy[:, 0] * (mesh.elem_cos[et1] + mesh.elem_cos[et2s]) \
+        * 0.25
+    ley = mesh.edge_dxdy[:, 1]
+    length = jnp.sqrt(lex ** 2 + ley ** 2) * r_earth
+    cx = mesh.edge_cross_dxdy[:, 0] - mesh.edge_cross_dxdy[:, 2]
+    cy = mesh.edge_cross_dxdy[:, 1] - mesh.edge_cross_dxdy[:, 3]
+    lc = length / jnp.maximum(jnp.sqrt(cx ** 2 + cy ** 2), 1e-30)
+
+    # backscatter tendency: harmonic operator with v_back < 0 (ref :886-905)
+    vi_b = dt * lc[None] * (v_back[:, et1] + v_back[:, et2s])
+    U_back = _accum_edge_to_elem(jnp.where(shared, du * vi_b, 0.0), mesh) \
+        * inv_area[None]
+    V_back = _accum_edge_to_elem(jnp.where(shared, dv * vi_b, 0.0), mesh) \
+        * inv_area[None]
+
+    # UKE diffusion (ref :893-907)
+    sq = jnp.sqrt(mesh.elem_area / d.scale_area)
+    vi_d = dt * lc * d.K_back * (sq[et1] + sq[et2s])
+    duke = jnp.where(shared,
+                     _edge_diff(state.uke, mesh, et1, et2s) * vi_d[None], 0.0)
+    uke_dif = _accum_edge_to_elem(duke, mesh) * inv_area[None]
+
+    # second biharmonic stage (ref :909-917)
+    du2 = jnp.where(shared, _edge_diff(U_c, mesh, et1, et2s), 0.0)
+    dv2 = jnp.where(shared, _edge_diff(V_c, mesh, et1, et2s), 0.0)
+    U_dis = _accum_edge_to_elem(du2, mesh) * inv_area[None]
+    V_dis = _accum_edge_to_elem(dv2, mesh) * inv_area[None]
+
+    U_back = _smooth_elem(U_back, mesh, d.smooth_back_tend)
+    V_back = _smooth_elem(V_back, mesh, d.smooth_back_tend)
+
+    u_rhs = u_rhs + jnp.where(lmask, U_dis + U_back, 0.0)
+    v_rhs = v_rhs + jnp.where(lmask, V_dis + V_back, 0.0)
+
+    state = uke_update(state, mesh, cfg, U_dis, V_dis, U_back, V_back, uke_dif)
+    return state, u_rhs, v_rhs
+
+
 def viscosity_filter(state: OceanState, mesh: MeshTables, cfg, u_rhs, v_rhs):
-    """Dispatch on visc_option (ref viscosity_filter oce_dyn.F90:171-234)."""
+    """Dispatch on visc_option (ref viscosity_filter oce_dyn.F90:171-234).
+
+    Options: 1 harmonic Leith; 2 Laplacian Leith + biharmonic background;
+    3 biharmonic Leith; 4 biharmonic flow-aware; 5 easy backscatter;
+    6 biharmonic (Laplacian-based); 7 biharmonic (difference-based);
+    8 dynamic backscatter with the UKE budget.
+    Returns (state, u_rhs, v_rhs) — only option 8 modifies state.
+    """
     opt = cfg.dyn.visc_option
-    if opt == 5:
-        return visc_filt_bcksct(state, mesh, cfg, u_rhs, v_rhs)
-    return visc_filt_harmon(state, mesh, cfg, u_rhs, v_rhs)
+    if opt == 1:
+        visc = h_viscosity_leith(state, mesh, cfg)
+        out = visc_filt_harmon_leith(state, mesh, cfg, u_rhs, v_rhs, visc)
+    elif opt == 2:
+        visc = h_viscosity_leith(state, mesh, cfg)
+        out = visc_filt_hbhmix(state, mesh, cfg, u_rhs, v_rhs, visc)
+    elif opt == 3:
+        visc = h_viscosity_leith(state, mesh, cfg)
+        out = visc_filt_biharm(state, mesh, cfg, u_rhs, v_rhs, 2, visc)
+    elif opt == 4:
+        out = visc_filt_biharm(state, mesh, cfg, u_rhs, v_rhs, 1)
+    elif opt == 5:
+        out = visc_filt_bcksct(state, mesh, cfg, u_rhs, v_rhs)
+    elif opt == 6:
+        out = visc_filt_bilapl(state, mesh, cfg, u_rhs, v_rhs)
+    elif opt == 7:
+        out = visc_filt_bidiff(state, mesh, cfg, u_rhs, v_rhs)
+    elif opt == 8:
+        return visc_filt_dbcksc(state, mesh, cfg, u_rhs, v_rhs)
+    else:
+        out = visc_filt_harmon(state, mesh, cfg, u_rhs, v_rhs)
+    u_rhs, v_rhs = out
+    return state, u_rhs, v_rhs
 
 
 def impl_vert_visc(state: OceanState, mesh: MeshTables, cfg, forcing: Forcing,

@@ -51,12 +51,13 @@ def edge_divergence(flux: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
     (mesh.node_edges/node_edge_sign) — TPU scatters serialize on colliding
     indices, gathers don't.
     """
-    ne = mesh.node_edges                   # [N, KE]
+    # transposed [KE, N] tables keep the wide node axis minor (TPU tiling)
+    ne = mesh.node_edges.T                 # [KE, N]
     valid = ne >= 0
     safe = jnp.where(valid, ne, 0)
-    sign = jnp.where(valid, mesh.node_edge_sign, 0.0)
-    vals = jnp.take(flux, safe, axis=-1)   # [.., N, KE]
-    return (vals * sign).sum(-1)
+    sign = jnp.where(valid, mesh.node_edge_sign.T, 0.0)
+    vals = jnp.take(flux, safe, axis=-1)   # [.., KE, N]
+    return (vals * sign).sum(-2)
 
 
 def edge_signed_reduce(flux: jnp.ndarray, mesh: MeshTables, fn) -> jnp.ndarray:
@@ -64,12 +65,12 @@ def edge_signed_reduce(flux: jnp.ndarray, mesh: MeshTables, fn) -> jnp.ndarray:
 
     Used by the FCT limiter's plus/minus antidiffusive sums (fn = relu / -relu
     of the node-oriented flux)."""
-    ne = mesh.node_edges
+    ne = mesh.node_edges.T
     valid = ne >= 0
     safe = jnp.where(valid, ne, 0)
-    sign = jnp.where(valid, mesh.node_edge_sign, 0.0)
+    sign = jnp.where(valid, mesh.node_edge_sign.T, 0.0)
     vals = fn(jnp.take(flux, safe, axis=-1) * sign)
-    return jnp.where(valid, vals, 0.0).sum(-1)
+    return jnp.where(valid, vals, 0.0).sum(-2)
 
 
 def elem_contrib_to_nodes(contrib: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
@@ -78,15 +79,31 @@ def elem_contrib_to_nodes(contrib: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray
     contrib [..., E, 3]: the value element e adds to its k-th vertex.
     Gather-based (scatter-free): each node pulls from its adjacent elements
     using nod_in_elem plus the node's local slot within each element.
+    The gather runs on transposed [K, N] index tables so the wide node axis
+    stays minor (TPU lane dimension).
     """
-    nie = mesh.nod_in_elem                      # [N, K]
+    nie = mesh.nod_in_elem.T                    # [K, N]
     valid = nie >= 0
     safe = jnp.where(valid, nie, 0)
-    slot = mesh.nod_in_elem_slot
+    slot = mesh.nod_in_elem_slot.T
     flat = contrib.reshape(contrib.shape[:-2] + (-1,))       # [..., E*3]
-    idx = safe * 3 + slot
-    vals = jnp.take(flat, idx, axis=-1)                      # [..., N, K]
-    return jnp.where(valid, vals, 0.0).sum(-1)
+    idx = safe * 3 + slot                                    # [K, N]
+    vals = jnp.take(flat, idx, axis=-1)                      # [..., K, N]
+    return jnp.where(valid, vals, 0.0).sum(-2)
+
+
+def elem_contrib_to_nodes_3e(contrib: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
+    """Same as elem_contrib_to_nodes but contrib is [..., 3, E] (vertex-major
+    layout, keeping the wide element axis minor for TPU tiling)."""
+    nie = mesh.nod_in_elem.T                    # [K, N]
+    valid = nie >= 0
+    safe = jnp.where(valid, nie, 0)
+    slot = mesh.nod_in_elem_slot.T
+    E = mesh.n_elems
+    flat = contrib.reshape(contrib.shape[:-2] + (-1,))       # [..., 3*E]
+    idx = slot * E + safe                                    # [K, N]
+    vals = jnp.take(flat, idx, axis=-1)
+    return jnp.where(valid, vals, 0.0).sum(-2)
 
 
 def scalar_gradient(f_nodes: jnp.ndarray, mesh: MeshTables):

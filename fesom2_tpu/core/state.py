@@ -59,6 +59,10 @@ class OceanState:
     # node velocities (diagnostic, used by PP mixing / ice coupling)
     unode: jnp.ndarray        # [nl-1, N]
     vnode: jnp.ndarray        # [nl-1, N]
+    # unresolved kinetic energy for dynamic backscatter, visc_option=8
+    # (uke/uke_rhs of oce_modules.F90:228-229); zeros unless option 8 runs
+    uke: jnp.ndarray          # [nl-1, E]
+    uke_rhs: jnp.ndarray      # [nl-1, E]
     # step counter (device scalar; drives first-step AB switch)
     step: jnp.ndarray
 
@@ -93,6 +97,7 @@ def allocate_state(mesh: MeshTables, n_tracers: int = 2,
         bvfreq=zE(nl, N), dbsfc=zE(nl, N), mld1=zE(N), mld2=zE(N),
         pgf_x=zE(nl - 1, E), pgf_y=zE(nl - 1, E),
         unode=zE(nl - 1, N), vnode=zE(nl - 1, N),
+        uke=zE(nl - 1, E), uke_rhs=zE(nl - 1, E),
         step=jnp.zeros((), jnp.int32),
     )
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..constants import g, density_0
 from ..mesh import MeshTables
-from ..core.ops import elem_contrib_to_nodes
+from ..core.ops import elem_contrib_to_nodes, elem_contrib_to_nodes_3e
 from .state import IceState, IceForcing, OceanSurface, rhoice, rhosno, inv_rhowat
 
 
@@ -67,14 +67,19 @@ def mevp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
     cor = mesh.coriolis_node
     bc = mesh.bc_index_node
 
+    enT = en.T                                 # [3, E] vertex-major gathers
+    dxT = dx.T
+    dyT = dy.T
+
     def subcycle(_, carry):
         u, v, s11, s12, s22 = carry
-        ue = u[en]                                  # [E, 3]
-        ve = v[en]
-        eps11 = (dx * ue).sum(-1) - ve.sum(-1) * meancos
-        eps22 = (dy * ve).sum(-1)
-        eps12 = 0.5 * ((dy * ue).sum(-1) + (dx * ve).sum(-1)
-                       + ue.sum(-1) * meancos)
+        uv = jnp.stack([u, v])                      # [2, N]
+        uve = jnp.take(uv, enT, axis=-1)            # [2, 3, E]
+        ue, ve = uve[0], uve[1]
+        eps11 = (dxT * ue).sum(0) - ve.sum(0) * meancos
+        eps22 = (dyT * ve).sum(0)
+        eps12 = 0.5 * ((dyT * ue).sum(0) + (dxT * ve).sum(0)
+                       + ue.sum(0) * meancos)
         eps1 = eps11 + eps22
         eps2 = eps11 - eps22
         delta = jnp.sqrt(eps1 ** 2 + vale * (eps2 ** 2 + 4.0 * eps12 ** 2))
@@ -85,13 +90,12 @@ def mevp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
         s22 = jnp.where(has_ice_e,
                         det1 * s22 + 0.5 * pressure * (eps1 - delta - eps2 * vale), s22)
 
-        # stress divergence to nodes (ref :516-545), gather-based
+        # stress divergence to nodes (ref :516-545), gather-based, [2, 3, E]
         ea = jnp.where(has_ice_e, mesh.elem_area, 0.0)
-        fu = -ea[:, None] * (s11[:, None] * dx + s12[:, None] * (dy + meancos[:, None]))
-        fv = -ea[:, None] * (s12[:, None] * dx + s22[:, None] * dy
-                             - s11[:, None] * meancos[:, None])
-        u_rhs = elem_contrib_to_nodes(fu, mesh)
-        v_rhs = elem_contrib_to_nodes(fv, mesh)
+        fu = -ea * (s11 * dxT + s12 * (dyT + meancos))
+        fv = -ea * (s12 * dxT + s22 * dyT - s11 * meancos)
+        rhs2 = elem_contrib_to_nodes_3e(jnp.stack([fu, fv]), mesh)
+        u_rhs, v_rhs = rhs2[0], rhs2[1]
 
         u_rhs = u_rhs * mass + rhs_a
         v_rhs = v_rhs * mass + rhs_m

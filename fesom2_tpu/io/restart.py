@@ -20,7 +20,7 @@ from ..core.state import OceanState
 
 OCE_FIELDS = ["eta", "hbar", "hbar_old", "ssh_rhs_old", "u", "v",
               "u_rhsAB", "v_rhsAB", "w", "w_e", "w_i", "tr", "tr_old",
-              "hnode", "hnode_new"]
+              "hnode", "hnode_new", "uke", "uke_rhs"]
 ICE_FIELDS = ["u_ice", "v_ice", "m_ice", "a_ice", "m_snow",
               "sigma11", "sigma12", "sigma22", "t_skin"]
 

@@ -84,7 +84,8 @@ class Model:
 
             # --- momentum (ref :2663-2682) --------------------------------
             state, u_rhs, v_rhs = dynamics.compute_vel_rhs(state, mesh, forcing, cfg)
-            u_rhs, v_rhs = dynamics.viscosity_filter(state, mesh, cfg, u_rhs, v_rhs)
+            state, u_rhs, v_rhs = dynamics.viscosity_filter(state, mesh, cfg,
+                                                            u_rhs, v_rhs)
             if cfg.dyn.i_vert_visc:
                 u_rhs, v_rhs = dynamics.impl_vert_visc(state, mesh, cfg, forcing,
                                                        u_rhs, v_rhs)
