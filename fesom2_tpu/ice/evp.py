@@ -122,3 +122,237 @@ def mevp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
                                             subcycle, init, unroll=4)
     return replace(ice, u_ice=u, v_ice=v, sigma11=s11, sigma12=s12,
                    sigma22=s22)
+
+
+def evp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
+                 ocean: OceanSurface, cfg) -> IceState:
+    """Standard EVP (whichEVP=0): explicit pseudotime with elastic relaxation
+    time Tevp = ice_dt/3 (ref ice_EVP.F90 EVPdynamics :397-667,
+    stress_tensor :23-132, stress2rhs :325-393; Tevp_inv ice_setup_step.F90:33).
+    """
+    icfg = cfg.ice
+    ice_dt = cfg.dt * icfg.ice_ave_steps
+    steps = icfg.evp_rheol_steps
+    dte = ice_dt / steps
+    tevp_inv = 3.0 / ice_dt
+    det = 1.0 / (1.0 + 0.5 * tevp_inv * dte)
+    vale = 1.0 / icfg.ellipse ** 2
+    ax = jnp.cos(icfg.theta_io)
+    ay = jnp.sin(icfg.theta_io)
+    en = mesh.elem_nodes
+    dx = mesh.gradient_sca[:, 0:3]
+    dy = mesh.gradient_sca[:, 3:6]
+    meancos = mesh.metric_factor / 3.0
+    area1 = mesh.area[0]
+    area1s = jnp.where(area1 > 0, area1, 1.0)
+
+    # element ice strength: zero when ANY vertex is ice-free (ref :493-502)
+    m_e = ice.m_ice[en]
+    a_e = ice.a_ice[en]
+    has_ice_e = jnp.logical_and((m_e > 0.0).all(-1), (a_e > 0.0).all(-1))
+    strength = jnp.where(
+        has_ice_e,
+        0.5 * icfg.Pstar * m_e.mean(-1)
+        * jnp.exp(-icfg.c_pressure * (1.0 - a_e.mean(-1))),
+        0.0)
+
+    # elevation gradient rhs, gated on ice presence (ref :571-579)
+    eta_e = ocean.elevation[en]
+    aa = jnp.where(has_ice_e, g * mesh.elem_area / 3.0, 0.0)
+    aa_e = aa * (dx * eta_e).sum(-1)
+    bb_e = aa * (dy * eta_e).sum(-1)
+    rhs_a = elem_contrib_to_nodes_3e(
+        jnp.broadcast_to(-aa_e, (3,) + aa_e.shape), mesh) / area1s
+    rhs_m = elem_contrib_to_nodes_3e(
+        jnp.broadcast_to(-bb_e, (3,) + bb_e.shape), mesh) / area1s
+
+    # node precomputes (ref :459-482)
+    mass_n = rhoice * ice.m_ice + rhosno * ice.m_snow
+    inv_areamass = jnp.where(mass_n > 1e-3, 1.0 / (area1s * mass_n), 0.0)
+    has_ice_n = ice.a_ice >= 0.01
+    inv_mass = jnp.where(
+        has_ice_n,
+        1.0 / jnp.maximum(mass_n / jnp.maximum(ice.a_ice, 0.01), 9.0), 0.0)
+
+    cor = mesh.coriolis_node
+    bc = mesh.bc_index_node
+    enT = en.T
+    dxT = dx.T
+    dyT = dy.T
+
+    def subcycle(_, carry):
+        u, v, s11, s12, s22 = carry
+        uve = jnp.take(jnp.stack([u, v]), enT, axis=-1)    # [2, 3, E]
+        ue, ve = uve[0], uve[1]
+        eps11 = (dxT * ue).sum(0) - ve.sum(0) * meancos
+        eps22 = (dyT * ve).sum(0)
+        eps12 = 0.5 * ((dyT * ue).sum(0) + (dxT * ve).sum(0)
+                       + ue.sum(0) * meancos)
+        eps1 = eps11 + eps22
+        eps2 = eps11 - eps22
+        delta = jnp.sqrt(eps1 ** 2 + vale * (eps2 ** 2 + 4.0 * eps12 ** 2))
+        zeta = strength / jnp.maximum(delta, icfg.delta_min) * tevp_inv
+        r1 = zeta * eps1 - strength * tevp_inv
+        r2 = zeta * eps2 * vale
+        r3 = zeta * eps12 * vale
+        si1 = det * (s11 + s22 + dte * r1)
+        si2 = det * (s11 - s22 + dte * r2)
+        s12 = jnp.where(has_ice_e, det * (s12 + dte * r3), s12)
+        s11 = jnp.where(has_ice_e, 0.5 * (si1 + si2), s11)
+        s22 = jnp.where(has_ice_e, 0.5 * (si1 - si2), s22)
+
+        ea = jnp.where(has_ice_e, mesh.elem_area, 0.0)
+        fu = -ea * (s11 * dxT + s12 * (dyT + meancos))
+        fv = -ea * (s12 * dxT + s22 * dyT - s11 * meancos)
+        rhs2 = elem_contrib_to_nodes_3e(jnp.stack([fu, fv]), mesh)
+        u_rhs = rhs2[0] * inv_areamass + rhs_a
+        v_rhs = rhs2[1] * inv_areamass + rhs_m
+
+        # explicit pseudotime update, implicit drag+Coriolis (ref :601-637)
+        umod = jnp.sqrt((u - ocean.u_w) ** 2 + (v - ocean.v_w) ** 2)
+        drag = icfg.Cd_oce_ice * umod * density_0 * inv_mass
+        rhsu = u + dte * (drag * (ax * ocean.u_w - ay * ocean.v_w)
+                          + inv_mass * forcing.stress_atmice_x + u_rhs)
+        rhsv = v + dte * (drag * (ax * ocean.v_w + ay * ocean.u_w)
+                          + inv_mass * forcing.stress_atmice_y + v_rhs)
+        r_a = 1.0 + ax * drag * dte
+        r_b = dte * (cor + ay * drag)
+        idet = bc / (r_a ** 2 + r_b ** 2)
+        u_new = jnp.where(has_ice_n, idet * (r_a * rhsu + r_b * rhsv), 0.0)
+        v_new = jnp.where(has_ice_n, idet * (r_a * rhsv - r_b * rhsu), 0.0)
+        return (u_new, v_new, s11, s12, s22)
+
+    init = (ice.u_ice, ice.v_ice, ice.sigma11, ice.sigma12, ice.sigma22)
+    u, v, s11, s12, s22 = jax.lax.fori_loop(0, steps, subcycle, init,
+                                            unroll=4)
+    return replace(ice, u_ice=u, v_ice=v, sigma11=s11, sigma12=s12,
+                   sigma22=s22)
+
+
+def aevp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
+                  ocean: OceanSurface, cfg) -> IceState:
+    """Adaptive EVP (whichEVP=2, Kimmritz et al. 2016): mEVP with per-element
+    alpha / per-node beta stability fields refreshed after each solve
+    (ref ice_maEVP.F90 EVPdynamics_a :785-888, stress_tensor_a :686-781,
+    find_alpha_field_a :611-683, find_beta_field_a :892-922).
+    """
+    icfg = cfg.ice
+    ice_dt = cfg.dt * icfg.ice_ave_steps
+    vale = 1.0 / icfg.ellipse ** 2
+    en = mesh.elem_nodes
+    dx = mesh.gradient_sca[:, 0:3]
+    dy = mesh.gradient_sca[:, 3:6]
+    meancos = mesh.metric_factor / 3.0
+    area1 = mesh.area[0]
+    area1s = jnp.where(area1 > 0, area1, 1.0)
+
+    # elevation rhs (ssh2rhs, levitating branch) and node precomputes are
+    # shared with mEVP (ref EVPdynamics_m :338-410)
+    eta_e = ocean.elevation[en]
+    bb = g * mesh.elem_area / 3.0
+    aa_e = bb * (dx * eta_e).sum(-1)
+    bb_e = bb * (dy * eta_e).sum(-1)
+    rhs_a = elem_contrib_to_nodes_3e(
+        jnp.broadcast_to(-aa_e, (3,) + aa_e.shape), mesh) / area1s
+    rhs_m = elem_contrib_to_nodes_3e(
+        jnp.broadcast_to(-bb_e, (3,) + bb_e.shape), mesh) / area1s
+
+    has_ice_n = ice.a_ice >= 0.01
+    thick = (rhoice * ice.m_ice + rhosno * ice.m_snow) \
+        / jnp.maximum(ice.a_ice, 0.01)
+    inv_thickness = jnp.where(has_ice_n, 1.0 / jnp.maximum(thick, 9.0), 0.0)
+    mass = rhoice * ice.m_ice + rhosno * ice.m_snow
+    mass = mass / ((1.0 + mass * mass) * area1s)
+
+    msum = ice.m_ice[en].mean(-1)
+    asum = ice.a_ice[en].mean(-1)
+    has_ice_e = msum > 0.01
+    p0 = icfg.Pstar * msum * jnp.exp(-icfg.c_pressure * (1.0 - asum))
+
+    alpha = ice.alpha_aevp
+    beta = ice.beta_aevp
+    det2_e = 1.0 / (1.0 + alpha)
+    det1_e = alpha * det2_e
+
+    rdt = ice_dt
+    cor = mesh.coriolis_node
+    bc = mesh.bc_index_node
+    enT = en.T
+    dxT = dx.T
+    dyT = dy.T
+
+    def strain(u, v):
+        uve = jnp.take(jnp.stack([u, v]), enT, axis=-1)
+        ue, ve = uve[0], uve[1]
+        eps11 = (dxT * ue).sum(0) - ve.sum(0) * meancos
+        eps22 = (dyT * ve).sum(0)
+        eps12 = 0.5 * ((dyT * ue).sum(0) + (dxT * ve).sum(0)
+                       + ue.sum(0) * meancos)
+        eps1 = eps11 + eps22
+        eps2 = eps11 - eps22
+        delta = jnp.sqrt(eps1 ** 2 + vale * (eps2 ** 2 + 4.0 * eps12 ** 2))
+        return eps1, eps2, eps12, delta
+
+    def subcycle(_, carry):
+        u, v, s11, s12, s22 = carry
+        eps1, eps2, eps12, delta = strain(u, v)
+        pressure = p0 / (delta + icfg.delta_min)
+        r1 = pressure * (eps1 - delta)
+        r2 = pressure * eps2 * vale
+        r3 = pressure * eps12 * vale
+        si1 = det1_e * (s11 + s22) + det2_e * r1
+        si2 = det1_e * (s11 - s22) + det2_e * r2
+        s12 = jnp.where(has_ice_e, det1_e * s12 + det2_e * r3, s12)
+        s11 = jnp.where(has_ice_e, 0.5 * (si1 + si2), s11)
+        s22 = jnp.where(has_ice_e, 0.5 * (si1 - si2), s22)
+
+        ea = jnp.where(has_ice_e, mesh.elem_area, 0.0)
+        fu = -ea * (s11 * dxT + s12 * (dyT + meancos))
+        fv = -ea * (s12 * dxT + s22 * dyT - s11 * meancos)
+        rhs2 = elem_contrib_to_nodes_3e(jnp.stack([fu, fv]), mesh)
+        u_rhs = rhs2[0] * mass + rhs_a
+        v_rhs = rhs2[1] * mass + rhs_m
+
+        umod = jnp.sqrt((u - ocean.u_w) ** 2 + (v - ocean.v_w) ** 2)
+        drag = rdt * icfg.Cd_oce_ice * umod * density_0 * inv_thickness
+        rhsu = ice.u_ice + drag * ocean.u_w \
+            + rdt * (inv_thickness * forcing.stress_atmice_x + u_rhs) + beta * u
+        rhsv = ice.v_ice + drag * ocean.v_w \
+            + rdt * (inv_thickness * forcing.stress_atmice_y + v_rhs) + beta * v
+        fc = rdt * cor
+        idet = bc / ((1.0 + beta + drag) ** 2 + fc ** 2)
+        u_new = idet * ((1.0 + beta + drag) * rhsu + fc * rhsv)
+        v_new = idet * ((1.0 + beta + drag) * rhsv - fc * rhsu)
+        return (u_new, v_new, s11, s12, s22)
+
+    init = (ice.u_ice, ice.v_ice, ice.sigma11, ice.sigma12, ice.sigma22)
+    u, v, s11, s12, s22 = jax.lax.fori_loop(0, icfg.evp_rheol_steps,
+                                            subcycle, init, unroll=4)
+
+    # refresh alpha/beta from the converged velocity (ref :880-887)
+    _, _, _, delta = strain(u, v)
+    p_adapt = icfg.Pstar * jnp.exp(-icfg.c_pressure * (1.0 - asum)) \
+        / (delta + icfg.delta_min)
+    alpha_new = jnp.maximum(
+        50.0, jnp.sqrt(ice_dt * icfg.c_aevp * p_adapt
+                       / rhoice / mesh.elem_area))
+    alpha = jnp.where(has_ice_e, alpha_new, alpha)
+    # beta = max of alpha over the node's adjacent elements
+    nie = mesh.nod_in_elem.T                     # [K, N]
+    valid = nie >= 0
+    av = jnp.where(valid, jnp.take(alpha, jnp.where(valid, nie, 0)), 50.0)
+    beta = av.max(0)
+
+    return replace(ice, u_ice=u, v_ice=v, sigma11=s11, sigma12=s12,
+                   sigma22=s22, alpha_aevp=alpha, beta_aevp=beta)
+
+
+def ice_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
+                 ocean: OceanSurface, cfg) -> IceState:
+    """Dispatch on whichEVP (ref ice_setup_step.F90:195-208)."""
+    which = cfg.ice.whichEVP
+    if which == 0:
+        return evp_dynamics(ice, mesh, forcing, ocean, cfg)
+    if which == 2:
+        return aevp_dynamics(ice, mesh, forcing, ocean, cfg)
+    return mevp_dynamics(ice, mesh, forcing, ocean, cfg)

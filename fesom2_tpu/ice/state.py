@@ -54,6 +54,10 @@ class IceState:
     thdgrsn: jnp.ndarray         # [N]
     flice: jnp.ndarray           # [N] snow->ice flooding rate
     a_ice_old: jnp.ndarray       # [N] (pre-thermo concentration, for fluxes)
+    # adaptive-EVP stability parameters (whichEVP=2), persistent across steps
+    # (alpha_evp_array/beta_evp_array, ice_modules.F90:98-99)
+    alpha_aevp: jnp.ndarray      # [E]
+    beta_aevp: jnp.ndarray       # [N]
 
 
 @jax.tree_util.register_dataclass
@@ -96,7 +100,9 @@ def allocate_ice(mesh: MeshTables, dtype=jnp.float64) -> IceState:
                     m_snow=z(N), sigma11=z(E), sigma12=z(E), sigma22=z(E),
                     t_skin=z(N), fresh_wa_flux=z(N), net_heat_flux=z(N),
                     real_salt_flux=z(N), evaporation=z(N), thdgr=z(N),
-                    thdgrsn=z(N), flice=z(N), a_ice_old=z(N))
+                    thdgrsn=z(N), flice=z(N), a_ice_old=z(N),
+                    alpha_aevp=jnp.full(E, 250.0, dtype),
+                    beta_aevp=jnp.full(N, 250.0, dtype))
 
 
 def zero_ice_forcing(mesh: MeshTables, dtype=jnp.float64) -> IceForcing:

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from ..mesh import MeshTables
 from .state import IceState, IceForcing, OceanSurface
-from .evp import mevp_dynamics
+from .evp import ice_dynamics
 from .fct import ice_fct_advect
 from .thermo import thermodynamics
 
@@ -16,7 +16,7 @@ def ice_timestep(ice: IceState, mesh: MeshTables, forcing: IceForcing,
                  ref_sss: float = 34.0, ref_sss_local: bool = False
                  ) -> IceState:
     ice_dt = cfg.dt * cfg.ice.ice_ave_steps
-    ice = mevp_dynamics(ice, mesh, forcing, ocean, cfg)
+    ice = ice_dynamics(ice, mesh, forcing, ocean, cfg)
     ice = ice_fct_advect(ice, mesh, cfg, ice_dt)
     ice = thermodynamics(ice, mesh, forcing, ocean, cfg, use_virt_salt,
                          ref_sss, ref_sss_local)

@@ -79,6 +79,42 @@ def test_fct_advection_moving_conserves_mass(pi_mesh, cfg, ice0):
     assert a.min() >= 0.0 and a.max() <= 1.0 + 1e-12
 
 
+@pytest.mark.parametrize("which", [0, 1, 2])
+def test_evp_variants(pi_mesh, cfg, ice0, which):
+    """All three EVP solvers (standard/mEVP/aEVP) produce finite, bounded
+    drift from wind stress over ice, zero velocity on the coast, and zero
+    where there is no ice (standard EVP) / unforced open water."""
+    import dataclasses
+    import jax
+    from fesom2_tpu.ice.evp import ice_dynamics
+
+    c = dataclasses.replace(cfg)
+    c.ice = dataclasses.replace(cfg.ice, whichEVP=which)
+    N = pi_mesh.n_nodes
+    forcing = zero_ice_forcing(pi_mesh)
+    forcing = dataclasses.replace(
+        forcing,
+        stress_atmice_x=jnp.full(N, 0.1),
+        stress_atmice_y=jnp.full(N, 0.02))
+    ocean = OceanSurface(T_oc=jnp.full(N, -1.8), S_oc=jnp.full(N, 34.0),
+                         u_w=jnp.zeros(N), v_w=jnp.zeros(N),
+                         elevation=jnp.zeros(N))
+    run = jax.jit(lambda ice: ice_dynamics(ice, pi_mesh, forcing, ocean, c))
+    ice = ice0
+    for _ in range(2):
+        ice = run(ice)
+    u = np.asarray(ice.u_ice)
+    v = np.asarray(ice.v_ice)
+    assert np.isfinite(u).all() and np.isfinite(v).all(), which
+    has_ice = np.asarray(ice0.a_ice) >= 0.01
+    assert np.abs(u[has_ice]).max() > 1e-6, which  # wind actually moves ice
+    assert np.abs(u).max() < 1.0 and np.abs(v).max() < 1.0, which
+    bc = np.asarray(pi_mesh.bc_index_node) == 0.0
+    assert np.abs(u[bc]).max() == 0.0, which
+    if which == 2:
+        assert np.asarray(ice.beta_aevp).min() >= 50.0
+
+
 def test_ice_full_step(pi_mesh, cfg, ice0):
     """EVP + advection + thermodynamics stays finite and physical."""
     import jax
