@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from ..constants import g, density_0, r_earth
 from ..mesh import MeshTables
 from .state import OceanState, Forcing
-from .ops import scalar_gradient, tridiag_solve, elem_to_node_mean, edge_divergence
+from .ops import (scalar_gradient, tridiag_solve, elem_to_node_mean,
+                  edge_divergence, cumsum_bottom_up)
 
 
 def _elem_interface_mask(mesh: MeshTables):
@@ -30,6 +31,92 @@ def pressure_force_linfs(state: OceanState, mesh: MeshTables) -> OceanState:
     gx, gy = scalar_gradient(state.hpressure / density_0, mesh)   # [nl-1, E]
     m = mesh.elem_layer_mask
     return replace(state, pgf_x=jnp.where(m, gx, 0.0), pgf_y=jnp.where(m, gy, 0.0))
+
+
+def pressure_force_zxxxx_shchepetkin(state: OceanState,
+                                     mesh: MeshTables) -> OceanState:
+    """Density-Jacobian PGF for moving coordinates (zlevel/zstar), after
+    Shchepetkin & McWilliams (2003): the sigma-coordinate pressure-gradient
+    error is removed by subtracting drho/dz * dz/dx from the along-layer
+    density gradient before the vertical integration
+    (ref pressure_force_4_zxxxx_shchepetkin oce_ale_pressure_bv.F90:1878-2104).
+
+    The vertex vertical density gradient uses a 3-point Newton polynomial on
+    the non-uniform node mid-depths Z_3d, evaluated at the ELEMENT mid-depth:
+    stencil (k-1,k,k+1) in the interior, (k,k+1,k+2) at the surface, and
+    (k-2,k-1,k) at the bottom where the node column ends with the element's.
+    """
+    nl, E = mesh.nl, mesh.n_elems
+    en = mesh.elem_nodes                                   # [E, 3]
+    lmask = mesh.elem_layer_mask                           # [nl-1, E]
+    rho = state.density_m_rho0                             # [nl-1, N]
+    Z3 = state.Z_3d                                        # [nl-1, N]
+
+    # element mid-depths Z_e from helem stacked up from the fixed bottom
+    # (ref :1908-1917); zbar_e_bot is static (full cells, bottom immobile)
+    h = jnp.where(lmask, state.helem, 0.0)
+    zbot = jnp.take(mesh.zbar, mesh.nlevels_elem - 1)      # [E]
+    S = cumsum_bottom_up(h)                                # [nl-1, E]
+    Z_e = zbot[None] + S - 0.5 * h                         # [nl-1, E]
+
+    # stencil base index per (layer, element, vertex)
+    k = jnp.arange(nl - 1)[:, None, None]                  # [nl-1, 1, 1]
+    nle = (mesh.nlevels_elem - 1)[None, :, None]           # element layer count
+    nln = (mesh.nlevels_node[en] - 1)[None]                # node layer count
+    b = k - 1
+    b = jnp.where(k == 0, 0, b)                            # surface shift
+    bot_eq = jnp.logical_and(k == nle - 1, nln - 1 == k)   # node ends with elem
+    b = jnp.where(bot_eq, k - 2, b)
+    # keep the whole stencil inside the node's active column
+    b = jnp.clip(b, 0, jnp.maximum(nln - 3, 0))
+
+    def at(arr, off):
+        # arr [nl-1, N] gathered at (b+off, en) -> [nl-1, E, 3]
+        lev = jnp.clip(b + off, 0, nl - 2)
+        return jnp.take_along_axis(arr[:, en], lev, axis=0)
+
+    x0, x1, x2 = at(Z3, 0), at(Z3, 1), at(Z3, 2)
+    f0, f1, f2 = at(rho, 0), at(rho, 1), at(rho, 2)
+    dx10 = x1 - x0
+    dx21 = x2 - x1
+    dx20 = x2 - x0
+    safe = lambda d: jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+    df10 = f1 - f0
+    df21 = f2 - f1
+    ze = Z_e[:, :, None]
+    drho_dz = df10 / safe(dx10) \
+        + (dx10 * df21 - dx21 * df10) / safe(dx20 * dx21 * dx10) \
+        * ((ze - x1) + (ze - x0))                          # [nl-1, E, 3]
+    drho_dz = jnp.where(lmask[:, :, None], drho_dz, 0.0).mean(-1)
+
+    # along-layer gradients of density and of the layer depth itself
+    gx = mesh.gradient_sca[:, 0:3]
+    gy = mesh.gradient_sca[:, 3:6]
+    rho_e = rho[:, en]                                     # [nl-1, E, 3]
+    z_e = Z3[:, en]
+    drho_dx = (rho_e * gx).sum(-1)
+    drho_dy = (rho_e * gy).sum(-1)
+    dz_dx = (z_e * gx).sum(-1)
+    dz_dy = (z_e * gy).sum(-1)
+
+    aux_x = jnp.where(lmask, (drho_dx - drho_dz * dz_dx) * h * g / density_0,
+                      0.0)
+    aux_y = jnp.where(lmask, (drho_dy - drho_dz * dz_dy) * h * g / density_0,
+                      0.0)
+    # layer value = integral above + half of own layer (midpoint rule)
+    pgf_x = jnp.cumsum(aux_x, 0) - 0.5 * aux_x
+    pgf_y = jnp.cumsum(aux_y, 0) - 0.5 * aux_y
+    return replace(state, pgf_x=jnp.where(lmask, pgf_x, 0.0),
+                   pgf_y=jnp.where(lmask, pgf_y, 0.0))
+
+
+def pressure_force(state: OceanState, mesh: MeshTables, cfg) -> OceanState:
+    """PGF dispatch (ref oce_ale.F90:2560-2565): linfs -> full-cell form,
+    moving coordinates (zlevel/zstar) -> Shchepetkin density Jacobian
+    (the which_pgf='shchepetkin' default, oce_modules.F90:172)."""
+    if cfg.ale.which_ALE == "linfs":
+        return pressure_force_linfs(state, mesh)
+    return pressure_force_zxxxx_shchepetkin(state, mesh)
 
 
 def momentum_adv_scalar(state: OceanState, mesh: MeshTables,

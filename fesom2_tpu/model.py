@@ -74,7 +74,7 @@ class Model:
 
             # --- mix & pressure (ref :2558-2655) --------------------------
             state = eos.pressure_bv(state, mesh, cfg, density_ref)
-            state = dynamics.pressure_force_linfs(state, mesh)
+            state = dynamics.pressure_force(state, mesh, cfg)
             if cfg.dyn.mix_scheme.upper() == "KPP":
                 from .core.mixing import kpp as kpp_mixing
                 state = kpp_mixing.oce_mixing_kpp(state, mesh, cfg, forcing)

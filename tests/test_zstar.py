@@ -66,3 +66,39 @@ def test_zstar_tracer_content_conserved(zstar_run):
 
     s0, s1 = salt(states[0]), salt(states[-1])
     assert abs(s1 - s0) / abs(s0) < 1e-7
+
+
+def test_shchepetkin_pgf_no_sigma_error():
+    """With density a pure (linear) function of actual depth, the density-
+    Jacobian PGF must vanish to roundoff even on horizontally-distorted
+    zstar layers (the defining property of Shchepetkin & McWilliams 2003;
+    ref pressure_force_4_zxxxx_shchepetkin oce_ale_pressure_bv.F90:1878)."""
+    import dataclasses
+    from fesom2_tpu.core import ale
+    from fesom2_tpu.core.dynamics import pressure_force_zxxxx_shchepetkin
+
+    model = setup_soufflet_model(which_ale="zstar")
+    mesh = model.mesh
+    state = model.initial_state()
+    # distort layer thicknesses with a smooth horizontal modulation
+    x = np.asarray(mesh.coords)[:, 0]
+    mod = 1.0 + 0.08 * np.sin(2 * np.pi * (x - x.min())
+                              / (x.max() - x.min() + 1e-30))
+    hnew = state.hnode * jnp.asarray(mod)[None, :]
+    state = dataclasses.replace(state, hnode_new=hnew)
+    state = ale.update_thickness(state, mesh, model.cfg)
+    # density linear in actual depth
+    rho = -0.01 * state.Z_3d
+    state = dataclasses.replace(state, density_m_rho0=jnp.where(
+        mesh.node_layer_mask, rho, 0.0))
+    out = pressure_force_zxxxx_shchepetkin(state, mesh)
+    pgf = np.asarray(out.pgf_x)
+    # the uncorrected along-layer term alone would be O(drho_dx*h*g/rho0)
+    from fesom2_tpu.core.ops import scalar_gradient
+    gx, _ = scalar_gradient(state.density_m_rho0, mesh)
+    lmask = np.asarray(mesh.elem_layer_mask)
+    naive = np.abs(np.cumsum(np.where(lmask, np.asarray(gx), 0.0)
+                             * np.asarray(state.helem), axis=0)).max() \
+        * 9.81 / 1030.0
+    assert naive > 1e-8          # the distortion does create a raw signal
+    assert np.abs(pgf[lmask]).max() < 1e-6 * naive
