@@ -114,6 +114,7 @@ class OceDynConfig:
     Redi: bool = False
     visc_sh_limit: float = 5.0e-3
     mix_scheme: str = "KPP"       # KPP | PP | cvmix_KPP | cvmix_PP | cvmix_TKE ...
+    use_kpp_nonlclflx: bool = False  # apply KPP nonlocal tracer fluxes (o_PARAM :150)
     Ricr: float = 0.3
     concv: float = 1.6
     # semi-implicit free surface (o_PARAM, oce_modules.F90:80-82)

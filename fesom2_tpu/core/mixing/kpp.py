@@ -259,7 +259,14 @@ def oce_mixing_kpp(state: OceanState, mesh: MeshTables, cfg,
     emask = lev <= (mesh.nlevels_elem - 1)[None, :]
     Av_e = jnp.where(emask, Av_e, 0.0)
     Av_e = Av_e.at[0].set(jnp.maximum(Av_e[0], minmix))
-    return replace(state, Av=Av_e, Kv=Kv)
+
+    # nonlocal transport coefficient min(ghats*blmc, 1) at interfaces, used
+    # by the tracer solver when use_kpp_nonlclflx (ref oce_ale_tracer.F90:
+    # 688-781); zero at the surface and bottom interfaces by construction
+    nln = mesh.nlevels_node
+    nonloc = jnp.minimum(ghats * blmc_t, 1.0)
+    nonloc = jnp.where((lev >= 1) & (lev < (nln - 1)[None, :]), nonloc, 0.0)
+    return replace(state, Av=Av_e, Kv=Kv, kpp_nonloc=nonloc)
 
 
 def _node_stress(forcing: Forcing, mesh: MeshTables):

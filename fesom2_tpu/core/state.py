@@ -46,6 +46,8 @@ class OceanState:
     # mixing coefficients
     Av: jnp.ndarray           # [nl, E]
     Kv: jnp.ndarray           # [nl, N]
+    # KPP nonlocal transport coefficient min(ghats*blmc,1) at interfaces
+    kpp_nonloc: jnp.ndarray   # [nl, N]
     # diagnostics updated in pressure_bv
     density_m_rho0: jnp.ndarray   # [nl-1, N] in-situ density - reference
     hpressure: jnp.ndarray        # [nl-1, N]
@@ -92,7 +94,7 @@ def allocate_state(mesh: MeshTables, n_tracers: int = 2,
         w=zE(nl, N), w_e=zE(nl, N), w_i=zE(nl, N), cfl_z=zE(nl, N),
         hnode=zE(nl - 1, N), hnode_new=zE(nl - 1, N), helem=zE(nl - 1, E),
         zbar_3d=zE(nl, N), Z_3d=zE(nl - 1, N),
-        Av=zE(nl, E), Kv=zE(nl, N),
+        Av=zE(nl, E), Kv=zE(nl, N), kpp_nonloc=zE(nl, N),
         density_m_rho0=zE(nl - 1, N), hpressure=zE(nl - 1, N),
         bvfreq=zE(nl, N), dbsfc=zE(nl, N), mld1=zE(N), mld2=zE(N),
         pgf_x=zE(nl - 1, E), pgf_y=zE(nl - 1, E),

@@ -584,6 +584,48 @@ def diff_ver_redi_expl(gx, gy, slope_tapered, Ki_layered, hnode_new,
     return jnp.where(lmask, out, 0.0)
 
 
+def shortwave_penetration(shortwave, a_ice, zbar_3d, mesh: MeshTables,
+                          albw: float, chl_const: float = 0.1):
+    """Penetrating visible shortwave through interfaces, Morel & Antoine 1994
+    parametrization with Sweeney et al. 2005 coefficients and constant
+    chlorophyll (ref cal_shortwave_rad oce_shortwave_pene.F90:1-95; chl=0.1
+    from gen_forcing_init.F90:129).
+
+    Returns (sw_3d [nl, N] temperature flux through interfaces [K m/s],
+    dheat [N] to ADD to heat_flux — the visible fraction is removed from the
+    surface flux and deposited in depth instead). No penetration under ice.
+    """
+    c = jnp.log10(jnp.maximum(chl_const, 0.02))
+    c2, c3, c4, c5 = c * c, c ** 3, c ** 4, c ** 5
+    v1 = 0.008 * c + 0.132 * c2 + 0.038 * c3 - 0.017 * c4 - 0.007 * c5
+    v2 = 0.679 - v1
+    v1 = 0.321 + v1
+    sc1 = 1.54 - 0.197 * c + 0.166 * c2 - 0.252 * c3 - 0.055 * c4 + 0.042 * c5
+    sc2 = 7.925 - 6.644 * c + 3.662 * c2 - 1.815 * c3 - 0.218 * c4 + 0.502 * c5
+
+    open_w = a_ice <= 0.0
+    swsurf = jnp.where(open_w, (1.0 - albw) * shortwave * 0.54, 0.0)   # [N]
+    swflux = swsurf / vcpw
+    aux = v1 * jnp.exp(zbar_3d / sc1) + v2 * jnp.exp(zbar_3d / sc2)    # [nl, N]
+    lev = jnp.arange(mesh.nl)[:, None]
+    nln = mesh.nlevels_node[None, :]
+    # reference zeroes the flux at the first interface where aux < 1e-5 and
+    # exits the loop; also always zero at/below the bottom interface
+    dead = jnp.cumsum((aux < 1e-5).astype(aux.dtype), 0) > 0
+    sw = jnp.where(dead | (lev >= nln - 1), 0.0, swflux[None, :] * aux)
+    sw = sw.at[0].set(swflux)
+    return sw, swsurf
+
+
+def sw_3d_source(sw_3d, mesh: MeshTables, dt):
+    """Layer temperature source from the interface flux divergence
+    (ref oce_ale_tracer.F90:784-790)."""
+    ratio = mesh.area[1:] / jnp.where(mesh.areasvol[:-1] > 0,
+                                      mesh.areasvol[:-1], 1.0)
+    src = (sw_3d[:-1] - sw_3d[1:] * ratio) * dt
+    return jnp.where(mesh.node_layer_mask, src, 0.0)
+
+
 def bc_surface(tracer_id: int, t_surf, forcing, dt, is_nonlinfs: float):
     """Surface boundary source (ref bc_surface :1154-1195)."""
     if tracer_id == 0:

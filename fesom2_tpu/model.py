@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import ModelConfig
-from .constants import rad
+from .constants import rad, vcpw
 from .mesh import MeshTables, build_mesh
 from .core import ops
 from .core.state import OceanState, Forcing, allocate_state, zero_forcing, \
@@ -68,7 +68,8 @@ class Model:
             mesh = replace_coriolis(mesh, sst.coriolis)
         is_nonlinfs = 0.0 if cfg.ale.which_ALE == "linfs" else 1.0
 
-        def step(state: OceanState, forcing: Forcing) -> OceanState:
+        def step(state: OceanState, forcing: Forcing,
+                 sw_3d=None) -> OceanState:
             # --- pre-phase (fvom_main loop top) ---------------------------
             state = dynamics.compute_vel_nodes(state, mesh)
 
@@ -130,7 +131,7 @@ class Model:
             # --- tracers (ref :2749) --------------------------------------
             state = solve_tracers(state, mesh, cfg, st, forcing,
                                   is_nonlinfs, sst if is_souf else None,
-                                  fer=fer, redi=redi)
+                                  fer=fer, redi=redi, sw_3d=sw_3d)
 
             # --- thickness update (ref :2754) -----------------------------
             state = ale.update_thickness(state, mesh, cfg)
@@ -173,7 +174,15 @@ def coupled_step_fn(model: "Model", jit: bool = True):
                                            Ssurf=model.Ssurf,
                                            ref_sss=cfg.tra.ref_sss,
                                            ref_sss_local=cfg.tra.ref_sss_local)
-        state = ocean_step(state, ocean_forcing)
+        # shortwave penetration below open water (ref ice_oce_coupling.F90:338)
+        sw_3d = None
+        if cfg.run.use_sw_pene:
+            sw_3d, dheat = tracers.shortwave_penetration(
+                ice_forcing.shortwave, ice.a_ice, state.zbar_3d, mesh,
+                cfg.ice.albw)
+            ocean_forcing = replace(ocean_forcing,
+                                    heat_flux=ocean_forcing.heat_flux + dheat)
+        state = ocean_step(state, ocean_forcing, sw_3d)
         return state, ice, ocean_forcing
 
     return jax.jit(step) if jit else step
@@ -184,7 +193,7 @@ def coupled_step_fn(model: "Model", jit: bool = True):
 # --------------------------------------------------------------------------
 def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
                   st: TracerStatics, forcing: Forcing, is_nonlinfs: float,
-                  sst=None, fer=None, redi=None) -> OceanState:
+                  sst=None, fer=None, redi=None, sw_3d=None) -> OceanState:
     dt = cfg.dt
     # GM bolus velocities advect tracers only (ref solve_tracers_ale :126-136)
     if fer is not None:
@@ -285,6 +294,24 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
 
         tid = cfg.tra.tracer_ID[i] if i < len(cfg.tra.tracer_ID) else i
         surf_bc = tracers.bc_surface(tid, t[0], forcing, dt, is_nonlinfs)
+        sw_src = None
+        if sw_3d is not None and tid == 0:
+            sw_src = tracers.sw_3d_source(sw_3d, mesh, dt)
+        if cfg.dyn.use_kpp_nonlclflx and cfg.dyn.mix_scheme.upper() == "KPP" \
+                and tid in (0, 1):
+            # nonlocal KPP transport redistributes the surface flux through
+            # the boundary layer (ref oce_ale_tracer.F90:688-781)
+            G = state.kpp_nonloc
+            rat_up = mesh.area[:-1] / av
+            rat_dn = mesh.area[1:] / av
+            gdiv = G[:-1] * rat_up - G[1:] * rat_dn
+            if tid == 0:
+                nl_src = gdiv * (forcing.heat_flux / vcpw * dt)[None, :]
+            else:
+                rsss = t[0] if cfg.tra.ref_sss_local else cfg.tra.ref_sss
+                nl_src = -gdiv * (rsss * forcing.water_flux * dt)
+            nl_src = jnp.where(nmask, nl_src, 0.0)
+            sw_src = nl_src if sw_src is None else sw_src + nl_src
         w_i = None
         if (not use_fct) and cfg.dyn.w_split:
             w_i = state.w_i
@@ -292,12 +319,13 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
             if redi is not None:
                 t = tracers.diff_ver_impl(t, state.Kv, state.hnode_new,
                                           zbar_n_bot, mesh, dt, surf_bc,
-                                          w_i=w_i, Ki_layered=redi[1],
+                                          w_i=w_i, sw_source=sw_src,
+                                          Ki_layered=redi[1],
                                           slope3=redi[0][2])
             else:
                 t = tracers.diff_ver_impl(t, state.Kv, state.hnode_new,
                                           zbar_n_bot, mesh, dt, surf_bc,
-                                          w_i=w_i)
+                                          w_i=w_i, sw_source=sw_src)
 
         tr_list.append(t)
         tr_old_list.append(t_old_next)
@@ -331,14 +359,14 @@ def setup_pi_model(mesh_path: str = "/root/reference/test/meshes/pi",
     ``setups/test_pi/setup.yml``).  Returns (Model, AtmData).
 
     Round-1 deviations from the reference CI config (tracked): PP mixing
-    instead of KPP; shortwave penetration off.
+    instead of KPP.
     """
     from .forcing.atmos import load_core_forcing
 
     cfg = ModelConfig()
     cfg.timestep.step_per_day = step_per_day
     cfg.run.use_ice = True
-    cfg.run.use_sw_pene = False
+    cfg.run.use_sw_pene = True
     cfg.geometry.force_rotation = True
     cfg.ale.which_ALE = "linfs"
     cfg.dyn.state_equation = 1

@@ -64,3 +64,38 @@ def test_coupled_steps_run(pi_setup):
     # forcing produced nonzero surface stress over the ocean
     assert np.abs(np.asarray(oce_forcing.stress_x)).max() > 1e-4
     assert np.abs(np.asarray(oce_forcing.heat_flux)).max() > 1.0
+
+
+def test_shortwave_penetration_conserves(pi_mesh):
+    """Column sum of the sw_3d layer sources equals the surface visible flux
+    (total heat deposited = what was removed from the surface flux); flux is
+    monotone decreasing with depth and zero under ice
+    (ref oce_shortwave_pene.F90:1-95)."""
+    from fesom2_tpu.core.tracers import shortwave_penetration, sw_3d_source
+    from fesom2_tpu.core.state import allocate_state, init_thickness_linfs
+
+    N = pi_mesh.n_nodes
+    state = init_thickness_linfs(allocate_state(pi_mesh), pi_mesh)
+    sw_in = jnp.full(N, 200.0)
+    a_ice = jnp.zeros(N).at[:10].set(0.5)        # some ice-covered nodes
+    sw, dheat = shortwave_penetration(sw_in, a_ice, state.zbar_3d,
+                                      pi_mesh, albw=0.1)
+    sw = np.asarray(sw)
+    assert np.isfinite(sw).all()
+    # under ice: nothing penetrates, heat_flux unchanged
+    assert np.abs(sw[:, :10]).max() == 0.0
+    assert np.abs(np.asarray(dheat)[:10]).max() == 0.0
+    # open water: surface interface carries the full visible flux
+    expect = (1.0 - 0.1) * 200.0 * 0.54
+    assert np.allclose(np.asarray(dheat)[10:], expect)
+    assert np.allclose(sw[0, 10:] * 4.2e6, expect)
+    # monotone non-increasing with depth
+    assert (np.diff(sw[:, 10:], axis=0) <= 1e-15).all()
+    # column heat budget: sum of layer sources * areasvol == sw[0] * area[0]
+    dt = 900.0
+    src = np.asarray(sw_3d_source(jnp.asarray(sw), pi_mesh, dt))
+    av = np.asarray(pi_mesh.areasvol)[:-1]
+    col = (src * av).sum(0)
+    top = sw[0] * np.asarray(pi_mesh.area)[0] * dt
+    ok = np.abs(col - top) <= 1e-8 * np.abs(top).max()
+    assert ok[10:].all()
