@@ -125,7 +125,7 @@ class OceDynConfig:
 
 @dataclass
 class OceTraConfig:
-    use_momix: bool = False
+    use_momix: bool = True
     momix_lat: float = -50.0
     momix_kv: float = 0.01
     use_instabmix: bool = True

@@ -39,16 +39,63 @@ def oce_mixing_pp(state: OceanState, mesh: MeshTables, cfg) -> OceanState:
     return replace(state, Av=Av, Kv=Kv)
 
 
-def mo_convect(state: OceanState, mesh: MeshTables, cfg) -> OceanState:
-    """Instability/wind mixing enhancements (ref oce_mo_conv.F90:60-104).
+def _mo_length(forcing, dt, mixlength):
+    """Monin-Obukhov mixed-layer length of Timmermann & Beckmann 2004
+    (ref mo_length/pmlktmo oce_mo_conv.F90:108-194), vectorized over nodes.
+    Returns the relaxed mixlength (10-day retreat time constant)."""
+    cosgam = 0.913632                     # cos(24 deg)
+    qfm = forcing.water_flux * 34.0
+    qtm = -2.38e-7 * forcing.heat_flux
+    tau = jnp.sqrt(forcing.stress_atm_x ** 2 + forcing.stress_atm_y ** 2)
+    ustar = jnp.sqrt(tau / 1030.0)
+    uabs = jnp.sqrt(forcing.u_ice ** 2 + forcing.v_ice ** 2)
+    a = forcing.a_ice
+    qw = 1.25 * ustar ** 3 * (1.0 - a) + 0.005 * uabs ** 3 * cosgam * a
 
-    Monin-Obukhov part (use_momix) not yet implemented (needs ice fields).
-    """
+    # pmlktmo: 5 Newton iterations on 2 qw e^{-t/7} + g qrho t = 0
+    qhw, betas, betat = 1.0 / 7.0, 0.0008, 0.00004
+    qrho = betas * qfm - betat * qtm
+    ttmp = jnp.full_like(qrho, 60.0)
+    for _ in range(5):
+        a1 = jnp.exp(-ttmp * qhw)
+        f0 = 2.0 * qw * a1 + 9.81 * qrho * ttmp
+        f1 = -2.0 * qw * a1 * qhw + 9.81 * qrho
+        ttmp = jnp.maximum(ttmp - f0 / jnp.where(f1 == 0.0, -1e-30, f1), 10.0)
+    obuk = jnp.maximum(jnp.where(qrho > 0.0, 0.0, ttmp), 10.0)
+
+    rtc = dt / (10.0 * 86400.0)
+    return jnp.where(obuk < mixlength,
+                     mixlength + (obuk - mixlength) * rtc, obuk)
+
+
+def mo_convect(state: OceanState, mesh: MeshTables, cfg,
+               forcing=None) -> OceanState:
+    """Monin-Obukhov (TB04) + instability/wind mixing enhancements
+    (ref oce_mo_conv.F90:4-104)."""
     t = cfg.tra
     nl = mesh.nl
     lev = jnp.arange(nl)[:, None]
     Kv = state.Kv
     Av = state.Av
+    if t.use_momix and forcing is not None:
+        from ...constants import rad
+        lat = mesh.geo_coords[:, 1]
+        apply_n = lat <= t.momix_lat * rad                   # [N]
+        # reference only evaluates/relaxes mixlength on qualifying nodes
+        mixlength = jnp.where(apply_n,
+                              _mo_length(forcing, cfg.dt, state.mixlength),
+                              state.mixlength)
+        imask = (lev >= 1) & (lev <= (mesh.nlevels_node - 2)[None, :])
+        in_ml = jnp.abs(state.zbar_3d) <= mixlength[None, :]
+        mo = jnp.where(imask & in_ml & apply_n[None, :], t.momix_kv, 0.0)
+        Kv = Kv + mo
+        # Av += elementwise mean of mo where mean element latitude qualifies
+        mo_e = jnp.take(mo, mesh.elem_nodes, axis=-1).mean(-1)   # [nl, E]
+        lat_e = jnp.take(lat, mesh.elem_nodes, axis=-1).mean(-1)
+        emask = (lev >= 1) & (lev <= (mesh.nlevels_elem - 2)[None, :])
+        Av = Av + jnp.where(emask & (lat_e <= t.momix_lat * rad)[None, :],
+                            mo_e, 0.0)
+        state = replace(state, mixlength=mixlength)
     if t.use_instabmix:
         imask = (lev >= 1) & (lev <= (mesh.nlevels_node - 2)[None, :])
         unstable = state.bvfreq < 0.0

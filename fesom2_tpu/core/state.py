@@ -46,6 +46,8 @@ class OceanState:
     # mixing coefficients
     Av: jnp.ndarray           # [nl, E]
     Kv: jnp.ndarray           # [nl, N]
+    # Monin-Obukhov mixed-layer length (TB04), relaxed in time [N]
+    mixlength: jnp.ndarray
     # KPP nonlocal transport coefficient min(ghats*blmc,1) at interfaces
     kpp_nonloc: jnp.ndarray   # [nl, N]
     # diagnostics updated in pressure_bv
@@ -80,6 +82,13 @@ class Forcing:
     virtual_salt: jnp.ndarray # [N]
     relax_salt: jnp.ndarray   # [N]
     real_salt_flux: jnp.ndarray  # [N]
+    # atm->ocean stress at nodes + ice fields, for Monin-Obukhov (TB04)
+    # mixing (ref oce_mo_conv.F90:36-38); zeros when uncoupled
+    stress_atm_x: jnp.ndarray # [N]
+    stress_atm_y: jnp.ndarray # [N]
+    u_ice: jnp.ndarray        # [N]
+    v_ice: jnp.ndarray        # [N]
+    a_ice: jnp.ndarray        # [N]
 
 
 def allocate_state(mesh: MeshTables, n_tracers: int = 2,
@@ -94,7 +103,7 @@ def allocate_state(mesh: MeshTables, n_tracers: int = 2,
         w=zE(nl, N), w_e=zE(nl, N), w_i=zE(nl, N), cfl_z=zE(nl, N),
         hnode=zE(nl - 1, N), hnode_new=zE(nl - 1, N), helem=zE(nl - 1, E),
         zbar_3d=zE(nl, N), Z_3d=zE(nl - 1, N),
-        Av=zE(nl, E), Kv=zE(nl, N), kpp_nonloc=zE(nl, N),
+        Av=zE(nl, E), Kv=zE(nl, N), mixlength=zE(N), kpp_nonloc=zE(nl, N),
         density_m_rho0=zE(nl - 1, N), hpressure=zE(nl - 1, N),
         bvfreq=zE(nl, N), dbsfc=zE(nl, N), mld1=zE(N), mld2=zE(N),
         pgf_x=zE(nl - 1, E), pgf_y=zE(nl - 1, E),
@@ -109,7 +118,8 @@ def zero_forcing(mesh: MeshTables, dtype=jnp.float64) -> Forcing:
     z = lambda *s: jnp.zeros(s, dtype)
     return Forcing(stress_x=z(E), stress_y=z(E), heat_flux=z(N),
                    water_flux=z(N), virtual_salt=z(N), relax_salt=z(N),
-                   real_salt_flux=z(N))
+                   real_salt_flux=z(N), stress_atm_x=z(N), stress_atm_y=z(N),
+                   u_ice=z(N), v_ice=z(N), a_ice=z(N))
 
 
 def init_thickness_linfs(state: OceanState, mesh: MeshTables) -> OceanState:

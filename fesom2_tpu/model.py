@@ -81,7 +81,7 @@ class Model:
                 state = kpp_mixing.oce_mixing_kpp(state, mesh, cfg, forcing)
             else:
                 state = pp_mixing.oce_mixing_pp(state, mesh, cfg)
-            state = pp_mixing.mo_convect(state, mesh, cfg)
+            state = pp_mixing.mo_convect(state, mesh, cfg, forcing)
 
             # --- momentum (ref :2663-2682) --------------------------------
             state, u_rhs, v_rhs = dynamics.compute_vel_rhs(state, mesh, forcing, cfg)
@@ -174,6 +174,12 @@ def coupled_step_fn(model: "Model", jit: bool = True):
                                            Ssurf=model.Ssurf,
                                            ref_sss=cfg.tra.ref_sss,
                                            ref_sss_local=cfg.tra.ref_sss_local)
+        # ice fields + atm stress for Monin-Obukhov mixing (oce_mo_conv.F90)
+        ocean_forcing = replace(ocean_forcing,
+                                stress_atm_x=ice_forcing.stress_atmoce_x,
+                                stress_atm_y=ice_forcing.stress_atmoce_y,
+                                u_ice=ice.u_ice, v_ice=ice.v_ice,
+                                a_ice=ice.a_ice)
         # shortwave penetration below open water (ref ice_oce_coupling.F90:338)
         sw_3d = None
         if cfg.run.use_sw_pene:
@@ -481,6 +487,7 @@ def setup_soufflet_model(mesh_path: str = "/root/reference/test/meshes/soufflet"
     cfg.tra.K_hor = 10.0
     cfg.tra.use_instabmix = True
     cfg.tra.instabmix_kv = 0.1
+    cfg.tra.use_momix = False
     cfg.tra.tra_adv_hor = "MUSCL"
     cfg.tra.tra_adv_ver = "QR4C"
     cfg.tra.tra_adv_lim = "FCT"

@@ -68,3 +68,54 @@ def test_kpp_step_integrates(pi_mesh):
     assert np.isfinite(np.asarray(state.tr)).all()
     assert np.isfinite(np.asarray(state.u)).all()
     assert np.abs(np.asarray(state.eta)).max() < 2.0
+
+
+def test_momix_tb04(pi_mesh):
+    """Monin-Obukhov (TB04) mixing: southern-ocean nodes under strong cooling
+    get Kv += momix_kv within the MO length; northern nodes untouched;
+    mixlength relaxes with the 10-day constant on retreat
+    (ref oce_mo_conv.F90:22-57,108-194)."""
+    from dataclasses import replace
+    from fesom2_tpu.config import ModelConfig
+    from fesom2_tpu.core.state import allocate_state, init_thickness_linfs, \
+        zero_forcing
+    from fesom2_tpu.core.mixing.pp import mo_convect, _mo_length
+
+    cfg = ModelConfig()
+    cfg.tra.use_momix = True
+    cfg.tra.use_instabmix = False
+    state = init_thickness_linfs(allocate_state(pi_mesh), pi_mesh)
+    # stable stratification so instab path (off anyway) is irrelevant
+    state = replace(state, bvfreq=jnp.full_like(state.bvfreq, 1e-5))
+    forcing = zero_forcing(pi_mesh)
+    # strong cooling + some wind everywhere
+    forcing = replace(forcing,
+                      heat_flux=jnp.full(pi_mesh.n_nodes, 300.0),
+                      stress_atm_x=jnp.full(pi_mesh.n_nodes, 0.1))
+    out = mo_convect(state, pi_mesh, cfg, forcing)
+
+    lat = np.asarray(pi_mesh.geo_coords[:, 1])
+    south = lat <= np.deg2rad(-50.0)
+    north = ~south
+    assert south.sum() > 10  # pi mesh covers the Southern Ocean
+    Kv = np.asarray(out.Kv)
+    ml = np.asarray(out.mixlength)
+    # cooling -> qrho<0 -> Newton converges to >=10 m MO length
+    assert (ml[south] >= 10.0).all()
+    assert (ml[north] == 0.0).all()           # untouched (allocated zero)
+    # Kv enhanced by momix_kv at interface 1 (depth ~10m <= mixlength)
+    nln = np.asarray(pi_mesh.nlevels_node)
+    act = south & (nln > 3)
+    zb1 = np.abs(np.asarray(state.zbar_3d))[1]
+    enhanced = act & (zb1 <= ml)
+    assert enhanced.sum() > 0
+    assert np.allclose(Kv[1][enhanced], cfg.tra.momix_kv)
+    assert np.abs(Kv[1][north]).max() == 0.0
+
+    # retreat relaxation: warming (obuk -> 10) from a deep mixlength
+    f2 = replace(forcing, heat_flux=jnp.full(pi_mesh.n_nodes, -300.0),
+                 stress_atm_x=jnp.zeros(pi_mesh.n_nodes))
+    deep = jnp.full(pi_mesh.n_nodes, 500.0)
+    ml2 = np.asarray(_mo_length(f2, 900.0, deep))
+    rtc = 900.0 / (10.0 * 86400.0)
+    assert np.allclose(ml2, 500.0 + (10.0 - 500.0) * rtc)
