@@ -191,6 +191,51 @@ class IceConfig:
 # top-level config
 # --------------------------------------------------------------------------
 @dataclass
+class CvmixConfig:
+    """CVMix-style scheme parameters (ref namelist.cvmix defaults:
+    gen_modules_cvmix_pp.F90:37-49, gen_modules_cvmix_tke.F90:13-40,
+    gen_modules_cvmix_idemix.F90, gen_modules_cvmix_tidal.F90)."""
+    # param_pp
+    pp_Av0: float = 0.01
+    pp_alpha: float = 5.0
+    pp_exp: float = 2.0
+    pp_Avbckg: float = 1.0e-4
+    pp_Kvbckg: float = 1.0e-5
+    pp_use_fesompp: bool = True
+    pp_use_AvbinKv: bool = True
+    pp_use_nonconstKvb: bool = True
+    # param_tke
+    tke_c_k: float = 0.1
+    tke_c_eps: float = 0.7
+    tke_alpha: float = 30.0
+    tke_mxl_min: float = 1.0e-8
+    tke_kappaM_min: float = 0.0
+    tke_kappaM_max: float = 100.0
+    tke_cd: float = 1.0
+    tke_surf_min: float = 1.0e-4
+    tke_min: float = 1.0e-6
+    tke_mxl_choice: int = 2
+    # param_idemix
+    idemix_tau_v: float = 86400.0
+    idemix_tau_h: float = 1296000.0
+    idemix_gamma: float = 1.57
+    idemix_jstar: float = 10.0
+    idemix_mu0: float = 1.33333333
+    idemix_sforcusage: float = 0.2
+    idemix_n_hor_iwe_prop_iter: int = 5
+    idemix_surforc_file: str = ""
+    idemix_botforc_file: str = ""
+    # param_tidal
+    tidal_mixscheme: str = "Simmons"
+    tidal_efficiency: float = 0.2
+    tidal_vert_decayscale: float = 500.0
+    tidal_max_coefficient: float = 50.0e-4
+    tidal_local_mixfrac: float = 0.33
+    tidal_depth_cutoff: float = 0.0
+    tidal_forc_file: str = ""
+
+
+@dataclass
 class ModelConfig:
     runid: str = "fesom"
     MeshPath: str = "./mesh/"
@@ -204,6 +249,7 @@ class ModelConfig:
     dyn: OceDynConfig = field(default_factory=OceDynConfig)
     tra: OceTraConfig = field(default_factory=OceTraConfig)
     ice: IceConfig = field(default_factory=IceConfig)
+    cvmix: CvmixConfig = field(default_factory=CvmixConfig)
     restart_length: int = 1
     restart_length_unit: str = "m"
     logfile_outfreq: int = 1

@@ -1,0 +1,415 @@
+"""CVMix-style vertical mixing schemes: PP shear (cvmix_PP) and the
+prognostic TKE closure (cvmix_TKE).
+
+TPU design: the reference's per-column Fortran loops
+(``gen_modules_cvmix_pp.F90:164-265``, ``gen_modules_cvmix_tke.F90:245-391``
+calling ``cvmix_shear.F90:339-432`` / ``cvmix_tke.F90:387-918``) become
+dense masked ``[nl, N]`` array ops; the TKE tridiagonal is the shared
+batched Thomas solver (two ``lax.scan`` sweeps), and the mixing-length
+min-chains are two masked scans over the level axis.
+"""
+from __future__ import annotations
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+
+from ...mesh import MeshTables
+from ...constants import g, density_0
+from ..state import OceanState
+from ..ops import tridiag_solve, elem_to_node_mean
+
+
+# --------------------------------------------------------------------------
+# latitude/depth dependent background diffusivity (Q. Wang, FESOM1.4)
+# --------------------------------------------------------------------------
+def kv0_background_qiang(lat_deg, dep):
+    """ref Kv0_background_qiang oce_ale_mixing_pp.F90:91-125; lat in degrees,
+    dep positive metres. Broadcasts [nl, N] x [N]."""
+    aux = (0.6 + 1.0598 / 3.1415926
+           * jnp.arctan(4.5e-3 * (dep - 2500.0))) * 1.0e-5
+    alat = jnp.abs(lat_deg)
+    ratio = jnp.where(alat < 5.0, 1.0,
+                      jnp.minimum(1.0 + 9.0 * (alat - 5.0) / 10.0, 10.0))
+    arctic = jnp.where(dep <= 50.0, 4.0 + 6.0 * (50.0 - dep) / 50.0, 4.0)
+    ratio = jnp.where(lat_deg > 70.0, arctic, ratio)
+    return aux * ratio
+
+
+def _shear2(state: OceanState):
+    """Squared vertical shear of the node velocity at interior interfaces,
+    zero at surface/bottom rows. [nl, N]."""
+    Z3 = state.Z_3d
+    dz = Z3[:-1] - Z3[1:]
+    dz_inv = 1.0 / jnp.where(dz == 0, 1.0, dz)
+    du = (state.unode[:-1] - state.unode[1:]) * dz_inv
+    dv = (state.vnode[:-1] - state.vnode[1:]) * dz_inv
+    s2 = du * du + dv * dv
+    out = jnp.zeros_like(state.Kv)
+    return out.at[1:-1].set(s2)
+
+
+def _interface_masks(mesh: MeshTables):
+    nl = mesh.nl
+    lev = jnp.arange(nl)[:, None]
+    nb = (mesh.nlevels_node - 1)[None, :]       # bottom interface index [1,N]
+    interior = (lev >= 1) & (lev <= nb - 1)     # interfaces 1..nb-1
+    active = lev <= nb
+    return lev, nb, interior, active
+
+
+def _av_to_elems(Av_node, mesh: MeshTables):
+    """Node interface viscosity -> element interior interfaces (plain 3-node
+    mean, ref gen_modules_cvmix_pp.F90:258-264)."""
+    ae = jnp.take(Av_node, mesh.elem_nodes, axis=-1).mean(-1)  # [nl, E]
+    lev = jnp.arange(mesh.nl)[:, None]
+    emask = (lev >= 1) & (lev <= (mesh.nlevels_elem - 2)[None, :])
+    return jnp.where(emask, ae, 0.0)
+
+
+# --------------------------------------------------------------------------
+# cvmix_PP  (Pacanowski & Philander 1981 via CVMix shear, FESOM flavour)
+# --------------------------------------------------------------------------
+def calc_cvmix_pp(state: OceanState, mesh: MeshTables, cfg) -> OceanState:
+    """ref calc_cvmix_pp gen_modules_cvmix_pp.F90:164-265 +
+    cvmix_coeffs_shear (PP branch) cvmix_shear.F90:381-403."""
+    cv = cfg.cvmix
+    lev, nb, interior, _ = _interface_masks(mesh)
+
+    Ri = jnp.where(interior,
+                   jnp.maximum(state.bvfreq, 0.0)
+                   / jnp.maximum(_shear2(state), 1e-30), 0.0)
+    denom = jnp.where(Ri > 0.0, 1.0 + cv.pp_alpha * Ri, 1.0)
+
+    nu_b = cv.pp_Avbckg if (not cv.pp_use_fesompp or cv.pp_use_AvbinKv) else 0.0
+    kap_b = 0.0 if (cv.pp_use_fesompp and cv.pp_use_nonconstKvb) else cv.pp_Kvbckg
+    Av = cv.pp_Av0 / denom ** cv.pp_exp + nu_b
+    Kv = Av / denom + kap_b
+    if cv.pp_use_fesompp and not cv.pp_use_AvbinKv:
+        Av = Av + cv.pp_Avbckg          # added by hand, omitted from Kv
+    if cv.pp_use_fesompp and cv.pp_use_nonconstKvb:
+        from ...constants import rad
+        lat_deg = mesh.geo_coords[:, 1] / rad
+        Kv = Kv + kv0_background_qiang(lat_deg[None, :],
+                                       jnp.abs(state.zbar_3d))
+    Av = jnp.where(interior, Av, 0.0)
+    Kv = jnp.where(interior, Kv, 0.0)
+    return replace(state, Kv=Kv, Av=_av_to_elems(Av, mesh))
+
+
+# --------------------------------------------------------------------------
+# cvmix_TKE (prognostic turbulent kinetic energy closure)
+# --------------------------------------------------------------------------
+def calc_cvmix_tke(state: OceanState, mesh: MeshTables, cfg, forcing,
+                   iw_diss=None, iwe=None, iwe_alpha_c=None) -> OceanState:
+    """One implicit TKE step per node column (ref integrate_tke
+    cvmix_tke.F90:387-918 driven by gen_modules_cvmix_tke.F90:245-391).
+
+    With `iw_diss`/`iwe`/`iwe_alpha_c` supplied (IDEMIX coupling,
+    mix_scheme_nmb=56) the internal-wave dissipation feeds TKE and the
+    Richardson number is capped by the wave-energy criterion.
+    """
+    cv = cfg.cvmix
+    dt = cfg.dt
+    nl, N = mesh.nl, mesh.n_nodes
+    lev, nb, interior, active = _interface_masks(mesh)
+    lmask = mesh.node_layer_mask                 # [nl-1, N] active layers
+
+    dzw = jnp.where(lmask, state.hnode, 1.0)     # layer thickness, safe
+    # dzt: distance between tracer points, halved cells at the boundaries
+    Z3 = state.Z_3d
+    dzt_int = Z3[:-1] - Z3[1:]                   # [nl-2,N] interfaces 1..nl-2
+    h_bot = jnp.take_along_axis(
+        jnp.where(lmask, state.hnode, 0.0),
+        jnp.maximum(nb - 1, 0), axis=0)[0]       # bottom layer thickness [N]
+    dzt = jnp.ones((nl, N), state.Kv.dtype)
+    dzt = dzt.at[1:-1].set(jnp.abs(dzt_int))
+    dzt = dzt.at[0].set(state.hnode[0] / 2.0)
+    dzt = jnp.where(lev == nb, h_bot[None, :] / 2.0, dzt)
+    dzt = jnp.where(active & (dzt > 0), dzt, 1.0)
+
+    Ssqr = _shear2(state)
+    Nsqr = jnp.where(interior, state.bvfreq, 0.0)
+
+    # ---- mixing length (tke_mxl_choice=2): two min-chain scans ----------
+    sqrttke = jnp.sqrt(jnp.maximum(0.0, state.tke))
+    mxl = jnp.sqrt(2.0) * sqrttke / jnp.sqrt(jnp.maximum(1e-12, Nsqr))
+    mxl = jnp.where((lev == 0) | (lev >= nb), 0.0, mxl)
+
+    dzw0 = jnp.where(lmask, state.hnode, 0.0)
+
+    def fwd(carry, md):
+        m, dz_above = md
+        m = jnp.minimum(m, carry + dz_above)
+        return m, m
+    _, mxl_f = jax.lax.scan(fwd, mxl[0], (mxl[1:], dzw0))
+    mxl = jnp.concatenate([mxl[:1], mxl_f], 0)
+    # clamp at interface nb-1 with mxl_min + bottom layer thickness
+    mxl = jnp.where(lev == nb - 1,
+                    jnp.minimum(mxl, cv.tke_mxl_min + h_bot[None, :]), mxl)
+
+    def bwd(carry, mdm):
+        m, dz_here, apply = mdm
+        m = jnp.where(apply, jnp.minimum(m, carry + dz_here), m)
+        return m, m
+    apply_bwd = (lev[:-1] >= 1) & (lev[:-1] <= nb - 2)
+    _, mxl_b = jax.lax.scan(bwd, mxl[-1], (mxl[:-1], dzw0, apply_bwd),
+                            reverse=True)
+    mxl = jnp.concatenate([mxl_b, mxl[-1:]], 0)
+    mxl = jnp.maximum(mxl, cv.tke_mxl_min)
+
+    # ---- diffusivities ---------------------------------------------------
+    KappaM = jnp.minimum(cv.tke_kappaM_max, cv.tke_c_k * mxl * sqrttke)
+    Rinum = Nsqr / jnp.maximum(Ssqr, 1e-12)
+    if iwe is not None:
+        Rinum = jnp.minimum(Rinum, KappaM * Nsqr
+                            / jnp.maximum(1e-12, iwe_alpha_c * iwe ** 2))
+    prandtl = jnp.clip(6.6 * Rinum, 1.0, 10.0)
+    KappaH = KappaM / prandtl
+
+    # ---- forcing ---------------------------------------------------------
+    forc = Ssqr * KappaM - Nsqr * KappaH
+    if iw_diss is not None:
+        forc = forc + iw_diss
+    sx = elem_to_node_mean(forcing.stress_x, mesh)
+    sy = elem_to_node_mean(forcing.stress_y, mesh)
+    forc_surf = jnp.sqrt(sx ** 2 + sy ** 2) / density_0
+    forc = forc.at[0].add(cv.tke_cd * forc_surf ** 1.5 / dzt[0])
+
+    # ---- ke on layers: alpha*0.5*(K[min(k+1,nb-1)] + K[max(k,1)]) --------
+    llev = jnp.arange(nl - 1)[:, None]
+    # K[min(k+1, nb-1)]: k+1 normally; at bottom layer (k=nb-1) use K[nb-1]
+    Kp1 = jnp.where(llev == nb - 1,
+                    jnp.take_along_axis(KappaM, nb - 1, axis=0),
+                    KappaM[1:])
+    Kk = jnp.where(llev == 0, KappaM[1:2], KappaM[:-1])
+    ke = cv.tke_alpha * 0.5 * (Kp1 + Kk)
+    ke = jnp.where(lmask, ke, 0.0)
+
+    # ---- tridiagonal assembly (Neumann at both boundaries) ---------------
+    inv_tw = 1.0 / (dzt[:-1] * dzw)              # [nl-1,N]  at interface k
+    inv_aw = 1.0 / (dzt[1:] * dzw)               # at interface k+1, layer k
+    c_dif = jnp.zeros((nl, N), KappaM.dtype).at[:-1].set(ke * inv_tw)
+    c_dif = jnp.where(lev >= nb, 0.0, c_dif)
+    a_dif = jnp.zeros((nl, N), KappaM.dtype).at[1:].set(ke * inv_aw)
+    a_dif = jnp.where((lev >= 1) & (lev <= nb), a_dif, 0.0)
+    b_dif = jnp.where(interior, a_dif + c_dif, 0.0)
+    b_dif = jnp.where(lev == 0, c_dif, b_dif)
+    b_dif = jnp.where(lev == nb, a_dif, b_dif)
+
+    diss = jnp.where(interior, cv.tke_c_eps * sqrttke / mxl, 0.0)
+    a_tri = jnp.where(active, -dt * a_dif, 0.0)
+    b_tri = jnp.where(active, 1.0 + dt * (b_dif + diss), 1.0)
+    c_tri = jnp.where(active, -dt * c_dif, 0.0)
+    d_tri = jnp.where(active, state.tke + dt * forc, 0.0)
+    tke_new = tridiag_solve(a_tri, b_tri, c_tri, d_tri)
+    tke_new = jnp.where(active, jnp.maximum(tke_new, cv.tke_min), 0.0)
+
+    Kv = jnp.where(interior, KappaH, 0.0)
+    Av_n = jnp.where(interior, KappaM, 0.0)
+    return replace(state, tke=tke_new, Kv=Kv, Av=_av_to_elems(Av_n, mesh))
+
+
+# --------------------------------------------------------------------------
+# cvmix_IDEMIX (Olbers & Eden 2013 internal-wave energy)
+# --------------------------------------------------------------------------
+def _gofx2(x):
+    """ref gofx2 cvmix_idemix.F90:672-682."""
+    x2 = jnp.maximum(3.0, x)
+    c = 1.0 - (2.0 / jnp.pi) * jnp.arcsin(1.0 / x2)
+    return 2.0 / jnp.pi / c * 0.9 * x2 ** (-2.0 / 3.0) * (1.0 - jnp.exp(-x2 / 4.3))
+
+
+def _hofx2(x):
+    """ref hofx2 cvmix_idemix.F90:684-693."""
+    x2 = jnp.maximum(10.0, x)
+    return (2.0 / jnp.pi) / (1.0 - (2.0 / jnp.pi) * jnp.arcsin(1.0 / x2)) \
+        * (x2 - 1.0) / (x2 + 1.0)
+
+
+def _dzt_interfaces(state, mesh, nb, active):
+    """Tracer-point spacing at interfaces, halved cells at boundaries."""
+    nl, N = mesh.nl, mesh.n_nodes
+    lmask = mesh.node_layer_mask
+    Z3 = state.Z_3d
+    h_bot = jnp.take_along_axis(jnp.where(lmask, state.hnode, 0.0),
+                                jnp.maximum(nb - 1, 0), axis=0)[0]
+    dzt = jnp.ones((nl, N), state.Kv.dtype)
+    dzt = dzt.at[1:-1].set(jnp.abs(Z3[:-1] - Z3[1:]))
+    dzt = dzt.at[0].set(state.hnode[0] / 2.0)
+    dzt = jnp.where(jnp.arange(nl)[:, None] == nb, h_bot[None, :] / 2.0, dzt)
+    return jnp.where(active & (dzt > 0), dzt, 1.0), h_bot
+
+
+def calc_cvmix_idemix(state: OceanState, mesh: MeshTables, cfg, forcing,
+                      iw_surf=None, iw_bot=None,
+                      standalone: bool = False) -> OceanState:
+    """Internal-wave energy step (ref integrate_idemix cvmix_idemix.F90 +
+    wrapper gen_modules_cvmix_idemix.F90:168-336).
+
+    `iw_surf`/`iw_bot` [N] are the near-inertial surface and tidal bottom
+    energy fluxes already divided by density_0 (the wrapper reads them from
+    netCDF at init, :253-276); zeros when not supplied. The horizontal
+    wave-energy propagation (:363-662) is one vectorized edge pass using the
+    pre-pass iwe for all fluxes (the reference's in-place scatter order is
+    partition-dependent and not reproduced).
+    """
+    from ..ops import scalar_gradient, edge_divergence
+    cv = cfg.cvmix
+    dt = cfg.dt
+    nl, N = mesh.nl, mesh.n_nodes
+    lev, nb, interior, active = _interface_masks(mesh)
+    lmask = mesh.node_layer_mask
+    dtype = state.Kv.dtype
+    if iw_surf is None:
+        iw_surf = jnp.zeros(N, dtype)
+    if iw_bot is None:
+        iw_bot = jnp.zeros(N, dtype)
+
+    dzw = jnp.where(lmask, state.hnode, 0.0)
+    dzt, h_bot = _dzt_interfaces(state, mesh, nb, active)
+    Nsqr = jnp.where(interior, state.bvfreq, 0.0)
+    sqrtN = jnp.sqrt(jnp.maximum(0.0, Nsqr))
+
+    # column-integrated buoyancy frequency -> cstar (ref :105-110)
+    bN0 = (sqrtN[1:] * dzw).sum(0)               # interfaces 1..nb-1
+    cstar = jnp.maximum(1e-2, bN0 / (jnp.pi * cv.idemix_jstar))[None, :]
+
+    f = jnp.abs(mesh.coriolis_node)[None, :]
+    fxa = sqrtN / (1e-22 + f)
+    c0 = jnp.maximum(0.0, cv.idemix_gamma * cstar * _gofx2(fxa))
+    v0 = jnp.maximum(0.0, cv.idemix_gamma * cstar * _hofx2(fxa))
+    v0 = jnp.where(fxa < 1.0, 0.0, v0)
+    alpha_c = jnp.maximum(1e-4, cv.idemix_mu0
+                          * jnp.arccosh(jnp.maximum(1.0, fxa)) * f / cstar ** 2)
+
+    iwe_max = jnp.maximum(0.0, state.iwe)
+    # vertical diffusion of E with coefficient tau_v*c0^2 (ref :121-141)
+    safe_dzw = jnp.where(lmask, state.hnode, 1.0)
+    delta = cv.idemix_tau_v / safe_dzw * 0.5 * (c0[:-1] + c0[1:])  # [nl-1,N]
+    delta = jnp.where(lmask, delta, 0.0)
+    inv_dzt = 1.0 / dzt
+    a_dif = jnp.zeros((nl, N), dtype).at[1:].set(delta * c0[:-1] * inv_dzt[1:])
+    a_dif = jnp.where((lev >= 1) & (lev <= nb), a_dif, 0.0)
+    c_dif = jnp.zeros((nl, N), dtype).at[:-1].set(delta * c0[1:] * inv_dzt[:-1])
+    c_dif = jnp.where(lev >= nb, 0.0, c_dif)
+    dsum = jnp.zeros((nl, N), dtype)
+    dsum = dsum.at[1:].add(jnp.where(lmask, delta, 0.0))
+    dsum = dsum.at[:-1].add(jnp.where(lmask, delta, 0.0))
+    b_dif = jnp.where(interior, dsum * c0 * inv_dzt, 0.0)
+    # boundary rows: b(0)=delta(0)*c0(0)/dzt(0); b(nb)=delta(nb-1)*c0(nb)/dzt(nb)
+    b_dif = jnp.where(lev == 0, delta[0] * c0[0] * inv_dzt[0], b_dif)
+    bot_delta = jnp.take_along_axis(delta, jnp.maximum(nb - 1, 0), axis=0)[0]
+    b_dif = jnp.where(lev == nb, bot_delta[None, :] * c0 * inv_dzt, b_dif)
+
+    a_tri = jnp.where(active, -dt * a_dif, 0.0)
+    b_tri = jnp.where(active,
+                      1.0 + dt * b_dif
+                      + jnp.where(interior, dt * alpha_c * iwe_max, 0.0), 1.0)
+    c_tri = jnp.where(active, -dt * c_dif, 0.0)
+    d_tri = jnp.where(active, state.iwe, 0.0)
+    d_tri = d_tri.at[0].add(dt * iw_surf / dzt[0])
+    d_tri = d_tri + jnp.where(lev == nb, (dt * iw_bot)[None, :] / dzt, 0.0)
+    iwe_new = tridiag_solve(a_tri, b_tri, c_tri, d_tri)
+    iwe_new = jnp.where(active, iwe_new, 0.0)
+
+    # dissipation -> TKE source (ref :158-161; sign flipped to a source)
+    iwe_diss = jnp.where(interior, alpha_c * iwe_max * iwe_new, 0.0)
+
+    # ---- horizontal wave-energy propagation (one vectorized edge pass) ---
+    if cv.idemix_n_hor_iwe_prop_iter > 0:
+        n_it = cv.idemix_n_hor_iwe_prop_iter
+        cflfac = 0.2
+        fac = cv.idemix_tau_h * dt / n_it
+        # interface k budgets with the area of the layer above (surface: own)
+        area_up = jnp.concatenate([mesh.area[:1], mesh.area[:-1]], 0)
+        asv_up = jnp.concatenate([mesh.areasvol[:1], mesh.areasvol[:-1]], 0)
+        vol_i = 1.0 / jnp.where(active, asv_up * dzt, 1.0)
+        v0c = jnp.minimum(v0, jnp.sqrt(cflfac * (area_up / jnp.pi * 4.0) / fac))
+
+        gx, gy = scalar_gradient(v0c * iwe_new, mesh)        # [nl, E]
+        # element interface-centred thickness from helem
+        he = jnp.where(mesh.elem_layer_mask, state.helem, 0.0)
+        dzel = jnp.zeros((nl, mesh.n_elems), dtype)
+        dzel = dzel.at[:-1].add(0.5 * he)
+        dzel = dzel.at[1:].add(0.5 * he)
+        et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
+        has2 = et2 >= 0
+        et2s = jnp.where(has2, et2, 0)
+        dX1, dY1 = mesh.edge_cross_dxdy[:, 0], mesh.edge_cross_dxdy[:, 1]
+        dX2, dY2 = mesh.edge_cross_dxdy[:, 2], mesh.edge_cross_dxdy[:, 3]
+        em = (lev <= (mesh.nlevels_elem - 1)[None, :])       # elem interfaces
+        m1 = em[:, et1]
+        m2 = em[:, et2s] & has2[None, :]
+        t1 = (gx[:, et1] * dY1[None] - gy[:, et1] * dX1[None]) * dzel[:, et1]
+        t2 = -(gx[:, et2s] * dY2[None] - gy[:, et2s] * dX2[None]) * dzel[:, et2s]
+        gxm = 0.5 * (gx[:, et1] + gx[:, et2s])
+        gym = 0.5 * (gy[:, et1] + gy[:, et2s])
+        dzm = 0.5 * (dzel[:, et1] + dzel[:, et2s])
+        tb = ((dX2 - dX1)[None] * gym - (dY2 - dY1)[None] * gxm) * dzm
+        vflux = jnp.where(m1 & m2, tb,
+                          jnp.where(m1, t1, jnp.where(m2, t2, 0.0)))
+        n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
+        vflux = vflux * 0.5 * (v0c[:, n0] + v0c[:, n1])
+        iwe_new = iwe_new + fac * vol_i * edge_divergence(vflux, mesh)
+        iwe_new = jnp.where(active, iwe_new, 0.0)
+
+    state = replace(state, iwe=iwe_new, iwe_diss=iwe_diss,
+                    iwe_alpha_c=alpha_c)
+    if standalone:
+        # ref :324-338 (mix_scheme_nmb==6 debugging mode)
+        diss_neg = -iwe_diss
+        Kv = jnp.clip(0.2 / 1.2 * (-diss_neg) / jnp.maximum(1e-12, Nsqr),
+                      1e-9, 1.0)
+        Kv = jnp.where(interior, Kv, 0.0)
+        Av_n = 10.0 * Kv
+        ae = jnp.take(Av_n, mesh.elem_nodes, axis=-1).mean(-1)
+        emask = lev <= (mesh.nlevels_elem - 2)[None, :]
+        state = replace(state, Kv=Kv, Av=jnp.where(emask, ae, 0.0))
+    return state
+
+
+# --------------------------------------------------------------------------
+# cvmix_TIDAL (Simmons et al. 2004)
+# --------------------------------------------------------------------------
+def calc_cvmix_tidal(state: OceanState, mesh: MeshTables, cfg,
+                     tidal_forc=None) -> OceanState:
+    """Adds Simmons tidal mixing to Kv/Av (ref calc_cvmix_tidal
+    gen_modules_cvmix_tidal.F90:88-130 + cvmix_tidal.F90 Simmons
+    invariant/coeffs/vert_dep).
+
+    `tidal_forc` [N] is the bottom wave-dissipation energy flux [W/m^2]
+    (read from netCDF at init in the reference); zeros when not supplied.
+    """
+    cv = cfg.cvmix
+    nl, N = mesh.nl, mesh.n_nodes
+    lev, nb, interior, active = _interface_masks(mesh)
+    dtype = state.Kv.dtype
+    if tidal_forc is None:
+        tidal_forc = jnp.zeros(N, dtype)
+
+    simmons = (cv.tidal_local_mixfrac * cv.tidal_efficiency
+               * tidal_forc / density_0)                     # [N]
+
+    # vertical deposition: exp(-zw/zeta) at interior interfaces, normalized
+    # by sum(vert_dep * (zt(k-1)-zt(k))) (ref cvmix_compute_vert_dep)
+    vd = jnp.where(interior, jnp.exp(-state.zbar_3d
+                                     / cv.tidal_vert_decayscale), 0.0)
+    thick = jnp.zeros((nl, N), dtype).at[1:-1].set(state.Z_3d[:-1]
+                                                   - state.Z_3d[1:])
+    tot = (vd * jnp.where(interior, thick, 0.0)).sum(0)
+    vd = vd / jnp.where(tot > 0, tot, 1.0)[None, :]
+
+    depth = -jnp.take_along_axis(state.zbar_3d, nb, axis=0)[0]
+    Nsqr = state.bvfreq
+    Kv_t = jnp.where(Nsqr > 0.0, simmons[None, :] * vd / Nsqr, 0.0)
+    Kv_t = jnp.minimum(Kv_t, cv.tidal_max_coefficient)
+    Kv_t = jnp.where((depth >= cv.tidal_depth_cutoff)[None, :], Kv_t, 0.0)
+    Kv_t = jnp.where(active, Kv_t, 0.0)
+    Av_t = 1.0 * Kv_t                    # CVMix global Prandtl default 1.0
+
+    ae = jnp.take(Av_t, mesh.elem_nodes, axis=-1).mean(-1)
+    emask = lev <= (mesh.nlevels_elem - 2)[None, :]
+    return replace(state, Kv=state.Kv + Kv_t,
+                   Av=state.Av + jnp.where(emask, ae, 0.0))

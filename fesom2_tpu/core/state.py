@@ -48,6 +48,13 @@ class OceanState:
     Kv: jnp.ndarray           # [nl, N]
     # Monin-Obukhov mixed-layer length (TB04), relaxed in time [N]
     mixlength: jnp.ndarray
+    # turbulent kinetic energy at interfaces (cvmix_TKE closure) [nl, N]
+    tke: jnp.ndarray
+    # internal wave energy at interfaces (cvmix_IDEMIX) [nl, N], its
+    # dissipation (positive TKE source) and alpha_c coefficient
+    iwe: jnp.ndarray
+    iwe_diss: jnp.ndarray
+    iwe_alpha_c: jnp.ndarray
     # KPP nonlocal transport coefficient min(ghats*blmc,1) at interfaces
     kpp_nonloc: jnp.ndarray   # [nl, N]
     # diagnostics updated in pressure_bv
@@ -103,7 +110,9 @@ def allocate_state(mesh: MeshTables, n_tracers: int = 2,
         w=zE(nl, N), w_e=zE(nl, N), w_i=zE(nl, N), cfl_z=zE(nl, N),
         hnode=zE(nl - 1, N), hnode_new=zE(nl - 1, N), helem=zE(nl - 1, E),
         zbar_3d=zE(nl, N), Z_3d=zE(nl - 1, N),
-        Av=zE(nl, E), Kv=zE(nl, N), mixlength=zE(N), kpp_nonloc=zE(nl, N),
+        Av=zE(nl, E), Kv=zE(nl, N), mixlength=zE(N), tke=zE(nl, N),
+        iwe=zE(nl, N), iwe_diss=zE(nl, N), iwe_alpha_c=zE(nl, N),
+        kpp_nonloc=zE(nl, N),
         density_m_rho0=zE(nl - 1, N), hpressure=zE(nl - 1, N),
         bvfreq=zE(nl, N), dbsfc=zE(nl, N), mld1=zE(N), mld2=zE(N),
         pgf_x=zE(nl - 1, E), pgf_y=zE(nl - 1, E),

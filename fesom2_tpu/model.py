@@ -76,12 +76,45 @@ class Model:
             # --- mix & pressure (ref :2558-2655) --------------------------
             state = eos.pressure_bv(state, mesh, cfg, density_ref)
             state = dynamics.pressure_force(state, mesh, cfg)
-            if cfg.dyn.mix_scheme.upper() == "KPP":
+            # mixing dispatch (ref oce_ale.F90:2596-2660): components of
+            # mix_scheme joined by '+'; IDEMIX runs before TKE, tidal after
+            # the main scheme; mo_convect follows every main scheme
+            schemes = [s.strip().upper()
+                       for s in cfg.dyn.mix_scheme.split("+")]
+            from .core.mixing import cvmix as cvmix_mixing
+            main = [s for s in schemes
+                    if s not in ("CVMIX_IDEMIX", "CVMIX_TIDAL")]
+            main = main[0] if main else None
+            if "CVMIX_IDEMIX" in schemes:
+                state = cvmix_mixing.calc_cvmix_idemix(
+                    state, mesh, cfg, forcing,
+                    iw_surf=getattr(self, "iw_surf", None),
+                    iw_bot=getattr(self, "iw_bot", None),
+                    standalone=main is None)
+            if main == "KPP":
                 from .core.mixing import kpp as kpp_mixing
                 state = kpp_mixing.oce_mixing_kpp(state, mesh, cfg, forcing)
-            else:
+            elif main == "PP":
                 state = pp_mixing.oce_mixing_pp(state, mesh, cfg)
-            state = pp_mixing.mo_convect(state, mesh, cfg, forcing)
+            elif main == "CVMIX_PP":
+                state = cvmix_mixing.calc_cvmix_pp(state, mesh, cfg)
+            elif main == "CVMIX_TKE":
+                if "CVMIX_IDEMIX" in schemes:
+                    state = cvmix_mixing.calc_cvmix_tke(
+                        state, mesh, cfg, forcing,
+                        iw_diss=state.iwe_diss, iwe=state.iwe,
+                        iwe_alpha_c=state.iwe_alpha_c)
+                else:
+                    state = cvmix_mixing.calc_cvmix_tke(state, mesh, cfg,
+                                                        forcing)
+            elif main is not None:
+                raise ValueError(f"unknown mix_scheme {cfg.dyn.mix_scheme}")
+            if main is not None:
+                state = pp_mixing.mo_convect(state, mesh, cfg, forcing)
+            if "CVMIX_TIDAL" in schemes:
+                state = cvmix_mixing.calc_cvmix_tidal(
+                    state, mesh, cfg,
+                    tidal_forc=getattr(self, "tidal_forc", None))
 
             # --- momentum (ref :2663-2682) --------------------------------
             state, u_rhs, v_rhs = dynamics.compute_vel_rhs(state, mesh, forcing, cfg)
