@@ -17,7 +17,7 @@ from ..constants import g, density_0, r_earth
 from ..mesh import MeshTables
 from .state import OceanState, Forcing
 from .ops import (scalar_gradient, tridiag_solve, elem_to_node_mean,
-                  edge_divergence, cumsum_bottom_up)
+                  edge_divergence, cumsum_bottom_up, elem_contrib_to_nodes)
 
 
 def _elem_interface_mask(mesh: MeshTables):
@@ -220,6 +220,68 @@ def compute_vel_rhs(state: OceanState, mesh: MeshTables, forcing: Forcing,
         u_rhsAB, v_rhsAB = momentum_adv_scalar(state, mesh, u_rhsAB, v_rhsAB)
 
     # combine; first step uses pure forward (ff_ab=1.0, ref :123-127)
+    ff_ab = jnp.where(state.step == 0, 1.0, 1.5 + eps)
+    inv_area = 1.0 / jnp.maximum(area, 1e-30)
+    u_rhs = dt * (u_rhs + u_rhsAB * ff_ab) * inv_area[None]
+    v_rhs = dt * (v_rhs + v_rhsAB * ff_ab) * inv_area[None]
+    u_rhs = jnp.where(lmask, u_rhs, 0.0)
+    v_rhs = jnp.where(lmask, v_rhs, 0.0)
+    return replace(state, u_rhsAB=u_rhsAB, v_rhsAB=v_rhsAB), u_rhs, v_rhs
+
+
+def compute_vel_rhs_vinv(state: OceanState, mesh: MeshTables,
+                         forcing: Forcing, cfg):
+    """Vector-invariant momentum rhs, mom_adv=3 (ref compute_vel_rhs_vinv
+    oce_vel_rhs_vinv.F90:104-290): advection enters as (f+zeta) x u plus the
+    gradient of kinetic energy; the pressure term is the plain
+    -grad(g*eta + hpressure/rho0) (no PGF-discretization dispatch).
+
+    The reference's vertical momentum-advection block multiplies by a local
+    w that is initialised to 0 and never set (:119, :225-243) - identically
+    zero, so it is omitted here.
+    """
+    dt = cfg.dt
+    eps = cfg.dyn.epsilon
+    lmask = mesh.elem_layer_mask
+    area = mesh.elem_area
+
+    # kinetic energy at nodes: sum |U|^2 * elem_area / (6*areasvol)
+    # (ref :141-158), zeroed at boundary-edge nodes (:160-166)
+    ke2 = (state.u ** 2 + state.v ** 2) * area[None, :]       # [nl-1, E]
+    ke2 = jnp.where(lmask, ke2, 0.0)
+    KE = elem_contrib_to_nodes(
+        jnp.repeat(ke2[..., None], 3, axis=-1), mesh) \
+        / (6.0 * jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0))
+    bnd_node = ((mesh.node_edges >= mesh.n_edges_in)
+                & (mesh.node_edges >= 0)).any(-1)             # [N]
+    KE = jnp.where(bnd_node[None, :], 0.0, KE)
+    KE = jnp.where(mesh.node_layer_mask, KE, 0.0)
+
+    # AB part (ref :168-176)
+    u_rhs = -(0.5 + eps) * state.u_rhsAB
+    v_rhs = -(0.5 + eps) * state.v_rhsAB
+
+    vort = relative_vorticity(state, mesh)
+
+    en = mesh.elem_nodes
+    # pressure: grad(-(g*eta + hpressure/rho0)) per layer (ref :185-196)
+    pre = -(g * state.eta[None, :] + state.hpressure / density_0)  # [nl-1,N]
+    pe = jnp.take(pre, en, axis=-1)                           # [nl-1, E, 3]
+    gsx, gsy = mesh.gradient_sca[:, 0:3], mesh.gradient_sca[:, 3:6]
+    Fx = (pe * gsx).sum(-1)
+    Fy = (pe * gsy).sum(-1)
+    u_rhs = u_rhs + jnp.where(lmask, Fx * area[None], 0.0)
+    v_rhs = v_rhs + jnp.where(lmask, Fy * area[None], 0.0)
+
+    # AB memory: -grad(KE) + (f+zeta)_mean x u (ref :197-204)
+    kee = jnp.take(-KE, en, axis=-1)
+    Kx = (kee * gsx).sum(-1)
+    Ky = (kee * gsy).sum(-1)
+    fz = (jnp.take(mesh.coriolis_node, en, axis=-1)[None, :, :]
+          + jnp.take(vort, en, axis=-1)).sum(-1) / 3.0        # [nl-1, E]
+    u_rhsAB = jnp.where(lmask, (state.v * fz + Kx) * area[None], 0.0)
+    v_rhsAB = jnp.where(lmask, (-state.u * fz + Ky) * area[None], 0.0)
+
     ff_ab = jnp.where(state.step == 0, 1.0, 1.5 + eps)
     inv_area = 1.0 / jnp.maximum(area, 1e-30)
     u_rhs = dt * (u_rhs + u_rhsAB * ff_ab) * inv_area[None]

@@ -116,8 +116,13 @@ class Model:
                     state, mesh, cfg,
                     tidal_forc=getattr(self, "tidal_forc", None))
 
-            # --- momentum (ref :2663-2682) --------------------------------
-            state, u_rhs, v_rhs = dynamics.compute_vel_rhs(state, mesh, forcing, cfg)
+            # --- momentum (ref :2663-2682; mom_adv=3 -> vector-invariant) -
+            if cfg.dyn.mom_adv == 3:
+                state, u_rhs, v_rhs = dynamics.compute_vel_rhs_vinv(
+                    state, mesh, forcing, cfg)
+            else:
+                state, u_rhs, v_rhs = dynamics.compute_vel_rhs(state, mesh,
+                                                               forcing, cfg)
             state, u_rhs, v_rhs = dynamics.viscosity_filter(state, mesh, cfg,
                                                             u_rhs, v_rhs)
             if cfg.dyn.i_vert_visc:
