@@ -175,6 +175,7 @@ class IceConfig:
     ice_diff: float = 0.0
     theta_io: float = 0.0
     ice_ave_steps: int = 1        # ice step every ice_ave_steps ocean steps
+    Sice: float = 4.0             # ice salinity [psu] (ice_modules.F90:132)
     h0: float = 0.5               # lead closing parameter [m]
     emiss_ice: float = 0.97
     emiss_wat: float = 0.97

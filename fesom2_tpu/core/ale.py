@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from dataclasses import replace
 
+import jax
 import jax.numpy as jnp
 
 from ..mesh import MeshTables
@@ -47,9 +48,59 @@ def vert_vel_ale(state: OceanState, mesh: MeshTables, cfg,
     hnode_new = state.hnode
     which = cfg.ale.which_ALE
     if which == "zlevel":
-        dhbar = state.hbar - state.hbar_old
-        w = w.at[0].add(-dhbar / cfg.dt)
-        hnode_new = hnode_new.at[0].set(state.hnode[0] + dhbar)
+        # zlevel with local-zstar fallback (ref oce_ale.F90:1836-2016):
+        # normally dhbar goes into the top layer only; when that would thin
+        # it below min_hnode*nominal, the loss is spread greedily over the
+        # first lzstar_lev layers (capacity-limited, CFL_z>=0.95 excluded);
+        # on positive dhbar the subsurface deficits are refilled bottom-up
+        # before the rest returns to the surface layer.  The reference's
+        # "cumulative" capacity sum (:1891) is a pairwise sum (bug: the
+        # implied-do does not accumulate) used only as a loop bound; we use
+        # the intended greedy distribution directly.
+        dhbar = state.hbar - state.hbar_old                   # [N]
+        K = int(cfg.ale.lzstar_lev)
+        nominal = (mesh.zbar[:-1] - mesh.zbar[1:])            # [nl-1]
+        lay = jnp.arange(mesh.nl - 1)[:, None]
+        nln_min = _nlevels_node_min(mesh)
+        # layers allowed to change: 0..min(K, nln_min-2)-1 for the spread
+        allowed = lay < jnp.minimum(K, nln_min - 2)[None, :]
+
+        go_zstar = (dhbar < 0.0) & \
+            (state.hnode[0] + dhbar <= nominal[0] * cfg.ale.min_hnode)
+        deficit = nominal[:, None] - state.hnode              # [nl-1, N]
+        has_deficit = (jnp.where((lay >= 1) & (lay < K), jnp.abs(deficit), 0.0)
+                       .max(0) > 0.0)
+        go_refill = (dhbar > 0.0) & has_deficit
+
+        # --- case A: spread negative dhbar, capacity-limited, top-down ----
+        capA = jnp.minimum(nominal[:, None] * cfg.ale.min_hnode
+                           - state.hnode, 0.0)
+        capA = jnp.where(state.cfl_z[:-1] >= 0.95, 0.0, capA)
+        capA = jnp.where(allowed, capA, 0.0)
+
+        def fa(rest, cap):
+            d = jnp.maximum(rest, cap)
+            return jnp.minimum(rest - d, 0.0), d
+        _, distA = jax.lax.scan(fa, dhbar, capA)
+
+        # --- case B: refill deficits bottom-up, surface unlimited ---------
+        capB = jnp.where(allowed, jnp.maximum(deficit, 0.0), 0.0)
+        capB = capB.at[0].set(jnp.where(allowed[0], 1000.0, 0.0))
+
+        def fb(rest, cap):
+            d = jnp.minimum(rest, cap)
+            return jnp.maximum(rest - d, 0.0), d
+        _, distB = jax.lax.scan(fb, dhbar, capB, reverse=True)
+
+        # --- case C: plain zlevel -----------------------------------------
+        distC = jnp.zeros_like(distA).at[0].set(dhbar)
+
+        dist = jnp.where(go_zstar[None, :], distA,
+                         jnp.where(go_refill[None, :], distB, distC))
+        # W at interface k absorbs everything distributed at/below k
+        w_int = jnp.cumsum(dist[::-1], 0)[::-1]               # [nl-1, N]
+        w = w.at[:-1].add(-w_int / cfg.dt)
+        hnode_new = hnode_new + dist
         w = w.at[0].add(-forcing.water_flux)
     elif which == "zstar":
         # distribute dhbar over the column proportionally to unperturbed

@@ -96,6 +96,7 @@ class Forcing:
     u_ice: jnp.ndarray        # [N]
     v_ice: jnp.ndarray        # [N]
     a_ice: jnp.ndarray        # [N]
+    thdgr: jnp.ndarray        # [N] thermodynamic ice growth rate (for SPP)
 
 
 def allocate_state(mesh: MeshTables, n_tracers: int = 2,
@@ -128,7 +129,7 @@ def zero_forcing(mesh: MeshTables, dtype=jnp.float64) -> Forcing:
     return Forcing(stress_x=z(E), stress_y=z(E), heat_flux=z(N),
                    water_flux=z(N), virtual_salt=z(N), relax_salt=z(N),
                    real_salt_flux=z(N), stress_atm_x=z(N), stress_atm_y=z(N),
-                   u_ice=z(N), v_ice=z(N), a_ice=z(N))
+                   u_ice=z(N), v_ice=z(N), a_ice=z(N), thdgr=z(N))
 
 
 def init_thickness_linfs(state: OceanState, mesh: MeshTables) -> OceanState:

@@ -626,6 +626,48 @@ def sw_3d_source(sw_3d, mesh: MeshTables, dt):
     return jnp.where(mesh.node_layer_mask, src, 0.0)
 
 
+def salt_plume(S, state, mesh: MeshTables, forcing, cfg):
+    """Salt-plume parameterization: brine rejected by growing ice is removed
+    from the surface layer and redistributed over the mixed layer with
+    (Z1-Zk)^5 weights — Northern Hemisphere, Nguyen 2011 criterion
+    (ref cal_rejected_salt/app_rejected_salt oce_spp.F90:1-69).
+
+    S [nl-1, N] salinity; returns the updated salinity.
+    """
+    from ..constants import rhoice, rhowat, density_0, g
+    dt = cfg.dt
+    Sice = cfg.ice.Sice
+    n_distr = 5
+    drhodz_cri = 0.01
+    S0 = S[0]
+
+    rej = jnp.where(forcing.thdgr > 0.0,
+                    (S0 - Sice) * forcing.thdgr * (rhoice / rhowat) * dt
+                    * mesh.area[0], 0.0)                      # [N]
+    apply = (rej > 0.0) & (S0 >= 10.0) & (mesh.geo_coords[:, 1] > 0.0)
+
+    # mixed-layer extent: first layer k with drho/dz >= cri or Z_k < -50 m
+    drhodz = state.bvfreq[:-1] * density_0 / g                # layer-indexed
+    cond = (drhodz >= drhodz_cri) | (state.Z_3d < -50.0)      # [nl-1, N]
+    lay = jnp.arange(mesh.nl - 1)[:, None]
+    cond = cond | (lay >= (mesh.nlevels_node - 2)[None, :])   # stop above bottom
+    n_cont = jnp.argmax(cond, 0)                              # deepest layer
+    recv = (lay >= 1) & (lay <= n_cont[None, :])              # layers 1..kml
+
+    w = mesh.area[:-1] * state.hnode \
+        * (state.Z_3d[0][None, :] - state.Z_3d) ** n_distr
+    w = jnp.where(recv, w, 0.0)
+    wsum = w.sum(0)
+    ok = apply & (n_cont >= 1) & (wsum > 0.0)
+    w = w / jnp.where(wsum > 0, wsum, 1.0)[None, :]
+
+    hsafe = jnp.where(mesh.node_layer_mask, state.hnode, 1.0)
+    asafe = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
+    dS = rej[None, :] * w / asafe / hsafe                     # additions
+    dS = dS.at[0].set(-rej / asafe[0] / hsafe[0])             # removal
+    return jnp.where(ok[None, :] & mesh.node_layer_mask, S + dS, S)
+
+
 def bc_surface(tracer_id: int, t_surf, forcing, dt, is_nonlinfs: float):
     """Surface boundary source (ref bc_surface :1154-1195)."""
     if tracer_id == 0:

@@ -217,7 +217,7 @@ def coupled_step_fn(model: "Model", jit: bool = True):
                                 stress_atm_x=ice_forcing.stress_atmoce_x,
                                 stress_atm_y=ice_forcing.stress_atmoce_y,
                                 u_ice=ice.u_ice, v_ice=ice.v_ice,
-                                a_ice=ice.a_ice)
+                                a_ice=ice.a_ice, thdgr=ice.thdgr)
         # shortwave penetration below open water (ref ice_oce_coupling.F90:338)
         sw_3d = None
         if cfg.run.use_sw_pene:
@@ -239,6 +239,11 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
                   st: TracerStatics, forcing: Forcing, is_nonlinfs: float,
                   sst=None, fer=None, redi=None, sw_3d=None) -> OceanState:
     dt = cfg.dt
+    # salt-plume brine redistribution (ref oce_ale_tracer.F90:120-121)
+    if cfg.dyn.SPP:
+        tr = state.tr.at[1].set(
+            tracers.salt_plume(state.tr[1], state, mesh, forcing, cfg))
+        state = replace(state, tr=tr)
     # GM bolus velocities advect tracers only (ref solve_tracers_ale :126-136)
     if fer is not None:
         fer_u, fer_v, fer_w = fer
