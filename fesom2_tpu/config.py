@@ -68,6 +68,8 @@ class RunConfig:
     which_toy: str = "soufflet"
     flag_debug: bool = False
     flag_warn_cflz: bool = True
+    use_global_tides: bool = False  # luni-solar potential (mo_tidal)
+    l_mslp: bool = False            # sea-level pressure forcing
 
 
 # --------------------------------------------------------------------------

@@ -203,8 +203,20 @@ def compute_vel_rhs(state: OceanState, mesh: MeshTables, forcing: Forcing,
     u_rhs = -(0.5 + eps) * state.u_rhsAB
     v_rhs = -(0.5 + eps) * state.v_rhsAB
 
-    # sea level pressure contribution -g*grad(eta) (+ice/air later)
-    gx, gy = scalar_gradient(-g * state.eta, mesh)          # [E]
+    # surface pressure: -(g*eta + p_ice + p_air) - ssh_gp
+    # (ref oce_ale_vel_rhs.F90:60-96: floating-ice loading when use_floatice
+    # and not linfs; sea-level pressure when l_mslp; tidal potential when
+    # use_global_tides)
+    pre2d = -g * state.eta
+    if cfg.run.use_floatice and cfg.ale.which_ALE != "linfs":
+        from ..constants import rhoice, rhosno, rhowat
+        p_ice = (forcing.m_ice * rhoice + forcing.m_snow * rhosno) / rhowat
+        pre2d = pre2d - g * jnp.minimum(p_ice, cfg.ale.max_ice_loading)
+    if cfg.run.l_mslp:
+        pre2d = pre2d - forcing.press_air / 1000.0
+    if cfg.run.use_global_tides:
+        pre2d = pre2d - forcing.ssh_gp
+    gx, gy = scalar_gradient(pre2d, mesh)                   # [E]
     Fx = gx[None, :] - state.pgf_x
     Fy = gy[None, :] - state.pgf_y
     u_rhs = u_rhs + jnp.where(lmask, Fx * area[None], 0.0)

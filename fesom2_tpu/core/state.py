@@ -97,6 +97,11 @@ class Forcing:
     v_ice: jnp.ndarray        # [N]
     a_ice: jnp.ndarray        # [N]
     thdgr: jnp.ndarray        # [N] thermodynamic ice growth rate (for SPP)
+    # extra surface pressure terms (ref oce_ale_vel_rhs.F90:60-90)
+    ssh_gp: jnp.ndarray       # [N] tidal potential [m^2/s^2]
+    m_ice: jnp.ndarray        # [N] ice mass (floating-ice loading)
+    m_snow: jnp.ndarray       # [N]
+    press_air: jnp.ndarray    # [N] sea-level pressure [Pa]
 
 
 def allocate_state(mesh: MeshTables, n_tracers: int = 2,
@@ -129,7 +134,8 @@ def zero_forcing(mesh: MeshTables, dtype=jnp.float64) -> Forcing:
     return Forcing(stress_x=z(E), stress_y=z(E), heat_flux=z(N),
                    water_flux=z(N), virtual_salt=z(N), relax_salt=z(N),
                    real_salt_flux=z(N), stress_atm_x=z(N), stress_atm_y=z(N),
-                   u_ice=z(N), v_ice=z(N), a_ice=z(N), thdgr=z(N))
+                   u_ice=z(N), v_ice=z(N), a_ice=z(N), thdgr=z(N),
+                   ssh_gp=z(N), m_ice=z(N), m_snow=z(N), press_air=z(N))
 
 
 def init_thickness_linfs(state: OceanState, mesh: MeshTables) -> OceanState:

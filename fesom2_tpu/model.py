@@ -217,7 +217,8 @@ def coupled_step_fn(model: "Model", jit: bool = True):
                                 stress_atm_x=ice_forcing.stress_atmoce_x,
                                 stress_atm_y=ice_forcing.stress_atmoce_y,
                                 u_ice=ice.u_ice, v_ice=ice.v_ice,
-                                a_ice=ice.a_ice, thdgr=ice.thdgr)
+                                a_ice=ice.a_ice, thdgr=ice.thdgr,
+                                m_ice=ice.m_ice, m_snow=ice.m_snow)
         # shortwave penetration below open water (ref ice_oce_coupling.F90:338)
         sw_3d = None
         if cfg.run.use_sw_pene:
@@ -494,13 +495,29 @@ def pi_coupled_step_fn(model: Model, atm, jit: bool = True):
     base_oce_forcing = zero_forcing(mesh, model.density_ref.dtype)
     coupled = coupled_step_fn(model, jit=False)
 
+    tide_offset = None
+    if cfg.run.use_global_tides:
+        from .forcing import tides
+        start_month = 1 + (cfg.clock.daynew - 1) // 31
+        tide_offset = tides.foreph_offset(cfg.clock.yearnew, start_month,
+                                          cfg.dt)
+
     def step(state, ice, step_idx):
         t_sec = (step_idx.astype(model.density_ref.dtype)) * cfg.dt
         surf = ice_cpl.ocean2ice(state, mesh)
         ice_forcing = update_atm_forcing(atm, t_sec, ice.u_ice, ice.v_ice,
                                          surf.u_w, surf.v_w, surf.T_oc,
                                          base_ice_forcing)
-        return coupled(state, ice, base_oce_forcing, ice_forcing)
+        oce_forcing = base_oce_forcing
+        if tide_offset is not None:
+            # ref fvom_main.F90:199-202: foreph increments mmccdt first
+            mmccdt = tide_offset + step_idx.astype(model.density_ref.dtype) + 1.0
+            from .forcing import tides
+            ssh_gp = tides.tidal_potential(mmccdt, cfg.dt,
+                                           mesh.geo_coords[:, 0],
+                                           mesh.geo_coords[:, 1])
+            oce_forcing = replace(oce_forcing, ssh_gp=ssh_gp)
+        return coupled(state, ice, oce_forcing, ice_forcing)
 
     return jax.jit(step) if jit else step
 
