@@ -194,6 +194,19 @@ class IceConfig:
 # top-level config
 # --------------------------------------------------------------------------
 @dataclass
+class DiagConfig:
+    """&diag_list (ref gen_modules_diag.F90:55-71)."""
+    ldiag_solver: bool = False
+    lcurt_stress_surf: bool = False
+    ldiag_curl_vel3: bool = False
+    ldiag_energy: bool = False
+    ldiag_salt3D: bool = False
+    ldiag_dMOC: bool = False
+    ldiag_DVD: bool = False
+    ldiag_forc: bool = False
+
+
+@dataclass
 class CvmixConfig:
     """CVMix-style scheme parameters (ref namelist.cvmix defaults:
     gen_modules_cvmix_pp.F90:37-49, gen_modules_cvmix_tke.F90:13-40,
@@ -253,6 +266,7 @@ class ModelConfig:
     tra: OceTraConfig = field(default_factory=OceTraConfig)
     ice: IceConfig = field(default_factory=IceConfig)
     cvmix: CvmixConfig = field(default_factory=CvmixConfig)
+    diag: DiagConfig = field(default_factory=DiagConfig)
     restart_length: int = 1
     restart_length_unit: str = "m"
     logfile_outfreq: int = 1

@@ -76,6 +76,11 @@ def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
         if verbose and (k + 1) % logfile_outfreq == 0:
             info = step_info(state, model.mesh, ice)
             print(format_step_info(info, k + 1), flush=True)
+            if model.cfg.diag.ldiag_salt3D:
+                from .core.diagnostics import salt3d_integral
+                print(" total integral of salinity at timestep : %d %.10e"
+                      % (k + 1, float(salt3d_integral(state, model.mesh))),
+                      flush=True)
             if int(check_blowup(state, model.mesh, ice)) != 0:
                 blow_path = os.path.join(result_path, "blowup.nc")
                 write_restart(blow_path, state, ice, step=k)
