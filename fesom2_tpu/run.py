@@ -51,6 +51,9 @@ def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
     """Run the coupled global pi configuration for n_steps (CI analog)."""
     model, atm = setup_pi_model(dtype=dtype)
     state, ice = pi_initial_state(model, dtype=dtype)
+    os.makedirs(result_path, exist_ok=True)
+    from .io.mesh_info import write_mesh_info
+    write_mesh_info(result_path, model.mesh)   # ref fvom_main.F90 fresh runs
     step = pi_coupled_step_fn(model, atm)
     clock = Clock(0.0, 1, 1948)
     streams = OutputStreams(default_ocean_streams(model.mesh)

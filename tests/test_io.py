@@ -103,3 +103,24 @@ def test_step_info_and_blowup(souf_mesh):
     assert int(check_blowup(bad, souf_mesh)) == 1
     nanbad = dataclasses.replace(state, u=state.u.at[0, 0].set(jnp.nan))
     assert int(check_blowup(nanbad, souf_mesh)) == 1
+
+
+def test_mesh_info_writer(tmp_path, pi_mesh):
+    """fesom.mesh.diag.nc round-trip: variable set, 1-based connectivity,
+    bottom depths (ref io_mesh_info.F90:37-276)."""
+    from fesom2_tpu.io.mesh_info import write_mesh_info
+    from fesom2_tpu.io.netcdf import read_vars, list_vars
+    p = write_mesh_info(str(tmp_path), pi_mesh)
+    names = set(list_vars(p))
+    for req in ("nz", "nz1", "elem_area", "nlevels_nod2D", "nlevels",
+                "nod_in_elem2D_num", "nod_part", "elem_part",
+                "zbar_e_bottom", "zbar_n_bottom", "lon", "lat", "nod_area",
+                "elements", "nodes", "nod_in_elem2D", "edges", "edge_tri",
+                "edge_cross_dxdy", "gradient_sca_x", "gradient_sca_y"):
+        assert req in names, req
+    v = read_vars(p, ["elements", "nlevels_nod2D", "zbar_n_bottom", "lat"])
+    assert v["elements"].min() == 1                      # 1-based
+    assert v["elements"].max() == pi_mesh.n_nodes
+    assert (v["nlevels_nod2D"] == np.asarray(pi_mesh.nlevels_node)).all()
+    assert v["zbar_n_bottom"].min() < -5000.0            # deep ocean present
+    assert np.abs(v["lat"]).max() <= 90.0
