@@ -190,3 +190,102 @@ def update_atm_forcing(atm: AtmData, t_sec, ice_u, ice_v, ocean_u_w,
                     stress_atmoce_x=sox, stress_atmoce_y=soy,
                     stress_atmice_x=six, stress_atmice_y=siy,
                     Ch_atm_oce=ch, Ce_atm_oce=ce)
+
+
+# --------------------------------------------------------------------------
+# generic per-variable forcing spec (&nam_sbc analog)
+# --------------------------------------------------------------------------
+@dataclass
+class SbcVar:
+    """One forcing variable: file (or yearly file prefix), variable name,
+    and the netCDF time-axis origin offset in seconds (ref &nam_sbc
+    namelist.forcing:28-56: nm_*_file/nm_*_var/nm_nc_*)."""
+    file: str
+    var: str
+    time_unit: float = 3600.0      # seconds per time-axis unit
+    time_offset: float = 0.0       # seconds added to the axis
+    scale: float = 1.0             # unit conversion applied to the data
+    offset: float = 0.0
+
+
+@dataclass
+class SbcConfig:
+    """nm_sbc=2 style per-variable inputs (JRA55-do / ERA5 layouts)."""
+    xwind: SbcVar = None
+    ywind: SbcVar = None
+    tair: SbcVar = None            # expected Kelvin in file (offset=-tmelt)
+    humi: SbcVar = None
+    qsr: SbcVar = None             # downward shortwave
+    qlw: SbcVar = None             # downward longwave
+    prec: SbcVar = None            # kg/m2/s in file (scale 1e-3 -> m/s)
+    snow: SbcVar = None
+    runoff_file: str = ""
+    runoff_var: str = ""
+
+
+def _detect_coords(path):
+    """Find lon/lat/time variable names in a forcing file."""
+    from ..io.netcdf import list_vars
+    names = list_vars(path)
+    low = {n.lower(): n for n in names}
+    lon = next(low[k] for k in ("lon", "longitude", "x") if k in low)
+    lat = next(low[k] for k in ("lat", "latitude", "y") if k in low)
+    time = next(low[k] for k in ("time", "t") if k in low)
+    return lon, lat, time
+
+
+def _read_sbc_var(spec: SbcVar, year: int, glon, glat):
+    path = spec.file
+    if not os.path.exists(path):
+        path = f"{spec.file}{year}.nc"
+    lon_n, lat_n, t_n = _detect_coords(path)
+    d = read_vars(path, [lon_n, lat_n, t_n, spec.var])
+    idx, w = bilinear_weights(d[lon_n].astype(np.float64),
+                              d[lat_n].astype(np.float64), glon, glat)
+    vals = apply_weights(d[spec.var].astype(np.float64), idx, w)
+    vals = vals * spec.scale + spec.offset
+    t = d[t_n].astype(np.float64) * spec.time_unit + spec.time_offset
+    return vals, t
+
+
+def load_sbc_forcing(mesh: MeshTables, sbc: SbcConfig, year: int,
+                     dtype=jnp.float64) -> AtmData:
+    """Generic forcing loader for per-variable file/varname configs
+    (the nm_sbc=2 path of sbc_ini/sbc_do, gen_surface_forcing.F90:877-1300).
+    Produces the same AtmData the coupled step consumes."""
+    glon = np.asarray(mesh.geo_coords)[:, 0] / rad
+    glat = np.asarray(mesh.geo_coords)[:, 1] / rad
+
+    u10, t_wind = _read_sbc_var(sbc.xwind, year, glon, glat)
+    v10, _ = _read_sbc_var(sbc.ywind, year, glon, glat)
+    t10, _ = _read_sbc_var(sbc.tair, year, glon, glat)
+    q10, _ = _read_sbc_var(sbc.humi, year, glon, glat)
+    sw, t_rad = _read_sbc_var(sbc.qsr, year, glon, glat)
+    lw, _ = _read_sbc_var(sbc.qlw, year, glon, glat)
+    pr, t_prec = _read_sbc_var(sbc.prec, year, glon, glat)
+    snow, _ = _read_sbc_var(sbc.snow, year, glon, glat)
+
+    runoff = np.zeros(mesh.n_nodes)
+    if sbc.runoff_file:
+        lon_n, lat_n, _t = _detect_coords(sbc.runoff_file)
+        d = read_vars(sbc.runoff_file, [lon_n, lat_n, sbc.runoff_var])
+        idx, w = bilinear_weights(d[lon_n].astype(np.float64),
+                                  d[lat_n].astype(np.float64), glon, glat)
+        r = d[sbc.runoff_var]
+        r = r[0] if r.ndim == 3 else r
+        r = np.where(np.abs(r) > 1e10, 0.0, r.astype(np.float64))
+        runoff = apply_weights(r, idx, w) / 1000.0
+
+    if not mesh.cartesian:
+        m = rotation_matrix(50.0, 15.0, -90.0)
+        rlon = np.asarray(mesh.coords)[:, 0]
+        rlat = np.asarray(mesh.coords)[:, 1]
+        u10, v10 = _vector_g2r(m, glon * rad, glat * rad, rlon, rlat,
+                               u10, v10)
+
+    f = lambda x: jnp.asarray(x, dtype)
+    return AtmData(u_wind=f(u10), v_wind=f(v10), tair=f(t10 - tmelt),
+                   shum=f(q10), t_wind=f(t_wind), swdn=f(sw), lwdn=f(lw),
+                   t_rad=f(t_rad), prec=f(pr / 1000.0),
+                   snow=f(snow / 1000.0), t_prec=f(t_prec),
+                   runoff=f(runoff))
