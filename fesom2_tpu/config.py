@@ -220,6 +220,25 @@ class CvmixConfig:
     pp_use_fesompp: bool = True
     pp_use_AvbinKv: bool = True
     pp_use_nonconstKvb: bool = True
+    # param_kpp (gen_modules_cvmix_kpp.F90:20-52)
+    kpp_Rib_crit: float = 0.3
+    kpp_vonKarman: float = 0.40
+    kpp_minOBLdepth: float = 0.0
+    kpp_minVtsqr: float = 1.0e-10
+    kpp_surf_layer_ext: float = 0.10
+    kpp_cs: float = 98.96           # CVMix c_s constant
+    kpp_cs2: float = 6.32739901508  # nonlocal transport coefficient
+    kpp_use_enhanceKv: bool = True
+    kpp_use_compEkman: bool = True
+    kpp_use_monob: bool = True
+    kpp_reduce_tauuice: bool = False
+    kpp_Av0: float = 5.0e-3
+    kpp_Kv0: float = 5.0e-3
+    kpp_Ri0: float = 0.7
+    kpp_loc_exp: float = 3.0
+    kpp_use_nonconstKvb: bool = True
+    kpp_Avbckg: float = 1.0e-4
+    kpp_Kvbckg: float = 1.0e-5
     # param_tke
     tke_c_k: float = 0.1
     tke_c_eps: float = 0.7

@@ -413,3 +413,199 @@ def calc_cvmix_tidal(state: OceanState, mesh: MeshTables, cfg,
     emask = lev <= (mesh.nlevels_elem - 2)[None, :]
     return replace(state, Kv=state.Kv + Kv_t,
                    Av=state.Av + jnp.where(emask, ae, 0.0))
+
+
+# --------------------------------------------------------------------------
+# cvmix_KPP (CVMix-flavour KPP boundary layer, mix_scheme nmb 3)
+# --------------------------------------------------------------------------
+def calc_cvmix_kpp(state: OceanState, mesh: MeshTables, cfg, forcing,
+                   sw_3d=None) -> OceanState:
+    """CVMix KPP with the FESOM default options (ref calc_cvmix_kpp
+    gen_modules_cvmix_kpp.F90:171-456 + cvmix_kpp.F90: compute_bulk_Richardson,
+    compute_unresolved_shear, compute_OBL_depth_low (linear interp, Ekman +
+    Monin-Obukhov limits), coeffs_kpp_low (ParabolicNonLocal shapes) and
+    compute_enhanced_diff): surface-layer-averaged bulk Richardson number,
+    linearly interpolated OBL depth, sigma(1-sigma)^2 boundary-layer
+    profile, enhanced diffusion at the OBL base, KPP-shear interior mixing
+    with the Qiang background.
+
+    Non-default options not implemented: kpp_use_fesomkpp=.true. branch,
+    quadratic/cubic Ri interpolation, matchtechc other than
+    ParabolicNonLocal, kpp_internalmix='PP'.
+    """
+    from ..eos import eos_components
+    from ...constants import rad, vcpw, g as g_
+    cv = cfg.cvmix
+    nl, N = mesh.nl, mesh.n_nodes
+    lev, nb, interior, active = _interface_masks(mesh)
+    lmask = mesh.node_layer_mask
+    llev = jnp.arange(nl - 1)[:, None]
+    dtype = state.Kv.dtype
+
+    Zt = jnp.where(lmask, state.Z_3d, -1e6)       # centers (negative down)
+    zb = state.zbar_3d                            # interfaces
+    h = jnp.where(lmask, state.hnode, 0.0)
+
+    # ---- surface-layer averaged properties per layer (ref :214-247) ------
+    sle = cv.kpp_surf_layer_ext
+    sld = sle * jnp.maximum(jnp.maximum(-Zt, (-zb[1])[None, :]),
+                            cv.kpp_minOBLdepth)   # [nl-1, N]
+    cumh = jnp.cumsum(h, 0)
+    cumh_prev = jnp.concatenate([jnp.zeros((1, N), dtype), cumh[:-1]], 0)
+    # delh[j, nz, n]: thickness of layer j inside the surface layer of nz
+    delh = jnp.clip(sld[None, :, :] - cumh_prev[:, None, :], 0.0,
+                    h[:, None, :])
+    htot = jnp.maximum(delh.sum(0), 1e-12)
+    def slavg(f):
+        return jnp.einsum("jln,jn->ln", delh, f) / htot
+    sfc_t = slavg(state.tr[0])
+    sfc_s = slavg(state.tr[1])
+    sfc_u = slavg(state.unode)
+    sfc_v = slavg(state.vnode)
+    dvsurf2 = (state.unode - sfc_u) ** 2 + (state.vnode - sfc_v) ** 2
+
+    # buoyancy difference vs surface-layer water displaced to Z_nz
+    def rho_at(t, s, z):
+        b0, bpz, bpz2, rpot = eos_components(t, s, cfg.dyn.state_equation,
+                                             cfg.run.toy_ocean)
+        r = b0 + z * (bpz + z * bpz2)
+        seq = float(cfg.dyn.state_equation)
+        return r * rpot / (r + 0.1 * z * seq) - density_0
+    dbsurf = -g_ / density_0 * (rho_at(sfc_t, sfc_s, Zt)
+                                - rho_at(state.tr[0], state.tr[1], Zt))
+
+    # ---- interior shear mixing + background (ref :262-296) ---------------
+    s2 = _shear2(state)
+    shearRi = jnp.where(interior, jnp.maximum(state.bvfreq, 0.0)
+                        / (s2 + 1e-40), 0.0)
+    aux = (1.0 - jnp.minimum(shearRi / cv.kpp_Ri0, 1.0) ** 2) ** cv.kpp_loc_exp
+    Av_i = jnp.where(interior, cv.kpp_Av0 * aux + cv.kpp_Avbckg, 0.0)
+    Kv_i = jnp.where(interior, cv.kpp_Kv0 * aux, 0.0)
+    if cv.kpp_use_nonconstKvb:
+        Kv_i = Kv_i + jnp.where(
+            interior, kv0_background_qiang(
+                (mesh.geo_coords[:, 1] / rad)[None, :],
+                jnp.abs(zb)), 0.0)
+    else:
+        Kv_i = Kv_i + jnp.where(interior, cv.kpp_Kvbckg, 0.0)
+
+    # ---- surface forcing (ref :298-310) -----------------------------------
+    from ..eos import sw_alpha_beta
+    alpha, beta = sw_alpha_beta(state.tr[0], state.tr[1], state.Z_3d)
+    sbuoy = -g_ * (alpha[0] * forcing.heat_flux / vcpw
+                   + beta[0] * forcing.water_flux * state.tr[1, 0])
+    ustar = jnp.sqrt(jnp.sqrt(forcing.stress_atm_x ** 2
+                              + forcing.stress_atm_y ** 2) / density_0)
+    if cv.kpp_reduce_tauuice:
+        ustar = ustar * (1.0 - forcing.a_ice) ** 2
+    sbuoy_obl = sbuoy
+    if sw_3d is not None:
+        # 'mxl' method applied after OBL known; use lvl1 correction level
+        sbuoy_obl = sbuoy + g_ * alpha[0] * (sw_3d[0] - sw_3d[1])
+
+    # ---- turbulent scale ws at centers, sigma = surf_layer_ext -----------
+    from .kpp import _wscale
+    sbuoy_c = sbuoy[None, :]
+    if sw_3d is not None:
+        # per-level shortwave correction (ref :311-316)
+        sbuoy_c = sbuoy_c + g_ * alpha[0][None, :] * (sw_3d[0][None, :]
+                                                      - sw_3d[1:])
+    zehat_c = cv.kpp_vonKarman * sle * (-Zt) * sbuoy_c
+    _, ws_c = _wscale(zehat_c, ustar[None, :])
+
+    # ---- bulk Richardson at centers (ref compute_bulk_Richardson) --------
+    Ncntr = jnp.sqrt(jnp.maximum(state.bvfreq[1:], 0.0))     # N at iface nz+1
+    Vtc = jnp.sqrt(0.2 / (cv.kpp_cs * sle)) / cv.kpp_vonKarman ** 2
+    Cv = jnp.where(Ncntr < 0.002, 2.1 - 200.0 * Ncntr, 1.7)
+    Vt2 = jnp.maximum(-Cv * Vtc * Zt * Ncntr * ws_c / cv.kpp_Rib_crit,
+                      cv.kpp_minVtsqr)
+    scaling = 1.0 - 0.5 * sle
+    Rib = jnp.where(lmask,
+                    -scaling * Zt * dbsurf
+                    / jnp.maximum(dvsurf2 + Vt2, 1e-40), 0.0)
+
+    # ---- OBL depth: linear interpolation of Rib across Ri_crit -----------
+    exceed = (Rib > cv.kpp_Rib_crit) & lmask
+    has = exceed.any(0)
+    kfirst = jnp.argmax(exceed, 0)                            # first center
+    kprev = jnp.maximum(kfirst - 1, 0)
+    take = lambda A, K: jnp.take_along_axis(A, K[None, :], 0)[0]
+    r1, r0 = take(Rib, kfirst), take(Rib, kprev)
+    z1, z0 = take(Zt, kfirst), take(Zt, kprev)
+    frac = (cv.kpp_Rib_crit - r0) / jnp.where(r1 != r0, r1 - r0, 1.0)
+    obl_x = -(z0 + frac * (z1 - z0))
+    obl_x = jnp.where(kfirst == 0, -z1, obl_x)
+    zt_bot = -take(Zt, jnp.maximum(nb[0] - 2, 0))             # deepest center
+    obl_lim = zt_bot
+    if cv.kpp_use_compEkman:
+        f = jnp.abs(mesh.coriolis_node)
+        ek = jnp.where((f == 0.0) | (sbuoy_obl <= 0.0), zt_bot,
+                       0.7 * ustar / jnp.maximum(f, 1e-20))
+        obl_lim = jnp.minimum(obl_lim, ek)
+    if cv.kpp_use_monob:
+        mo = jnp.where(sbuoy_obl > 0.0,
+                       ustar ** 3 / jnp.maximum(sbuoy_obl
+                                                * cv.kpp_vonKarman, 1e-30),
+                       zt_bot)
+        obl_lim = jnp.minimum(obl_lim, mo)
+    obl = jnp.where(has, jnp.minimum(obl_x, obl_lim), obl_lim)
+    # wrapper clamps (ref :336-340)
+    obl = jnp.maximum(obl, jnp.abs(zb[1]))
+    zb_bot = jnp.abs(take(zb, nb[0]))
+    obl = jnp.minimum(obl, zb_bot)
+
+    # ---- boundary-layer profile (ParabolicNonLocal shapes) ---------------
+    # centers above OBL: ktup0 = count(-Zt < obl) - 1
+    above_c = jnp.where(lmask, (-Zt < obl[None, :]), False)
+    ktup = jnp.maximum(above_c.sum(0) - 1, 0)                 # [N]
+    sigma_i = jnp.minimum(-zb / obl[None, :], 1.0)            # interfaces
+    # LMD94 convention: scales frozen at sigma=surf_layer_ext when unstable
+    stable = sbuoy_obl > 0.0
+    sig_eff = jnp.where(stable[None, :], sigma_i,
+                        jnp.minimum(sigma_i, sle))
+    wm_i, ws_i = _wscale(cv.kpp_vonKarman * sig_eff * obl[None, :]
+                         * sbuoy_obl[None, :], ustar[None, :])
+    Gs = sigma_i * (1.0 - sigma_i) ** 2
+    blm = obl[None, :] * wm_i * Gs
+    blt = obl[None, :] * ws_i * Gs
+    inside_i = (lev >= 1) & (-zb < obl[None, :]) & (lev <= nb - 1)
+    nonloc = jnp.where(inside_i & (~stable)[None, :],
+                       cv.kpp_cs2 * (1.0 - sigma_i) ** 2, 0.0)
+
+    # enhanced diffusion at the transition interface ktup+1 (ref
+    # compute_enhanced_diff, lkteqkw branch; delta from center spacing)
+    zt_k = take(Zt, ktup)
+    zt_k1 = take(Zt, jnp.minimum(ktup + 1, nl - 2))
+    delta = jnp.clip((obl + zt_k) / jnp.where(zt_k != zt_k1,
+                                              zt_k - zt_k1, 1.0), 0.0, 1.0)
+    sig_k = jnp.minimum(-zt_k / obl, 1.0)
+    wm_k, ws_k = _wscale(cv.kpp_vonKarman
+                         * jnp.where(stable, sig_k, jnp.minimum(sig_k, sle))
+                         * obl * sbuoy_obl, ustar)
+    Gk = sig_k * (1.0 - sig_k) ** 2
+    Mk, Tk = obl * wm_k * Gk, obl * ws_k * Gk
+    itrans = (ktup + 1)[None, :]
+    at_trans = lev == itrans
+    Av_tr = take(Av_i, ktup + 1)
+    Kv_tr = take(Kv_i, ktup + 1)
+    omd = 1.0 - delta
+    enhM = omd ** 2 * Mk + delta ** 2 * Av_tr
+    enhT = omd ** 2 * Tk + delta ** 2 * Kv_tr
+    Av_enh = omd * Av_tr + delta * enhM
+    Kv_enh = omd * Kv_tr + delta * enhT
+    if cv.kpp_use_enhanceKv:
+        blm = jnp.where(at_trans, Av_enh[None, :], blm)
+        blt = jnp.where(at_trans, Kv_enh[None, :], blt)
+        inside_i = inside_i | (at_trans & (lev <= nb - 1))
+
+    Av_n = jnp.where(inside_i, blm, Av_i)
+    Kv_n = jnp.where(inside_i, blt, Kv_i)
+    Av_n = jnp.where(interior | (inside_i & active), Av_n, 0.0)
+    Kv_n = jnp.where(interior | (inside_i & active), Kv_n, 0.0)
+    nonloc = jnp.where(active, nonloc, 0.0)
+
+    # elementwise Av including the surface interface (ref :448-453)
+    ae = jnp.take(Av_n, mesh.elem_nodes, axis=-1).mean(-1)
+    emask = lev <= (mesh.nlevels_elem - 2)[None, :]
+    return replace(state, Kv=Kv_n, Av=jnp.where(emask, ae, 0.0),
+                   kpp_nonloc=nonloc, mld1=obl)

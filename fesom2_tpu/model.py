@@ -98,6 +98,9 @@ class Model:
                 state = pp_mixing.oce_mixing_pp(state, mesh, cfg)
             elif main == "CVMIX_PP":
                 state = cvmix_mixing.calc_cvmix_pp(state, mesh, cfg)
+            elif main == "CVMIX_KPP":
+                state = cvmix_mixing.calc_cvmix_kpp(state, mesh, cfg,
+                                                    forcing, sw_3d=sw_3d)
             elif main == "CVMIX_TKE":
                 if "CVMIX_IDEMIX" in schemes:
                     state = cvmix_mixing.calc_cvmix_tke(

@@ -150,3 +150,63 @@ def test_mix_scheme_dispatch_tke_idemix(pi_mesh):
             state = step(state, forcing)
         assert np.isfinite(np.asarray(state.tr)).all(), scheme
         assert np.isfinite(np.asarray(state.Kv)).all(), scheme
+
+
+def test_cvmix_kpp(pi_state):
+    """CVMix KPP: bounded coefficients, OBL deepens under strong cooling +
+    wind relative to calm conditions, nonlocal transport active when
+    unstable (ref gen_modules_cvmix_kpp.F90 + cvmix_kpp.F90)."""
+    model, state0, forcing = pi_state
+    mesh = model.mesh
+    # homogenize the top ~95 m so the OBL search is forcing-limited, not
+    # stratification-limited (WOA columns are stratified from the surface)
+    K = 10
+    tr = state0.tr
+    tr = tr.at[:, :K].set(jnp.broadcast_to(tr[:, K:K + 1],
+                                           tr[:, :K].shape))
+    state = dataclasses.replace(state0, tr=tr)
+    state = eos.pressure_bv(state, mesh, model.cfg, model.density_ref)
+    forc_strong = dataclasses.replace(
+        forcing,
+        stress_atm_x=jnp.full(mesh.n_nodes, 0.2),
+        heat_flux=jnp.full(mesh.n_nodes, 400.0))      # strong cooling
+    forc_calm = dataclasses.replace(
+        forcing,
+        stress_atm_x=jnp.full(mesh.n_nodes, 1e-4),
+        heat_flux=jnp.full(mesh.n_nodes, -50.0))      # warming, calm
+    f = jax.jit(lambda s, fo: cvmix.calc_cvmix_kpp(s, mesh, model.cfg, fo))
+    out_s = f(state, forc_strong)
+    out_c = f(state, forc_calm)
+    for out in (out_s, out_c):
+        Kv, Av = np.asarray(out.Kv), np.asarray(out.Av)
+        assert np.isfinite(Kv).all() and np.isfinite(Av).all()
+        assert Kv.min() >= 0.0 and Av.min() >= 0.0
+        assert Kv.max() < 20.0 and Av.max() < 20.0
+    nln = np.asarray(mesh.nlevels_node)
+    deep = nln > 30
+    obl_s = np.asarray(out_s.mld1)
+    obl_c = np.asarray(out_c.mld1)
+    # boundary layer much deeper under destabilizing forcing
+    assert obl_s[deep].mean() > 2.0 * obl_c[deep].mean()
+    # nonlocal transport present in the unstable case; absent under warming
+    # where alpha > 0 (cold fresh polar columns have alpha < 0, so warming
+    # destabilizes them — exclude those)
+    assert np.asarray(out_s.kpp_nonloc).max() > 0.0
+    alpha0, _ = eos.sw_alpha_beta(state.tr[0], state.tr[1], state.Z_3d)
+    warmed_stable = np.asarray(alpha0[0]) > 0.0
+    assert np.asarray(out_c.kpp_nonloc)[:, warmed_stable].max() == 0.0
+    # boundary-layer Kv well above interior background under forcing
+    assert np.asarray(out_s.Kv)[1:5].max() > 1e-3
+
+
+def test_cvmix_kpp_step():
+    from fesom2_tpu.model import setup_pi_model, pi_initial_state
+    model, atm = setup_pi_model()
+    model.cfg.dyn.mix_scheme = "cvmix_KPP"
+    state, ice = pi_initial_state(model)
+    step = model.step_fn()
+    forcing = zero_forcing(model.mesh)
+    for _ in range(2):
+        state = step(state, forcing)
+    assert np.isfinite(np.asarray(state.tr)).all()
+    assert np.isfinite(np.asarray(state.Kv)).all()
