@@ -280,4 +280,11 @@ def compute_diagnostics(state: OceanState, mesh: MeshTables, cfg,
         al, be = eos.sw_alpha_beta(state.tr[0], state.tr[1], state.Z_3d)
         out.update(diag_dens_moc(state, mesh, cfg, forcing=forcing,
                                  sw_alpha=al, sw_beta=be))
+    if d.ldiag_DVD and state.dvd_h.shape[0] >= 2:
+        # computed inside the tracer driver (needs advection internals);
+        # exposed here as streams (ref io_meandata.F90:503-513)
+        out["tr_dvd_horiz_T"] = state.dvd_h[0]
+        out["tr_dvd_vert_T"] = state.dvd_v[0]
+        out["tr_dvd_horiz_S"] = state.dvd_h[1]
+        out["tr_dvd_vert_S"] = state.dvd_v[1]
     return out

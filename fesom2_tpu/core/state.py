@@ -74,6 +74,12 @@ class OceanState:
     # (uke/uke_rhs of oce_modules.F90:228-229); zeros unless option 8 runs
     uke: jnp.ndarray          # [nl-1, E]
     uke_rhs: jnp.ndarray      # [nl-1, E]
+    # discrete variance decay (Klingbeil et al. 2014) per tracer, split
+    # into horizontal/vertical advection parts (ref tr_dvd_horiz/_vert,
+    # gen_modules_diag.F90:744-838); [n_dvd, nl-1, N], n_dvd=0 unless
+    # ldiag_DVD
+    dvd_h: jnp.ndarray
+    dvd_v: jnp.ndarray
     # step counter (device scalar; drives first-step AB switch)
     step: jnp.ndarray
 
@@ -105,7 +111,7 @@ class Forcing:
 
 
 def allocate_state(mesh: MeshTables, n_tracers: int = 2,
-                   dtype=jnp.float64) -> OceanState:
+                   dtype=jnp.float64, n_dvd: int = 0) -> OceanState:
     nl, N, E = mesh.nl, mesh.n_nodes, mesh.n_elems
     zE = lambda *s: jnp.zeros(s, dtype)
     return OceanState(
@@ -124,6 +130,7 @@ def allocate_state(mesh: MeshTables, n_tracers: int = 2,
         pgf_x=zE(nl - 1, E), pgf_y=zE(nl - 1, E),
         unode=zE(nl - 1, N), vnode=zE(nl - 1, N),
         uke=zE(nl - 1, E), uke_rhs=zE(nl - 1, E),
+        dvd_h=zE(n_dvd, nl - 1, N), dvd_v=zE(n_dvd, nl - 1, N),
         step=jnp.zeros((), jnp.int32),
     )
 

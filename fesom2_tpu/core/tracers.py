@@ -122,11 +122,19 @@ def _edge_union_mask(mesh: MeshTables):
 # --------------------------------------------------------------------------
 # horizontal advection schemes
 # --------------------------------------------------------------------------
-def adv_hor_upw1(t, u, v, helem, mesh: MeshTables, flux_prev=None):
+def _mpow(x, moment: int):
+    """x**do_Xmoment for the reconstructed face values; moment=2 gives the
+    2nd-moment (squared-tracer) transport used by the DVD diagnostic
+    (ref oce_adv_tra_hor.F90:144, oce_adv_tra_ver.F90:278 etc.)."""
+    return x * x if moment == 2 else x
+
+
+def adv_hor_upw1(t, u, v, helem, mesh: MeshTables, flux_prev=None,
+                 moment: int = 1):
     """First-order upwind horizontal flux (ref adv_tra_hor_upw1 :57-213)."""
     vflux = _edge_vflux(u, v, helem, mesh)
-    t1 = t[:, mesh.edges[:, 0]]
-    t2 = t[:, mesh.edges[:, 1]]
+    t1 = _mpow(t[:, mesh.edges[:, 0]], moment)
+    t2 = _mpow(t[:, mesh.edges[:, 1]], moment)
     av = jnp.abs(vflux)
     expr = 0.5 * (t1 * (vflux + av) + t2 * (vflux - av))
     flux = -expr
@@ -136,7 +144,7 @@ def adv_hor_upw1(t, u, v, helem, mesh: MeshTables, flux_prev=None):
 
 
 def adv_hor_muscl(t, u, v, helem, mesh: MeshTables, st: TracerStatics,
-                  eg, num_ord, flux_prev=None):
+                  eg, num_ord, flux_prev=None, moment: int = 1):
     """MUSCL horizontal flux (ref adv_tra_hor_muscl :215-485)."""
     vflux = _edge_vflux(u, v, helem, mesh)
     n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
@@ -161,8 +169,9 @@ def adv_hor_muscl(t, u, v, helem, mesh: MeshTables, st: TracerStatics,
     tm2 = t2 - (common + dx * eg[1] + dy * eg[3]) / 6.0 * c2
 
     av = jnp.abs(vflux)
-    cHO = (vflux + av) * tm1 + (vflux - av) * tm2
-    expr = 0.5 * (1.0 - num_ord) * cHO + vflux * num_ord * 0.5 * (tm1 + tm2)
+    cHO = (vflux + av) * _mpow(tm1, moment) + (vflux - av) * _mpow(tm2, moment)
+    expr = 0.5 * (1.0 - num_ord) * cHO \
+        + vflux * num_ord * _mpow(0.5 * (tm1 + tm2), moment)
     flux = -expr
     if flux_prev is not None:
         flux = flux - flux_prev
@@ -172,16 +181,22 @@ def adv_hor_muscl(t, u, v, helem, mesh: MeshTables, st: TracerStatics,
 # --------------------------------------------------------------------------
 # vertical advection schemes
 # --------------------------------------------------------------------------
-def adv_ver_upw1(t, w, mesh: MeshTables, flux_prev=None):
-    """First-order upwind vertical flux [nl, N] (ref :231-284)."""
+def adv_ver_upw1(t, w, mesh: MeshTables, flux_prev=None, moment: int = 1):
+    """First-order upwind vertical flux [nl, N] (ref :231-284).
+
+    Deliberate deviation: the reference does not raise the surface flux to
+    ``moment`` (oce_adv_tra_ver.F90:263 lacks do_Xmoment while :278-279
+    have it), which makes the DVD diagnostic spuriously nonzero in the
+    surface layer even for a uniform tracer.  We exponentiate all faces
+    consistently."""
     area = mesh.area
     nln = mesh.nlevels_node
     lev = jnp.arange(mesh.nl)[:, None]
     aw = jnp.abs(w)
-    t_above = jnp.concatenate([t[:1], t], 0)     # t[k-1] at interface k
-    t_below = jnp.concatenate([t, t[-1:]], 0)    # t[k]   at interface k
+    t_above = _mpow(jnp.concatenate([t[:1], t], 0), moment)   # t[k-1] at iface k
+    t_below = _mpow(jnp.concatenate([t, t[-1:]], 0), moment)  # t[k]   at iface k
     interior = 0.5 * (t_below * (w + aw) + t_above * (w - aw)) * area
-    surf = w[0] * t[0] * area[0]                 # [N]
+    surf = w[0] * _mpow(t[0], moment) * area[0]  # [N]
     expr = jnp.where(lev == 0, surf[None, :], interior)
     expr = jnp.where(lev >= (nln - 1)[None, :], 0.0, expr)  # zero bottom flux
     flux = -expr
@@ -190,7 +205,8 @@ def adv_ver_upw1(t, w, mesh: MeshTables, flux_prev=None):
     return flux
 
 
-def adv_ver_qr4c(t, w, Z3, zb3, mesh: MeshTables, num_ord, flux_prev=None):
+def adv_ver_qr4c(t, w, Z3, zb3, mesh: MeshTables, num_ord, flux_prev=None,
+                 moment: int = 1):
     """QR4C 3rd/4th-order vertical flux (ref adv_tra_ver_qr4c :286-360)."""
     nl = mesh.nl
     nln = mesh.nlevels_node
@@ -219,11 +235,16 @@ def adv_ver_qr4c(t, w, Z3, zb3, mesh: MeshTables, num_ord, flux_prev=None):
     Tmean1 = t0 + (2.0 * qc + qu) * (zb3 - Z0) / 3.0
     Tmean2 = tm1 + (2.0 * qc + qd) * (zb3 - Zm1) / 3.0
     aw = jnp.abs(w)
-    Tup = (w + aw) * Tmean1 + (w - aw) * Tmean2
-    inner = (0.5 * (1.0 - num_ord) * Tup + num_ord * 0.5 * (Tmean1 + Tmean2) * w) * area
+    # deviation from ref (:352-354 exponentiates only the inner high-order
+    # faces): centered/surface special rows are exponentiated too, so the
+    # 2nd-moment transport is face-consistent and uniform-tracer DVD
+    # vanishes
+    Tup = (w + aw) * _mpow(Tmean1, moment) + (w - aw) * _mpow(Tmean2, moment)
+    inner = (0.5 * (1.0 - num_ord) * Tup
+             + num_ord * _mpow(0.5 * (Tmean1 + Tmean2), moment) * w) * area
 
-    centered = 0.5 * (tm1 + t0) * w * area
-    surf = w[0] * t[0] * area[0]                 # [N]
+    centered = _mpow(0.5 * (tm1 + t0), moment) * w * area
+    surf = w[0] * _mpow(t[0], moment) * area[0]  # [N]
 
     is_surf = lev == 0
     is_bot = lev >= (nln - 1)[None, :]
@@ -237,15 +258,15 @@ def adv_ver_qr4c(t, w, Z3, zb3, mesh: MeshTables, num_ord, flux_prev=None):
     return flux
 
 
-def adv_ver_cdiff(t, w, mesh: MeshTables, flux_prev=None):
+def adv_ver_cdiff(t, w, mesh: MeshTables, flux_prev=None, moment: int = 1):
     """Centered-difference vertical flux (ref adv_tra_ver_cdiff :542-590)."""
     area = mesh.area
     nln = mesh.nlevels_node
     lev = jnp.arange(mesh.nl)[:, None]
     tm1 = jnp.concatenate([t[:1], t], 0)[:mesh.nl]
     t0 = jnp.concatenate([t, t[-1:]], 0)[:mesh.nl]
-    interior = 0.5 * (tm1 + t0) * w * area
-    surf = w[0] * t[0] * area[0]
+    interior = _mpow(0.5 * (tm1 + t0), moment) * w * area
+    surf = w[0] * _mpow(t[0], moment) * area[0]
     expr = jnp.where(lev == 0, surf[None, :], interior)
     expr = jnp.where(lev >= (nln - 1)[None, :], 0.0, expr)
     flux = -expr
@@ -255,7 +276,7 @@ def adv_ver_cdiff(t, w, mesh: MeshTables, flux_prev=None):
 
 
 def adv_ver_ppm(t, w, hnode_old, hnode_new, mesh: MeshTables, dt,
-                flux_prev=None):
+                flux_prev=None, moment: int = 1):
     """Piecewise-parabolic vertical flux (Colella & Woodward 1984).
 
     ref adv_tra_vert_ppm (``oce_adv_tra_ver.F90:361-538``): non-uniform-grid
@@ -331,20 +352,25 @@ def adv_ver_ppm(t, w, hnode_old, hnode_new, mesh: MeshTables, dt,
 
     # interface fluxes (ref :522-536): from the layer below when W>0,
     # from the layer above when W<0
+    # moment is applied to the NEGATED reconstruction before the W*area
+    # factor (ref :517-525) — for moment=2 the minus sign vanishes, a
+    # reference quirk kept for DVD parity
     w_lay = w[:-1]                                      # interface i == W at top of layer i
     x_up = jnp.minimum(w_lay * dt / hO, 1.0)
-    from_below = (-aL - 0.5 * x_up * (aR - aL + (1.0 - 2.0 / 3.0 * x_up) * aj)) \
+    from_below = _mpow(-aL - 0.5 * x_up * (aR - aL + (1.0 - 2.0 / 3.0 * x_up)
+                                           * aj), moment) \
         * mesh.area[:-1] * w_lay
     w_dn = w[1:]
     x_dn = jnp.minimum(-w_dn * dt / hO, 1.0)
-    from_above = (-aR + 0.5 * x_dn * (aR - aL - (1.0 - 2.0 / 3.0 * x_dn) * aj)) \
+    from_above = _mpow(-aR + 0.5 * x_dn * (aR - aL - (1.0 - 2.0 / 3.0 * x_dn)
+                                           * aj), moment) \
         * mesh.area[1:] * w_dn
 
     tvert = jnp.zeros((nl, N), t.dtype)
     tvert = tvert.at[:-1].set(jnp.where(w_lay > 0, from_below, 0.0))
     tvert = tvert.at[1:].add(jnp.where(w_dn < 0, from_above, 0.0))
-    # surface + bottom overrides (ref :540-543)
-    surf = -tv[0] * w[0] * mesh.area[0]
+    # surface + bottom overrides (ref :530-533)
+    surf = -_mpow(tv[0], moment) * w[0] * mesh.area[0]
     tvert = tvert.at[0].set(surf)
     tvert = jnp.where(lev >= (nln - 1)[None, :], 0.0, tvert)
     flux = tvert

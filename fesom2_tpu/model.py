@@ -44,7 +44,8 @@ class Model:
 
     # ------------------------------------------------------------------
     def initial_state(self, dtype=jnp.float64) -> OceanState:
-        state = allocate_state(self.mesh, self.cfg.tra.num_tracers, dtype)
+        state = allocate_state(self.mesh, self.cfg.tra.num_tracers, dtype,
+                               n_dvd=2 if self.cfg.diag.ldiag_DVD else 0)
         state = init_thickness_linfs(state, self.mesh)
         if self.cfg.run.toy_ocean and self.cfg.run.which_toy == "soufflet":
             T, U, _ = soufflet.setup_soufflet(self.mesh, dtype)
@@ -275,56 +276,83 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
         gxAB, gyAB = tracers.tracer_gradient_elements(tAB, mesh)
         eg = tracers.fill_up_dn_grad(gxAB, gyAB, mesh, st)
 
-        # ---- advection (do_oce_adv_tra) -------------------------------
-        flux_h_lo = tracers.adv_hor_upw1(t, adv_u, adv_v, state.helem, mesh)
-        flux_v_lo = tracers.adv_ver_upw1(t, adv_we, mesh)
-        if use_fct:
-            lo_h = ops.edge_divergence(flux_h_lo, mesh)
-            fct_lo = (t * state.hnode
-                      + (lo_h + (flux_v_lo[:-1] - flux_v_lo[1:])) * dt / av) \
-                / jnp.where(nmask, state.hnode_new, 1.0)
-            fct_lo = jnp.where(nmask, fct_lo, 0.0)
-            if cfg.dyn.w_split:
-                fct_lo = tracers.adv_vert_impl(fct_lo, state.w_i,
-                                               state.hnode_new, mesh, dt)
-                flux_v_lo = tracers.adv_ver_upw1(t, adv_w, mesh)
-            w_for_ho = adv_w
-        else:
-            fct_lo = None
-            w_for_ho = adv_we
+        # ---- advection (do_oce_adv_tra); moment=2 reruns the operator on
+        # squared face reconstructions for the DVD diagnostic ---------------
+        def run_adv(t, tAB, eg, moment=1):
+            flux_h_lo = tracers.adv_hor_upw1(t, adv_u, adv_v, state.helem,
+                                             mesh, moment=moment)
+            flux_v_lo = tracers.adv_ver_upw1(t, adv_we, mesh, moment=moment)
+            if use_fct:
+                lo_h = ops.edge_divergence(flux_h_lo, mesh)
+                fct_lo = (tracers._mpow(t, moment) * state.hnode
+                          + (lo_h + (flux_v_lo[:-1] - flux_v_lo[1:])) * dt / av) \
+                    / jnp.where(nmask, state.hnode_new, 1.0)
+                fct_lo = jnp.where(nmask, fct_lo, 0.0)
+                if cfg.dyn.w_split:
+                    fct_lo = tracers.adv_vert_impl(fct_lo, state.w_i,
+                                                   state.hnode_new, mesh, dt)
+                    flux_v_lo = tracers.adv_ver_upw1(t, adv_w, mesh,
+                                                     moment=moment)
+                w_for_ho = adv_w
+            else:
+                fct_lo = None
+                w_for_ho = adv_we
 
-        if cfg.tra.tra_adv_hor in ("MUSCL", "MFCT"):
-            flux_h = tracers.adv_hor_muscl(tAB, adv_u, adv_v, state.helem,
-                                           mesh, st, eg, cfg.tra.tra_adv_ph,
-                                           flux_prev=flux_h_lo if use_fct else None)
-        else:
-            flux_h = tracers.adv_hor_upw1(tAB, adv_u, adv_v, state.helem,
-                                          mesh,
-                                          flux_prev=flux_h_lo if use_fct else None)
-        fp = flux_v_lo if use_fct else None
-        if cfg.tra.tra_adv_ver == "QR4C":
-            flux_v = tracers.adv_ver_qr4c(tAB, w_for_ho, state.Z_3d,
-                                          state.zbar_3d, mesh,
-                                          cfg.tra.tra_adv_pv, flux_prev=fp)
-        elif cfg.tra.tra_adv_ver == "PPM":
-            flux_v = tracers.adv_ver_ppm(tAB, w_for_ho, state.hnode,
-                                         state.hnode_new, mesh, dt,
-                                         flux_prev=fp)
-        elif cfg.tra.tra_adv_ver == "CDIFF":
-            flux_v = tracers.adv_ver_cdiff(tAB, w_for_ho, mesh, flux_prev=fp)
-        else:
-            flux_v = tracers.adv_ver_upw1(tAB, w_for_ho, mesh, flux_prev=fp)
+            fph = flux_h_lo if use_fct else None
+            if cfg.tra.tra_adv_hor in ("MUSCL", "MFCT"):
+                flux_h = tracers.adv_hor_muscl(tAB, adv_u, adv_v, state.helem,
+                                               mesh, st, eg,
+                                               cfg.tra.tra_adv_ph,
+                                               flux_prev=fph, moment=moment)
+            else:
+                flux_h = tracers.adv_hor_upw1(tAB, adv_u, adv_v, state.helem,
+                                              mesh, flux_prev=fph,
+                                              moment=moment)
+            fp = flux_v_lo if use_fct else None
+            if cfg.tra.tra_adv_ver == "QR4C":
+                flux_v = tracers.adv_ver_qr4c(tAB, w_for_ho, state.Z_3d,
+                                              state.zbar_3d, mesh,
+                                              cfg.tra.tra_adv_pv,
+                                              flux_prev=fp, moment=moment)
+            elif cfg.tra.tra_adv_ver == "PPM":
+                flux_v = tracers.adv_ver_ppm(tAB, w_for_ho, state.hnode,
+                                             state.hnode_new, mesh, dt,
+                                             flux_prev=fp, moment=moment)
+            elif cfg.tra.tra_adv_ver == "CDIFF":
+                flux_v = tracers.adv_ver_cdiff(tAB, w_for_ho, mesh,
+                                               flux_prev=fp, moment=moment)
+            else:
+                flux_v = tracers.adv_ver_upw1(tAB, w_for_ho, mesh,
+                                              flux_prev=fp, moment=moment)
 
-        if use_fct:
-            flux_h, flux_v = tracers.fct_limiter(t, fct_lo, flux_h, flux_v,
-                                                 mesh, dt)
-            dttf_h, dttf_v = tracers.flux2dtracer(flux_h, flux_v, mesh, dt,
-                                                  ttf=t, lo=fct_lo,
-                                                  hnode=state.hnode,
-                                                  hnode_new=state.hnode_new)
-        else:
-            dttf_h, dttf_v = tracers.flux2dtracer(flux_h, flux_v, mesh, dt)
+            if use_fct:
+                flux_h, flux_v = tracers.fct_limiter(
+                    tracers._mpow(t, moment), fct_lo, flux_h, flux_v, mesh, dt)
+                return tracers.flux2dtracer(flux_h, flux_v, mesh, dt,
+                                            ttf=tracers._mpow(t, moment),
+                                            lo=fct_lo,
+                                            hnode=state.hnode,
+                                            hnode_new=state.hnode_new)
+            return tracers.flux2dtracer(flux_h, flux_v, mesh, dt)
+
+        dttf_h, dttf_v = run_adv(t, tAB, eg)
         del_ttf = dttf_h + dttf_v
+
+        # discrete variance decay (Klingbeil et al. 2014 eq. 23; ref
+        # compute_diag_dvd_2ndmoment_klingbeil_etal_2014 + compute_diag_dvd,
+        # gen_modules_diag.F90:744-838): advect the squared reconstructions,
+        # subtract the square of the advected field
+        if cfg.diag.ldiag_DVD and i < state.dvd_h.shape[0]:
+            d2h, d2v = run_adv(t, tAB, eg, moment=2)
+            hN = jnp.where(nmask, state.hnode_new, 1.0)
+            adv1_h = (tAB * state.hnode + dttf_h) / hN
+            adv1_v = (t * state.hnode + dttf_v) / hN
+            tgt2_h = (tAB ** 2 * state.hnode + d2h) / hN
+            tgt2_v = (t ** 2 * state.hnode + d2v) / hN
+            dvd_h_i = jnp.where(nmask, (tgt2_h - adv1_h ** 2) / dt, 0.0)
+            dvd_v_i = jnp.where(nmask, (tgt2_v - adv1_v ** 2) / dt, 0.0)
+            state = replace(state, dvd_h=state.dvd_h.at[i].set(dvd_h_i),
+                            dvd_v=state.dvd_v.at[i].set(dvd_v_i))
 
         # ---- diffusion (diff_tracers_ale) ------------------------------
         t_old_next = t                       # reset AB memory to T^n
@@ -462,7 +490,8 @@ def pi_initial_state(model: Model, forcing_path: str =
     from .ice.state import allocate_ice
     import dataclasses as dc
 
-    state = allocate_state(model.mesh, model.cfg.tra.num_tracers, dtype)
+    state = allocate_state(model.mesh, model.cfg.tra.num_tracers, dtype,
+                           n_dvd=2 if model.cfg.diag.ldiag_DVD else 0)
     state = init_thickness_linfs(state, model.mesh)
     T, S = climatology_ic(model.mesh,
                           os.path.join(forcing_path, "woa18_netcdf_5deg.nc"))

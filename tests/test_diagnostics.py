@@ -95,3 +95,50 @@ def test_salt3d_integral(pi_run):
                  * np.asarray(model.mesh.areasvol[:-1])).sum())
     mean_s = tot / vol
     assert 30.0 < mean_s < 36.0
+
+
+def test_dvd_uniform_tracer_vanishes():
+    """Discrete variance decay (Klingbeil et al. 2014) is zero to roundoff
+    for a spatially uniform tracer: advecting phi and phi^2 consistently
+    gives target2 == adv1^2 (ref compute_diag_dvd, gen_modules_diag.F90)."""
+    from fesom2_tpu.model import setup_soufflet_model
+
+    model = setup_soufflet_model()
+    model.cfg.diag.ldiag_DVD = True
+    state = model.initial_state()
+    mesh = model.mesh
+    # overwrite T with a constant; S already uniform 35
+    tr = state.tr.at[0].set(jnp.where(mesh.node_layer_mask, 10.0, 0.0))
+    state = dataclasses.replace(state, tr=tr, tr_old=tr)
+    step = model.step_fn()
+    forcing = zero_forcing(mesh)
+    state = step(state, forcing)  # first step: AB tAB == t
+    dvd_h = np.asarray(state.dvd_h)
+    dvd_v = np.asarray(state.dvd_v)
+    assert dvd_h.shape[0] == 2
+    assert np.isfinite(dvd_h).all() and np.isfinite(dvd_v).all()
+    assert np.abs(dvd_h[0]).max() < 1e-8
+    assert np.abs(dvd_v[0]).max() < 1e-8
+
+
+def test_dvd_real_field_decays_variance():
+    """On the stratified soufflet state the vertical DVD of temperature is
+    net-positive (upwind-limited advection destroys variance)."""
+    from fesom2_tpu.model import setup_soufflet_model
+
+    model = setup_soufflet_model()
+    model.cfg.diag.ldiag_DVD = True
+    state = model.initial_state()
+    step = model.step_fn()
+    forcing = zero_forcing(model.mesh)
+    for _ in range(5):
+        state = step(state, forcing)
+    mesh = model.mesh
+    vol = np.where(np.asarray(mesh.node_layer_mask),
+                   np.asarray(state.hnode * mesh.areasvol[:-1]), 0.0)
+    dvd_v = np.asarray(state.dvd_v[0])
+    assert np.isfinite(dvd_v).all()
+    assert (dvd_v * vol).sum() > 0.0
+    # and the diagnostics dispatch exposes the fields
+    out = dg.compute_diagnostics(state, mesh, model.cfg, forcing)
+    assert "tr_dvd_vert_T" in out and "tr_dvd_horiz_S" in out
