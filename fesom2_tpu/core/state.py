@@ -108,6 +108,7 @@ class Forcing:
     m_ice: jnp.ndarray        # [N] ice mass (floating-ice loading)
     m_snow: jnp.ndarray       # [N]
     press_air: jnp.ndarray    # [N] sea-level pressure [Pa]
+    prec_rain: jnp.ndarray    # [N] liquid precipitation [m/s] (tracer 101 BC)
 
 
 def allocate_state(mesh: MeshTables, n_tracers: int = 2,
@@ -142,7 +143,8 @@ def zero_forcing(mesh: MeshTables, dtype=jnp.float64) -> Forcing:
                    water_flux=z(N), virtual_salt=z(N), relax_salt=z(N),
                    real_salt_flux=z(N), stress_atm_x=z(N), stress_atm_y=z(N),
                    u_ice=z(N), v_ice=z(N), a_ice=z(N), thdgr=z(N),
-                   ssh_gp=z(N), m_ice=z(N), m_snow=z(N), press_air=z(N))
+                   ssh_gp=z(N), m_ice=z(N), m_snow=z(N), press_air=z(N),
+                   prec_rain=z(N))
 
 
 def init_thickness_linfs(state: OceanState, mesh: MeshTables) -> OceanState:

@@ -702,6 +702,11 @@ def bc_surface(tracer_id: int, t_surf, forcing, dt, is_nonlinfs: float):
     if tracer_id == 1:
         return dt * (forcing.virtual_salt + forcing.relax_salt
                      - forcing.real_salt_flux * is_nonlinfs)
+    if tracer_id == 101:
+        # rain-water passive tracer: sourced by liquid precipitation
+        # (ref :1178)
+        return dt * forcing.prec_rain
+    # 301-303 region-restored tracers and unknown ids: no surface source
     return jnp.zeros_like(t_surf)
 
 

@@ -85,4 +85,5 @@ def oce_fluxes(ice: IceState, ocean: OceanSurface, forcing: IceForcing,
 
     return replace(ocean_forcing, heat_flux=heat_flux, water_flux=water_flux,
                    virtual_salt=virtual_salt, relax_salt=relax_salt,
-                   real_salt_flux=ice.real_salt_flux)
+                   real_salt_flux=ice.real_salt_flux,
+                   prec_rain=forcing.prec_rain)

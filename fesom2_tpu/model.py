@@ -41,6 +41,15 @@ class Model:
     soufflet_statics: Optional[soufflet.SouffletStatics] = None
     Ssurf: Optional[jnp.ndarray] = None   # initial SSS for relaxation
     ssh_dense_inv: Optional[jnp.ndarray] = None  # [N,N] MXU direct solve
+    # T/S climatology + nodal relaxation-rate sponge for relax_to_clim
+    # (ref Tclim/Sclim/relax2clim, oce_modules.F90:249,255); set from the
+    # initial state at setup
+    Tclim: Optional[jnp.ndarray] = None   # [nl-1, N]
+    Sclim: Optional[jnp.ndarray] = None   # [nl-1, N]
+    relax2clim: Optional[jnp.ndarray] = None  # [N] 1/s
+    # region-restored passive tracers: list of (tracer_index, node_mask)
+    # (ref ptracers_restore, oce_setup_step.F90:486-592)
+    ptracer_masks: Optional[list] = None
 
     # ------------------------------------------------------------------
     def initial_state(self, dtype=jnp.float64) -> OceanState:
@@ -52,6 +61,8 @@ class Model:
             tr = state.tr.at[0].set(T).at[1].set(
                 jnp.where(self.mesh.node_layer_mask, 35.0, 0.0))
             state = replace(state, tr=tr, tr_old=tr, u=U)
+        if self.cfg.tra.num_tracers > 2:
+            state = setup_passive_tracers(self, state)
         return state
 
     # ------------------------------------------------------------------
@@ -171,9 +182,14 @@ class Model:
             state = ale.vert_vel_ale(state, mesh, cfg, forcing)
 
             # --- tracers (ref :2749) --------------------------------------
+            clim = None
+            if self.Tclim is not None and cfg.tra.clim_relax > 1e-8 \
+                    and self.relax2clim is not None:
+                clim = (self.Tclim, self.Sclim, self.relax2clim)
             state = solve_tracers(state, mesh, cfg, st, forcing,
                                   is_nonlinfs, sst if is_souf else None,
-                                  fer=fer, redi=redi, sw_3d=sw_3d)
+                                  fer=fer, redi=redi, sw_3d=sw_3d,
+                                  clim=clim, ptr_masks=self.ptracer_masks)
 
             # --- thickness update (ref :2754) -----------------------------
             state = ale.update_thickness(state, mesh, cfg)
@@ -238,11 +254,46 @@ def coupled_step_fn(model: "Model", jit: bool = True):
 
 
 # --------------------------------------------------------------------------
+# passive tracers (ref oce_setup_step.F90:486-592)
+# --------------------------------------------------------------------------
+# source regions for 3D-restored passive tracers: (lat0, lat1, lon0, lon1) deg
+PTRACER_REGIONS = {301: (77.5, 78.0, 0.0, 10.0),       # Fram Strait
+                   302: (65.6, 66.0, -172.0, -166.0),  # Bering Strait
+                   303: (69.5, 74.5, 19.0, 20.0)}      # Barents Sea Opening
+
+
+def setup_passive_tracers(model: "Model", state: OceanState) -> OceanState:
+    """Initialise tracers beyond T/S by ID and register region-restore
+    masks on the model (ref tracer init oce_setup_step.F90:486-592):
+    id 101 = rain-water tracer (starts 0, sourced by precipitation),
+    ids 301/302/303 = strait-release tracers held at 1 in their region."""
+    cfg, mesh = model.cfg, model.mesh
+    glon = mesh.geo_coords[:, 0] / rad
+    glat = mesh.geo_coords[:, 1] / rad
+    masks = []
+    tr = state.tr
+    for i, tid in enumerate(cfg.tra.tracer_ID[:cfg.tra.num_tracers]):
+        if i < 2:
+            continue
+        if tid in PTRACER_REGIONS:
+            la0, la1, lo0, lo1 = PTRACER_REGIONS[tid]
+            pmask = (glat > la0) & (glat < la1) & (glon > lo0) & (glon < lo1)
+            masks.append((i, pmask))
+            tr = tr.at[i].set(jnp.where(pmask[None, :] & mesh.node_layer_mask,
+                                        1.0, 0.0))
+        else:                       # id 101 and any other ids start at zero
+            tr = tr.at[i].set(0.0)
+    model.ptracer_masks = masks or None
+    return replace(state, tr=tr, tr_old=tr)
+
+
+# --------------------------------------------------------------------------
 # tracer driver (ref solve_tracers_ale, oce_ale_tracer.F90:101-199)
 # --------------------------------------------------------------------------
 def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
                   st: TracerStatics, forcing: Forcing, is_nonlinfs: float,
-                  sst=None, fer=None, redi=None, sw_3d=None) -> OceanState:
+                  sst=None, fer=None, redi=None, sw_3d=None,
+                  clim=None, ptr_masks=None) -> OceanState:
     dt = cfg.dt
     # salt-plume brine redistribution (ref oce_ale_tracer.F90:120-121)
     if cfg.dyn.SPP:
@@ -408,11 +459,26 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
                                           zbar_n_bot, mesh, dt, surf_bc,
                                           w_i=w_i, sw_source=sw_src)
 
+        # relax to T/S climatology in sponge regions (ref relax_to_clim,
+        # oce_tracer_mod.F90:87-119; relax2clim nonzero only where toy/
+        # regional setups define sponges)
+        if clim is not None and tid in (0, 1):
+            target = clim[tid]
+            t = t + clim[2][None, :] * dt * (target - t)
+            t = jnp.where(nmask, t, 0.0)
+
         tr_list.append(t)
         tr_old_list.append(t_old_next)
 
     tr = jnp.stack(tr_list)
     tr_old = jnp.stack(tr_old_list)
+
+    # 3D-restored passive tracers: hold the source region at 1.0
+    # (ref oce_ale_tracer.F90:159-161)
+    if ptr_masks:
+        for idx, pmask in ptr_masks:
+            tr = tr.at[idx].set(jnp.where(pmask[None, :] & nmask,
+                                          1.0, tr[idx]))
     state = replace(state, tr=tr, tr_old=tr_old)
 
     # relax to climatology / zonal profile (ref :149-155)
@@ -498,6 +564,11 @@ def pi_initial_state(model: Model, forcing_path: str =
     tr = state.tr.at[0].set(jnp.asarray(T, dtype)).at[1].set(jnp.asarray(S, dtype))
     state = replace(state, tr=tr, tr_old=tr)
     model.Ssurf = tr[1, 0]
+    # climatology targets for relax_to_clim (ref oce_setup_step.F90:479-484)
+    model.Tclim, model.Sclim = tr[0], tr[1]
+    model.relax2clim = jnp.zeros(model.mesh.n_nodes, dtype)
+    if model.cfg.tra.num_tracers > 2:
+        state = setup_passive_tracers(model, state)
 
     ice = allocate_ice(model.mesh, dtype)
     glat = model.mesh.geo_coords[:, 1]
