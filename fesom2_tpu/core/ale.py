@@ -101,7 +101,9 @@ def vert_vel_ale(state: OceanState, mesh: MeshTables, cfg,
         w_int = jnp.cumsum(dist[::-1], 0)[::-1]               # [nl-1, N]
         w = w.at[:-1].add(-w_int / cfg.dt)
         hnode_new = hnode_new + dist
-        w = w.at[0].add(-forcing.water_flux)
+        lev_w = jnp.arange(mesh.nl)[:, None]
+        w = w + jnp.where(lev_w == (mesh.ulevels_node - 1)[None, :],
+                          -forcing.water_flux[None, :], 0.0)
     elif which == "zstar":
         # distribute dhbar over the column proportionally to unperturbed
         # thickness (ref :2028-2092)
@@ -120,7 +122,9 @@ def vert_vel_ale(state: OceanState, mesh: MeshTables, cfg,
             lay_in,
             state.hnode + (state.zbar_3d[:-1] - state.zbar_3d[1:]) * dd[None, :],
             state.hnode)
-        w = w.at[0].add(-forcing.water_flux)
+        lev_w = jnp.arange(mesh.nl)[:, None]
+        w = w + jnp.where(lev_w == (mesh.ulevels_node - 1)[None, :],
+                          -forcing.water_flux[None, :], 0.0)
     # linfs: nothing to do
 
     # vertical CFL (ref :2141-2154)

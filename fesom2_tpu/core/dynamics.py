@@ -21,9 +21,11 @@ from .ops import (scalar_gradient, tridiag_solve, elem_to_node_mean,
 
 
 def _elem_interface_mask(mesh: MeshTables):
-    """[nl, E] True on interfaces 0..nlevels-2 (above-bottom faces)."""
+    """[nl, E] True on interfaces ulevels-1..nlevels-2 (the element's
+    active faces; upper bound from bathymetry, lower from cavities)."""
     lev = jnp.arange(mesh.nl)[:, None]
-    return lev < (mesh.nlevels_elem - 1)[None, :]
+    return (lev < (mesh.nlevels_elem - 1)[None, :]) \
+        & (lev >= (mesh.ulevels_elem - 1)[None, :])
 
 
 def pressure_force_linfs(state: OceanState, mesh: MeshTables) -> OceanState:
@@ -753,7 +755,9 @@ def impl_vert_visc(state: OceanState, mesh: MeshTables, cfg, forcing: Forcing,
 
     Av = state.Av                                  # [nl, E] on interfaces
     is_bot = lay == (nlev - 2)[None, :]
-    is_surf = lay == 0
+    # surface row = ulevels-1 (0 in open ocean, deeper under ice-shelf
+    # cavities, where forcing.stress carries the cavity drag)
+    is_surf = lay == (mesh.ulevels_elem - 1)[None, :]
 
     # viscous coefficients (zero toward surface/bottom faces, ref :2390-2424)
     a_visc = jnp.zeros((nl - 1, E), u_rhs.dtype).at[1:].set(-Av[1:-1] / dZ * zinv[1:])

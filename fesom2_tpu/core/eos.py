@@ -103,10 +103,16 @@ def pressure_bv(state: OceanState, mesh: MeshTables, cfg, density_ref) -> OceanS
     rho = rho * rhopot / (rho + 0.1 * Z3 * sef) - density_ref   # [nl-1, N]
     rho = jnp.where(mesh.node_layer_mask, rho, 0.0)
 
+    # surface row per column: 0 in open ocean, ulevels-1 under a cavity
+    uln0 = (mesh.ulevels_node - 1).astype(jnp.int32)
+    lay3 = jnp.arange(mesh.nl - 1)[:, None]
+    top = lambda a: jnp.take_along_axis(a, uln0[None, :], 0)[0]
+
     # buoyancy difference vs surface (for KPP bldepth, ref :222-231):
     # surface water brought adiabatically to the local depth
-    rho_srf = b0[0][None, :] + Z3 * (bpz[0][None, :] + Z3 * bpz2[0][None, :])
-    rho_srf = rho_srf * rhopot[0][None, :] / (rho_srf + 0.1 * Z3 * sef)
+    rho_srf = top(b0)[None, :] + Z3 * (top(bpz)[None, :]
+                                       + Z3 * top(bpz2)[None, :])
+    rho_srf = rho_srf * top(rhopot)[None, :] / (rho_srf + 0.1 * Z3 * sef)
     rho_full = rho + density_ref
     dbsfc_lay = -g * (rho_srf - rho_full) / jnp.where(rho_full == 0, 1.0, rho_full)
     dbsfc_lay = jnp.where(mesh.node_layer_mask, dbsfc_lay, 0.0)
@@ -118,11 +124,12 @@ def pressure_bv(state: OceanState, mesh: MeshTables, cfg, density_ref) -> OceanS
     dbsfc = jnp.where(lev_ <= (nln_ - 1)[None, :], dbsfc, 0.0)
 
     # hydrostatic pressure at mid-levels (linfs / cavity path, ref :269-293)
-    # hpressure(1) = -Z(1)*rho(1)*g ; hpressure(k) = hp(k-1) + g/2*(rho(k-1)*h(k-1)+rho(k)*h(k))
+    # hpressure(nzmin) = -Z(nzmin)*rho(nzmin)*g ;
+    # hpressure(k) = hp(k-1) + g/2*(rho(k-1)*h(k-1)+rho(k)*h(k))
     h = state.hnode
     incr = 0.5 * g * (jnp.roll(rho * h, 1, axis=0) + rho * h)
-    incr = incr.at[0].set(0.0)
-    hp = (-Z3[0] * rho[0] * g)[None, :] + jnp.cumsum(incr, axis=0)
+    incr = jnp.where(lay3 <= uln0[None, :], 0.0, incr)
+    hp = (-top(Z3) * top(rho) * g)[None, :] + jnp.cumsum(incr, axis=0)
     hp = jnp.where(mesh.node_layer_mask, hp, 0.0)
 
     # Brunt-Vaisala frequency on interfaces (ref :321-333)
@@ -137,22 +144,25 @@ def pressure_bv(state: OceanState, mesh: MeshTables, cfg, density_ref) -> OceanS
     bv_int = -g * dz_inv * (rho_up - rho_dn) / density_0
     bvfreq = jnp.zeros_like(state.bvfreq)
     bvfreq = bvfreq.at[1:-1].set(bv_int)
-    # copy boundary values (ref :364-365): surface <- first interior,
-    # bottom interface nzmax <- nzmax-1 (per column)
-    bvfreq = bvfreq.at[0].set(bvfreq[1])
+    # copy boundary values (ref :364-365): surface interface (uln-1) <-
+    # first interior, bottom interface nzmax <- nzmax-1 (per column)
     nln = mesh.nlevels_node
     lev = jnp.arange(mesh.nl)[:, None]
+    srf_val = jnp.take_along_axis(bvfreq, (uln0 + 1)[None, :], axis=0)
+    bvfreq = jnp.where(lev == uln0[None, :], srf_val, bvfreq)
     bot_val = jnp.take_along_axis(bvfreq, (nln - 2)[None, :].astype(jnp.int32), axis=0)
     bvfreq = jnp.where(lev == (nln - 1)[None, :], bot_val, bvfreq)
-    bvfreq = jnp.where(lev <= (nln - 1)[None, :], bvfreq, 0.0)
+    bvfreq = jnp.where((lev <= (nln - 1)[None, :]) & (lev >= uln0[None, :]),
+                       bvfreq, 0.0)
 
     # MLD2 (Levitus sigma criterion) — simplified: shallowest level where
     # rhopot(nz)-rhopot(surface) > 0.125 (ref :340-358)
     sig_crit = 0.125
-    exceed = (rhopot - rhopot[0][None, :]) > sig_crit
+    exceed = (rhopot - top(rhopot)[None, :]) > sig_crit
     exceed = jnp.where(mesh.node_layer_mask, exceed, True)
+    exceed = jnp.where(lay3 <= uln0[None, :], False, exceed)
     idx = jnp.argmax(exceed, axis=0)                 # first True
-    idx = jnp.maximum(idx, 1)
+    idx = jnp.maximum(idx, uln0 + 1)
     mld2 = jnp.take_along_axis(Z3, idx[None, :], axis=0)[0]
 
     return replace(state, density_m_rho0=rho, hpressure=hp, bvfreq=bvfreq,

@@ -28,6 +28,13 @@ def gather_nodes(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(x, idx, axis=-1)
 
 
+def take_row(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-column row gather: a[L, N] at row idx[N] -> [N].  Used for
+    "the surface row" when the surface index varies per column (ice-shelf
+    cavities: row = ulevels-1)."""
+    return jnp.take_along_axis(a, idx[None, :].astype(jnp.int32), 0)[0]
+
+
 def elem_mean_node(x: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
     """Average a node field to elements: [.., N] -> [.., E] (ref: sum(x(elnodes))/3)."""
     xe = jnp.take(x, mesh.elem_nodes, axis=-1)     # [.., E, 3]

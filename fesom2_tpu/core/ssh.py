@@ -55,7 +55,12 @@ def ssh_operator(mesh: MeshTables, cfg, hbar_e=None):
     H = elem_depth(mesh)
     if hbar_e is not None:
         H = H - hbar_e
-    diag_mass = mesh.areasvol[0] / dt  # surface scalar area (ulevels==1)
+    # surface scalar area at the per-column surface row (ulevels-1;
+    # ref init_stiff_mat_ale oce_ale.F90:1269 uses areasvol(ulevels))
+    av_srf = jnp.take_along_axis(
+        mesh.areasvol, (mesh.ulevels_node - 1)[None, :].astype(jnp.int32),
+        0)[0]
+    diag_mass = av_srf / dt
 
     def op(eta):
         gx, gy = scalar_gradient(eta, mesh)
@@ -84,7 +89,9 @@ def ssh_dense_matrix(mesh: MeshTables, cfg) -> np.ndarray:
     factor = g * dt * cfg.dyn.alpha * cfg.dyn.theta
 
     A = np.zeros((N, N))
-    np.fill_diagonal(A, np.asarray(mesh.areasvol)[0] / dt)
+    avn = np.asarray(mesh.areasvol)
+    uln0 = np.asarray(mesh.ulevels_node) - 1
+    np.fill_diagonal(A, avn[uln0, np.arange(N)] / dt)
     for i in range(2):
         el = etri[:, i]
         ok = el >= 0
@@ -153,7 +160,9 @@ def ssh_matrix_diagonal(mesh: MeshTables, cfg) -> jnp.ndarray:
     dt = cfg.dt
     factor = g * dt * cfg.dyn.alpha * cfg.dyn.theta
 
-    diag = np.asarray(mesh.areasvol)[0] / dt
+    avn = np.asarray(mesh.areasvol)
+    uln0 = np.asarray(mesh.ulevels_node) - 1
+    diag = avn[uln0, np.arange(avn.shape[1])] / dt
     diag = diag.copy()
     for i in range(2):
         el = etri[:, i]
@@ -198,7 +207,10 @@ def compute_ssh_rhs(state: OceanState, mesh: MeshTables, cfg, forcing: Forcing,
     if cfg.ale.which_ALE == "linfs":
         rhs = rhs + (1.0 - alpha) * state.ssh_rhs_old
     else:
-        rhs = rhs - alpha * forcing.water_flux * mesh.areasvol[0] \
+        av_srf = jnp.take_along_axis(
+            mesh.areasvol,
+            (mesh.ulevels_node - 1)[None, :].astype(jnp.int32), 0)[0]
+        rhs = rhs - alpha * forcing.water_flux * av_srf \
             + (1.0 - alpha) * state.ssh_rhs_old
     return rhs
 
@@ -241,8 +253,11 @@ def compute_hbar(state: OceanState, mesh: MeshTables, cfg,
                    -((state.v * he)[:, et2s] * dX2[None]
                      - (state.u * he)[:, et2s] * dY2[None]).sum(0), 0.0)
     rhs_old = edge_divergence(c1 + c2, mesh)
+    av_srf = jnp.take_along_axis(
+        mesh.areasvol, (mesh.ulevels_node - 1)[None, :].astype(jnp.int32),
+        0)[0]
     if cfg.ale.which_ALE != "linfs":
-        rhs_old = rhs_old - forcing.water_flux * mesh.areasvol[0]
+        rhs_old = rhs_old - forcing.water_flux * av_srf
     hbar_old = state.hbar
-    hbar = hbar_old + rhs_old * cfg.dt * mesh.areasvol_inv[0]
+    hbar = hbar_old + rhs_old * cfg.dt / jnp.where(av_srf > 0, av_srf, 1.0)
     return replace(state, hbar=hbar, hbar_old=hbar_old, ssh_rhs_old=rhs_old)

@@ -191,13 +191,17 @@ def adv_ver_upw1(t, w, mesh: MeshTables, flux_prev=None, moment: int = 1):
     consistently."""
     area = mesh.area
     nln = mesh.nlevels_node
+    uln0 = (mesh.ulevels_node - 1).astype(jnp.int32)
     lev = jnp.arange(mesh.nl)[:, None]
     aw = jnp.abs(w)
     t_above = _mpow(jnp.concatenate([t[:1], t], 0), moment)   # t[k-1] at iface k
     t_below = _mpow(jnp.concatenate([t, t[-1:]], 0), moment)  # t[k]   at iface k
     interior = 0.5 * (t_below * (w + aw) + t_above * (w - aw)) * area
-    surf = w[0] * _mpow(t[0], moment) * area[0]  # [N]
-    expr = jnp.where(lev == 0, surf[None, :], interior)
+    from .ops import take_row
+    surf = take_row(w, uln0) * _mpow(take_row(t, uln0), moment) \
+        * take_row(area, uln0)                   # [N]
+    expr = jnp.where(lev == uln0[None, :], surf[None, :], interior)
+    expr = jnp.where(lev < uln0[None, :], 0.0, expr)        # above cavity
     expr = jnp.where(lev >= (nln - 1)[None, :], 0.0, expr)  # zero bottom flux
     flux = -expr
     if flux_prev is not None:
@@ -244,11 +248,14 @@ def adv_ver_qr4c(t, w, Z3, zb3, mesh: MeshTables, num_ord, flux_prev=None,
              + num_ord * _mpow(0.5 * (Tmean1 + Tmean2), moment) * w) * area
 
     centered = _mpow(0.5 * (tm1 + t0), moment) * w * area
-    surf = w[0] * _mpow(t[0], moment) * area[0]  # [N]
+    from .ops import take_row
+    uln0 = (mesh.ulevels_node - 1).astype(jnp.int32)
+    surf = take_row(w, uln0) * _mpow(take_row(t, uln0), moment) \
+        * take_row(area, uln0)                   # [N]
 
-    is_surf = lev == 0
-    is_bot = lev >= (nln - 1)[None, :]
-    is_cent = (lev == 1) | (lev == (nln - 2)[None, :])
+    is_surf = lev == uln0[None, :]
+    is_bot = (lev >= (nln - 1)[None, :]) | (lev < uln0[None, :])
+    is_cent = (lev == uln0[None, :] + 1) | (lev == (nln - 2)[None, :])
     expr = jnp.where(is_cent, centered, inner)
     expr = jnp.where(is_surf, surf[None, :], expr)
     expr = jnp.where(is_bot, 0.0, expr)
@@ -262,12 +269,16 @@ def adv_ver_cdiff(t, w, mesh: MeshTables, flux_prev=None, moment: int = 1):
     """Centered-difference vertical flux (ref adv_tra_ver_cdiff :542-590)."""
     area = mesh.area
     nln = mesh.nlevels_node
+    uln0 = (mesh.ulevels_node - 1).astype(jnp.int32)
     lev = jnp.arange(mesh.nl)[:, None]
     tm1 = jnp.concatenate([t[:1], t], 0)[:mesh.nl]
     t0 = jnp.concatenate([t, t[-1:]], 0)[:mesh.nl]
     interior = _mpow(0.5 * (tm1 + t0), moment) * w * area
-    surf = w[0] * _mpow(t[0], moment) * area[0]
-    expr = jnp.where(lev == 0, surf[None, :], interior)
+    from .ops import take_row
+    surf = take_row(w, uln0) * _mpow(take_row(t, uln0), moment) \
+        * take_row(area, uln0)
+    expr = jnp.where(lev == uln0[None, :], surf[None, :], interior)
+    expr = jnp.where(lev < uln0[None, :], 0.0, expr)
     expr = jnp.where(lev >= (nln - 1)[None, :], 0.0, expr)
     flux = -expr
     if flux_prev is not None:
@@ -327,12 +338,14 @@ def adv_ver_ppm(t, w, hnode_old, hnode_new, mesh: MeshTables, dt,
                   - hB * (hA + hB) / (2.0 * hB + hC) * deltajp1
                   + hC * (hC + hD) / (hB + 2.0 * hC) * deltaj))
 
-    # special interfaces (ref :407-416)
+    # special interfaces (ref :407-416); surface row = ulevels-1
+    from .ops import take_row
+    uln0 = (mesh.ulevels_node - 1).astype(jnp.int32)
     t_up = jnp.concatenate([t[:1], t], 0)[:nl]          # t[i-1]
     t_dn = jnp.concatenate([t, t[-1:]], 0)[:nl]         # t[i]
     tv = tv_int
-    tv = jnp.where(lev == 0, t[0][None, :], tv)
-    tv = jnp.where(lev == 1, 0.5 * (t_up + t_dn), tv)
+    tv = jnp.where(lev <= uln0[None, :], take_row(t, uln0)[None, :], tv)
+    tv = jnp.where(lev == uln0[None, :] + 1, 0.5 * (t_up + t_dn), tv)
     upw = jnp.where(w >= 0, t_dn, t_up)                 # note ref sign select
     tv = jnp.where(lev == (nln - 2)[None, :], upw, tv)
     bot_t = jnp.take_along_axis(t_dn, (nln - 2)[None, :].astype(jnp.int32), 0)
@@ -370,8 +383,10 @@ def adv_ver_ppm(t, w, hnode_old, hnode_new, mesh: MeshTables, dt,
     tvert = tvert.at[:-1].set(jnp.where(w_lay > 0, from_below, 0.0))
     tvert = tvert.at[1:].add(jnp.where(w_dn < 0, from_above, 0.0))
     # surface + bottom overrides (ref :530-533)
-    surf = -_mpow(tv[0], moment) * w[0] * mesh.area[0]
-    tvert = tvert.at[0].set(surf)
+    surf = -_mpow(take_row(tv, uln0), moment) * take_row(w, uln0) \
+        * take_row(mesh.area, uln0)
+    tvert = jnp.where(lev == uln0[None, :], surf[None, :], tvert)
+    tvert = jnp.where(lev < uln0[None, :], 0.0, tvert)
     tvert = jnp.where(lev >= (nln - 1)[None, :], 0.0, tvert)
     flux = tvert
     if flux_prev is not None:
@@ -724,7 +739,7 @@ def diff_ver_impl(t, Kv, hnode_new, zbar_n_bot, mesh: MeshTables, dt,
     nln = mesh.nlevels_node
     lay = jnp.arange(nl - 1)[:, None]
     lmask = mesh.node_layer_mask
-    is_surf = lay == 0
+    is_surf = lay == (mesh.ulevels_node - 1)[None, :]
     is_bot = lay == (nln - 2)[None, :]
 
     # actual interface/mid depths from hnode_new (ref :536-548)

@@ -40,6 +40,9 @@ class RawMesh:
     edges: Optional[np.ndarray]          # [Ed,2] 0-based node pairs
     edge_tri: Optional[np.ndarray]       # [Ed,2] 0-based elems, -1 if absent
     edge2D_in: Optional[int]             # number of internal edges
+    # ice-shelf cavity draft per node (<0 under a shelf, 0 in open ocean;
+    # ref cavity_depth.out read in fvom_init.F90:224-270)
+    cavity_depth: Optional[np.ndarray] = None
     path: str = ""
 
     @property
@@ -112,6 +115,15 @@ def read_raw_mesh(path: str, force_rotation: bool = False,
         edge_tri[edge_tri < 0] = -1
         assert edges.shape[0] == edge2D
 
+    # ice-shelf draft (ref read_mesh_cavity, fvom_init.F90:224-270)
+    cavity_depth = None
+    cpath = os.path.join(path, "cavity_depth.out")
+    if os.path.exists(cpath):
+        cavity_depth = _read_table(cpath, skip_first=False).astype(
+            np.float64).ravel()
+        if np.nanmean(cavity_depth) > 0:
+            cavity_depth = -cavity_depth
+
     coords = coords_deg * rad
     if force_rotation:
         m = rotation_matrix(alpha, beta, gamma)
@@ -121,4 +133,5 @@ def read_raw_mesh(path: str, force_rotation: bool = False,
     return RawMesh(coords_deg=coords_deg, coords=coords, node_flag=node_flag,
                    elem_nodes=elem_nodes, zbar=np.asarray(zbar, np.float64),
                    depth=depth, nlevels_elem=nlev_e, nlevels_node=nlev_n,
-                   edges=edges, edge_tri=edge_tri, edge2D_in=edge2D_in, path=path)
+                   edges=edges, edge_tri=edge_tri, edge2D_in=edge2D_in,
+                   cavity_depth=cavity_depth, path=path)

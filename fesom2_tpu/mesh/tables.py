@@ -137,6 +137,87 @@ def derive_levels(raw: RawMesh, elem_neighbors: np.ndarray, thers_lev: int = 5,
     return nle.astype(np.int64), nln
 
 
+def derive_ulevels_cavity(cavity_depth: np.ndarray, elem_nodes: np.ndarray,
+                          elem_neighbors: np.ndarray, nle: np.ndarray,
+                          zbar: np.ndarray, which_depth_n2e: str = "mean"):
+    """Per-element/per-node level index of the ice-shelf (cavity)-ocean
+    boundary, 1-based like the reference (1 = open ocean).
+
+    Mirrors the partitioner's ``find_levels_cavity`` (fvom_init.F90:878-1075):
+    element draft from its vertices, first mid-depth Z below the draft (or
+    at most 3 layers left), then iterative elimination of cells isolated
+    within a layer, and node ulevels = min over containing elements.
+    """
+    nl = zbar.shape[0]
+    Z = 0.5 * (zbar[:-1] + zbar[1:])
+    E = elem_nodes.shape[0]
+    cd = cavity_depth[elem_nodes]
+    if which_depth_n2e == "min":
+        dmean = cd.max(axis=1)
+    elif which_depth_n2e == "max":
+        dmean = cd.min(axis=1)
+    else:
+        dmean = cd.mean(axis=1)
+    # first nz (1-based) with Z(nz) < dmean or fewer than 3 layers left
+    # (ref :925-931); for dmean >= 0 this fires at nz=1 (open ocean)
+    k1 = np.arange(1, nl)                            # 1-based layer index
+    cond = (Z[None, :] < dmean[:, None]) | ((nle[:, None] - k1[None, :]) <= 3)
+    ule = np.argmax(cond, axis=1) + 1
+
+    # eliminate cells isolated within a layer (ref :957-1040): a cell open
+    # at layer nz needs >=2 open neighbors; deepen its cavity boundary when
+    # >=3 bottom layers remain, otherwise raise the closest neighbor
+    elemreduce = np.zeros(E, bool)
+    elemfix = np.zeros(E, bool)
+
+    def _n_isolated(u):
+        # open (elem, layer) cells with <2 open neighbors, among elements
+        # that have >=2 neighbors at all (coastal corners are exempt)
+        has2 = (elem_neighbors >= 0).sum(axis=1) >= 2
+        n_bad = 0
+        for nz in range(1, int(u.max()) + 1):
+            act = (u <= nz) & (nz < nle)
+            nb_open = (elem_neighbors >= 0) & act[np.clip(elem_neighbors,
+                                                          0, None)]
+            n_bad += int((act & has2 & (nb_open.sum(axis=1) < 2)).sum())
+        return n_bad
+
+    for _outer in range(12):
+        elemreduce[:] = False
+        for nz in range(1, int(ule.max()) + 1):
+            for _ in range(1000):
+                active = (ule <= nz) & (nz < nle)
+                nb_open = (elem_neighbors >= 0) & \
+                    active[np.clip(elem_neighbors, 0, None)]
+                cnt = nb_open.sum(axis=1)
+                bad = active & (cnt < 2)
+                if not bad.any():
+                    break
+                deepen = bad & ((nle - (nz + 1)) >= 3) & ~elemreduce & ~elemfix
+                ule = np.where(deepen, nz + 1, ule)
+                for e in np.nonzero(bad & ~deepen)[0]:
+                    cands = [(ule[j] - nz, j) for j in elem_neighbors[e]
+                             if j >= 0 and ule[j] - nz > 0]
+                    if cands:
+                        j = min(cands)[1]
+                        ule[j] = max(nz - 1, 1)
+                        elemreduce[j] = True
+        viol = ule > nle - 1
+        if viol.any():
+            elemfix |= viol
+            ule = np.minimum(ule, np.maximum(nle - 3, 1))
+            continue
+        # re-sweep while neighbor-raising re-opened isolation at shallower
+        # layers (the reference leaves these; we converge them out)
+        if _n_isolated(ule) == 0:
+            break
+
+    uln = np.full(cavity_depth.shape[0], nl, np.int64)
+    for j in range(3):
+        np.minimum.at(uln, elem_nodes[:, j], ule)
+    return ule.astype(np.int64), uln.astype(np.int64)
+
+
 # --------------------------------------------------------------------------
 # MeshTables
 # --------------------------------------------------------------------------
@@ -202,11 +283,18 @@ class MeshTables:
 def build_mesh(path: str, *, cartesian: bool = False, fplane: bool = False,
                cyclic_length_deg: float = 360.0, force_rotation: bool = False,
                alpha: float = 50.0, beta: float = 15.0, gamma: float = -90.0,
-               use_shipped_edges: bool = True,
+               use_shipped_edges: bool = True, cavity_depth=None,
                dtype=jnp.float64) -> MeshTables:
-    """Read a FESOM-format mesh directory and derive all static geometry."""
+    """Read a FESOM-format mesh directory and derive all static geometry.
+
+    ``cavity_depth`` [N] (negative draft, 0 = open ocean) overrides any
+    cavity_depth.out shipped with the mesh — used for synthetic shelves."""
     raw = read_raw_mesh(path, force_rotation=force_rotation,
                         alpha=alpha, beta=beta, gamma=gamma)
+    if cavity_depth is not None:
+        import dataclasses as _dc
+        raw = _dc.replace(raw, cavity_depth=np.asarray(cavity_depth,
+                                                       np.float64))
     return build_mesh_from_raw(raw, cartesian=cartesian, fplane=fplane,
                                cyclic_length_deg=cyclic_length_deg,
                                force_rotation=force_rotation, alpha=alpha,
@@ -299,18 +387,26 @@ def build_mesh_from_raw(raw: RawMesh, *, cartesian: bool = False,
         nle, nln = raw.nlevels_elem, raw.nlevels_node
     else:
         nle, nln = derive_levels(raw, elem_neighbors)
-    ule = np.ones(E, np.int64)
-    uln = np.ones(N, np.int64)
+    if raw.cavity_depth is not None:
+        ule, uln = derive_ulevels_cavity(raw.cavity_depth, elem_nodes,
+                                         elem_neighbors, nle, raw.zbar)
+    else:
+        ule = np.ones(E, np.int64)
+        uln = np.ones(N, np.int64)
 
     zbar = raw.zbar
     Z = 0.5 * (zbar[:-1] + zbar[1:])
 
-    # masks: layer nz (0-based) active on elem e iff nz <= nle[e]-2
+    # masks: layer nz (0-based) active on elem e iff ule[e]-1 <= nz <= nle[e]-2
+    # (upper bound from the bathymetry, lower from the ice-shelf cavity)
     lay = np.arange(nl - 1)
-    elem_layer_mask = lay[:, None] < (nle[None, :] - 1)
-    node_layer_mask = lay[:, None] < (nln[None, :] - 1)
+    elem_layer_mask = (lay[:, None] < (nle[None, :] - 1)) \
+        & (lay[:, None] >= (ule[None, :] - 1))
+    node_layer_mask = (lay[:, None] < (nln[None, :] - 1)) \
+        & (lay[:, None] >= (uln[None, :] - 1))
     lev = np.arange(nl)
-    node_level_mask = lev[:, None] < nln[None, :]
+    node_level_mask = (lev[:, None] < nln[None, :]) \
+        & (lev[:, None] >= (uln[None, :] - 1))
 
     # ---- element centers, areas (ref mesh_areas :1882-1894) --------------
     exy = coords[elem_nodes]                      # [E,3,2]
@@ -331,11 +427,25 @@ def build_mesh_from_raw(raw: RawMesh, *, cartesian: bool = False,
 
     # scalar (median-dual) areas per level (ref mesh_areas :1932-1958)
     area = np.zeros((nl, N))
-    # each element contributes elem_area/3 to its 3 vertices on layers [0, nle-1)
+    # each element contributes elem_area/3 to its 3 vertices on its active
+    # layers [ule-1, nle-1)
     contrib_levels = np.where(elem_layer_mask, (elem_area / 3.0)[None, :], 0.0)  # [nl-1,E]
     for j in range(3):
         np.add.at(area[:nl - 1].T, elem_nodes[:, j], contrib_levels.T)
-    areasvol = area.copy()  # no cavity: identical (ref :1980-1988)
+    if raw.cavity_depth is not None:
+        # under a cavity the scalar-cell "mid" area is the LOWER prism edge
+        # where any adjacent element is still closed (ref :1952-1977)
+        cav_contrib = np.zeros((nl - 1, N), np.int64)
+        closed = lay[:, None] < (ule[None, :] - 1)          # [nl-1, E]
+        for j in range(3):
+            np.add.at(cav_contrib.T, elem_nodes[:, j], closed.T.astype(np.int64))
+        areasvol = area.copy()
+        nz_dn = np.minimum(lay[:, None] + 1, np.maximum(nln[None, :] - 2, 0))
+        area_dn = np.take_along_axis(area[:nl - 1], nz_dn, axis=0)
+        areasvol[:nl - 1] = np.where((cav_contrib > 0) & node_layer_mask,
+                                     area_dn, area[:nl - 1])
+    else:
+        areasvol = area.copy()  # no cavity: identical (ref :1980-1988)
 
     elem_area = elem_area * r_earth * r_earth
     area = area * r_earth * r_earth

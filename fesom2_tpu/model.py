@@ -213,6 +213,7 @@ def coupled_step_fn(model: "Model", jit: bool = True):
     """
     from .ice import step as ice_step_mod
     from .ice import coupling as ice_cpl
+    from .core import cavity
     mesh = model.mesh
     cfg = model.cfg
     use_virt_salt = cfg.ale.which_ALE == "linfs"
@@ -224,7 +225,16 @@ def coupled_step_fn(model: "Model", jit: bool = True):
                                         use_virt_salt,
                                         ref_sss=cfg.tra.ref_sss,
                                         ref_sss_local=cfg.tra.ref_sss_local)
+        if cfg.run.use_cavity:
+            ice = cavity.cavity_ice_clean(ice, mesh)
         sx, sy = ice_cpl.oce_fluxes_mom(ice, surf, ice_forcing, mesh, cfg)
+        if cfg.run.use_cavity:
+            # under the shelf the surface stress is the drag of the shelf
+            # base against the top-layer flow (ref ice_oce_coupling.F90:75)
+            csx, csy = cavity.cavity_momentum_fluxes(state, mesh, cfg)
+            cav_e = mesh.ulevels_elem > 1
+            sx = jnp.where(cav_e, csx, sx)
+            sy = jnp.where(cav_e, csy, sy)
         ocean_forcing = replace(ocean_forcing, stress_x=sx, stress_y=sy)
         ocean_forcing = ice_cpl.oce_fluxes(ice, surf, ice_forcing,
                                            ocean_forcing, mesh, cfg,
@@ -232,6 +242,21 @@ def coupled_step_fn(model: "Model", jit: bool = True):
                                            Ssurf=model.Ssurf,
                                            ref_sss=cfg.tra.ref_sss,
                                            ref_sss_local=cfg.tra.ref_sss_local)
+        if cfg.run.use_cavity:
+            # 3-equation melt fluxes replace the (absent) atmosphere fluxes
+            # at cavity nodes (ref ice_oce_coupling.F90:222)
+            chf, cwf = cavity.cavity_heat_water_fluxes_3eq(
+                state, mesh, model.density_ref)
+            cav_n = mesh.ulevels_node > 1
+            ocean_forcing = replace(
+                ocean_forcing,
+                heat_flux=jnp.where(cav_n, chf, ocean_forcing.heat_flux),
+                water_flux=jnp.where(cav_n, cwf, ocean_forcing.water_flux),
+                virtual_salt=jnp.where(cav_n, 0.0,
+                                       ocean_forcing.virtual_salt),
+                relax_salt=jnp.where(cav_n, 0.0, ocean_forcing.relax_salt),
+                real_salt_flux=jnp.where(cav_n, 0.0,
+                                         ocean_forcing.real_salt_flux))
         # ice fields + atm stress for Monin-Obukhov mixing (oce_mo_conv.F90)
         ocean_forcing = replace(ocean_forcing,
                                 stress_atm_x=ice_forcing.stress_atmoce_x,
@@ -245,6 +270,11 @@ def coupled_step_fn(model: "Model", jit: bool = True):
             sw_3d, dheat = tracers.shortwave_penetration(
                 ice_forcing.shortwave, ice.a_ice, state.zbar_3d, mesh,
                 cfg.ice.albw)
+            if cfg.run.use_cavity:
+                # no shortwave reaches the ocean through an ice shelf
+                cav_n = mesh.ulevels_node > 1
+                sw_3d = jnp.where(cav_n[None, :], 0.0, sw_3d)
+                dheat = jnp.where(cav_n, 0.0, dheat)
             ocean_forcing = replace(ocean_forcing,
                                     heat_flux=ocean_forcing.heat_flux + dheat)
         state = ocean_step(state, ocean_forcing, sw_3d)
@@ -425,7 +455,8 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
         t = jnp.where(nmask, t, 0.0)
 
         tid = cfg.tra.tracer_ID[i] if i < len(cfg.tra.tracer_ID) else i
-        surf_bc = tracers.bc_surface(tid, t[0], forcing, dt, is_nonlinfs)
+        t_top = ops.take_row(t, mesh.ulevels_node - 1)   # surface layer value
+        surf_bc = tracers.bc_surface(tid, t_top, forcing, dt, is_nonlinfs)
         sw_src = None
         if sw_3d is not None and tid == 0:
             sw_src = tracers.sw_3d_source(sw_3d, mesh, dt)
@@ -501,7 +532,7 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
 def setup_pi_model(mesh_path: str = "/root/reference/test/meshes/pi",
                    forcing_path: str = "/root/reference/test/input/global",
                    dtype=jnp.float64, step_per_day: int = 96,
-                   pad_to: int = 1):
+                   pad_to: int = 1, cavity_depth=None):
     """Global pi-mesh ocean+ice configuration (CI test_pi analog,
     ``setups/test_pi/setup.yml``).  Returns (Model, AtmData).
 
@@ -528,7 +559,9 @@ def setup_pi_model(mesh_path: str = "/root/reference/test/meshes/pi",
     cfg.tra.tra_adv_lim = "FCT"
 
     mesh = build_mesh(mesh_path, force_rotation=True, cyclic_length_deg=360.0,
-                      dtype=dtype)
+                      cavity_depth=cavity_depth, dtype=dtype)
+    if cavity_depth is not None:
+        cfg.run.use_cavity = True
     if pad_to > 1:
         from .parallel.padding import pad_mesh
         mesh = pad_mesh(mesh, pad_to)
