@@ -70,6 +70,7 @@ class RunConfig:
     flag_warn_cflz: bool = True
     use_global_tides: bool = False  # luni-solar potential (mo_tidal)
     l_mslp: bool = False            # sea-level pressure forcing
+    use_icepack: bool = False       # multi-category column physics (__icepack)
 
 
 # --------------------------------------------------------------------------
@@ -284,6 +285,7 @@ class ModelConfig:
     dyn: OceDynConfig = field(default_factory=OceDynConfig)
     tra: OceTraConfig = field(default_factory=OceTraConfig)
     ice: IceConfig = field(default_factory=IceConfig)
+    icepack: "object" = field(default=None)   # IcepackConfig when use_icepack
     cvmix: CvmixConfig = field(default_factory=CvmixConfig)
     diag: DiagConfig = field(default_factory=DiagConfig)
     restart_length: int = 1

@@ -144,8 +144,15 @@ def adv_hor_upw1(t, u, v, helem, mesh: MeshTables, flux_prev=None,
 
 
 def adv_hor_muscl(t, u, v, helem, mesh: MeshTables, st: TracerStatics,
-                  eg, num_ord, flux_prev=None, moment: int = 1):
-    """MUSCL horizontal flux (ref adv_tra_hor_muscl :215-485)."""
+                  eg, num_ord, flux_prev=None, moment: int = 1,
+                  boundary_fallback: bool = True):
+    """MUSCL horizontal flux (ref adv_tra_hor_muscl :215-485).
+
+    With ``boundary_fallback=False`` this is the reference's MFCT scheme
+    (adv_tra_hor_mfct :485-734): the two routines are line-identical except
+    that MUSCL zeroes the high-order reconstruction correction at nodes
+    within ``nboundary_lay`` of the lateral boundary (the ``c_lo`` factors,
+    oce_adv_tra_hor.F90:262-267) while MFCT keeps it everywhere."""
     vflux = _edge_vflux(u, v, helem, mesh)
     n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
     t1 = t[:, n0]
@@ -158,9 +165,12 @@ def adv_hor_muscl(t, u, v, helem, mesh: MeshTables, st: TracerStatics,
     cos2 = mesh.elem_cos[jnp.where(has2, et2, 0)]
     a = jnp.where(has2, 0.5 * (cos1 + cos2), cos1) * r_earth    # [Ed]
 
-    nz1 = jnp.arange(mesh.nl - 1)[:, None] + 1                   # 1-based layer
-    c1 = (st.nboundary_lay[n0][None, :] >= nz1).astype(t.dtype)
-    c2 = (st.nboundary_lay[n1][None, :] >= nz1).astype(t.dtype)
+    if boundary_fallback:
+        nz1 = jnp.arange(mesh.nl - 1)[:, None] + 1               # 1-based layer
+        c1 = (st.nboundary_lay[n0][None, :] >= nz1).astype(t.dtype)
+        c2 = (st.nboundary_lay[n1][None, :] >= nz1).astype(t.dtype)
+    else:
+        c1 = c2 = jnp.ones((), t.dtype)
 
     dx = mesh.edge_dxdy[:, 0][None, :] * a[None, :]
     dy = mesh.edge_dxdy[:, 1][None, :] * r_earth

@@ -22,7 +22,7 @@ from .state import IceState, IceForcing, OceanSurface, rhoice, rhosno, inv_rhowa
 
 
 def mevp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
-                  ocean: OceanSurface, cfg) -> IceState:
+                  ocean: OceanSurface, cfg, strength_node=None) -> IceState:
     icfg = cfg.ice
     ice_dt = cfg.dt * icfg.ice_ave_steps
     alpha = icfg.alpha_evp
@@ -58,10 +58,13 @@ def mevp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
     msum = ice.m_ice[en].mean(-1)
     asum = ice.a_ice[en].mean(-1)
     has_ice_e = msum > 0.01
-    pressure_fac = jnp.where(
-        has_ice_e,
-        det2 * icfg.Pstar * msum * jnp.exp(-icfg.c_pressure * (1.0 - asum)),
-        0.0)
+    if strength_node is not None:
+        # icepack strength field: element pressure from the node mean
+        # (ref ice_maEVP.F90:97-98, __icepack branch)
+        p_e = strength_node[en].mean(-1)
+    else:
+        p_e = icfg.Pstar * msum * jnp.exp(-icfg.c_pressure * (1.0 - asum))
+    pressure_fac = jnp.where(has_ice_e, det2 * p_e, 0.0)
 
     rdt = ice_dt
     cor = mesh.coriolis_node
@@ -348,11 +351,50 @@ def aevp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
 
 
 def ice_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
-                 ocean: OceanSurface, cfg) -> IceState:
-    """Dispatch on whichEVP (ref ice_setup_step.F90:195-208)."""
+                 ocean: OceanSurface, cfg, strength_node=None) -> IceState:
+    """Dispatch on whichEVP (ref ice_setup_step.F90:195-208).
+
+    strength_node (icepack builds): per-node ice strength replacing the
+    Hibler P* closure inside the rheology (ref ice_maEVP.F90:46-98)."""
     which = cfg.ice.whichEVP
     if which == 0:
         return evp_dynamics(ice, mesh, forcing, ocean, cfg)
     if which == 2:
         return aevp_dynamics(ice, mesh, forcing, ocean, cfg)
-    return mevp_dynamics(ice, mesh, forcing, ocean, cfg)
+    return mevp_dynamics(ice, mesh, forcing, ocean, cfg,
+                         strength_node=strength_node)
+
+
+def ridging_rates(ice: IceState, mesh: MeshTables, cfg):
+    """Node-level convergence / shear closing rates for the icepack
+    mechanical redistribution, from the post-solve velocity field:
+    rdg_conv = -min(div,0), rdg_shear = 0.5*(Delta - |div|)
+    (ref ice_maEVP.F90:115-127 __icepack branch; element values averaged
+    to nodes like icepack_to_fesom)."""
+    vale = 1.0 / cfg.ice.ellipse ** 2
+    en = mesh.elem_nodes
+    dx = mesh.gradient_sca[:, 0:3]
+    dy = mesh.gradient_sca[:, 3:6]
+    meancos = mesh.metric_factor / 3.0
+    ue = ice.u_ice[en]
+    ve = ice.v_ice[en]
+    eps11 = (dx * ue).sum(-1) - ve.sum(-1) * meancos
+    eps22 = (dy * ve).sum(-1)
+    eps12 = 0.5 * ((dy * ue).sum(-1) + (dx * ve).sum(-1)
+                   + ue.sum(-1) * meancos)
+    div = eps11 + eps22
+    eps2 = eps11 - eps22
+    delta = jnp.sqrt(div ** 2 + vale * (eps2 ** 2 + 4.0 * eps12 ** 2))
+    conv_e = jnp.maximum(-div, 0.0)
+    shear_e = 0.5 * (delta - jnp.abs(div))
+    # area-weighted element -> node average
+    w = mesh.elem_area / 3.0
+    area1 = mesh.area[0]
+    inv = jnp.where(area1 > 0, 1.0 / jnp.where(area1 > 0, area1, 1.0), 0.0)
+    conv = elem_contrib_to_nodes(
+        jnp.broadcast_to((conv_e * w)[:, None], (conv_e.shape[0], 3)),
+        mesh) * inv
+    shear = elem_contrib_to_nodes(
+        jnp.broadcast_to((shear_e * w)[:, None], (shear_e.shape[0], 3)),
+        mesh) * inv
+    return conv, shear

@@ -23,12 +23,13 @@ from .state import IceState
 
 
 def _mass_matvec(x, mesh: MeshTables):
-    """Consistent mass matrix times node field (matrix-free, gather-based)."""
+    """Consistent mass matrix times node field(s) [..., N] (matrix-free,
+    gather-based; batched over any leading axes)."""
     en = mesh.elem_nodes
-    xe = x[en]                          # [E, 3]
+    xe = x[..., en]                     # [..., E, 3]
     s = xe.sum(-1)
     coef = mesh.elem_area / 12.0
-    contrib = coef[:, None] * (s[:, None] + xe)           # [E, 3]
+    contrib = coef[:, None] * (s[..., None] + xe)         # [..., E, 3]
     return elem_contrib_to_nodes(contrib, mesh)
 
 
@@ -82,26 +83,25 @@ def ice_tg_rhs_div(u_ice, v_ice, fields, mesh: MeshTables, ice_dt):
 
 
 def _lumped_iterate(rhs, mesh: MeshTables, n_iter=3):
-    """Solve M_c d = rhs by lumped-mass Jacobi iterations (ref :239-320)."""
+    """Solve M_c d = rhs by lumped-mass Jacobi iterations (ref :239-320);
+    rhs [..., N], batched."""
     area1 = mesh.area[0]
     inv_area = jnp.where(area1 > 0, 1.0 / jnp.where(area1 > 0, area1, 1.0), 0.0)
-    d = rhs * inv_area[None, :]
+    d = rhs * inv_area
     for _ in range(n_iter - 1):
-        resid = rhs - jnp.stack([_mass_matvec(d[f], mesh)
-                                 for f in range(rhs.shape[0])])
-        d = d + resid * inv_area[None, :]
+        resid = rhs - _mass_matvec(d, mesh)
+        d = d + resid * inv_area
     return d
 
 
-def ice_fct_advect(ice: IceState, mesh: MeshTables, cfg, ice_dt) -> IceState:
-    """Full advection step: TG rhs -> HO/LO solutions -> FEM-FCT -> update.
+def fct_advect_fields(u_ice, v_ice, fields, mesh: MeshTables, gamma, ice_dt):
+    """Advect a stack of node scalars [F, N] with the TG/FEM-FCT scheme,
+    fully vectorized over F (used for both the 3-field FESIM state and the
+    ~60-field icepack category-tracer stack, like fct_solve_icepack,
+    ``icedrv_advection.F90:581-599``).
 
-    Mirrors ice_timestep's sequence ice_TG_rhs_div -> ice_fct_solve ->
-    ice_update_for_div (``ice_setup_step.F90:224-231``).
-    """
-    gamma = cfg.ice.ice_gamma_fct
-    fields = jnp.stack([ice.m_ice, ice.a_ice, ice.m_snow])   # [3, N]
-    rhs, rhs_div = ice_tg_rhs_div(ice.u_ice, ice.v_ice, fields, mesh, ice_dt)
+    Returns the new fields [F, N]."""
+    rhs, rhs_div = ice_tg_rhs_div(u_ice, v_ice, fields, mesh, ice_dt)
 
     # high-order increments (consistent mass iterations, ref :239-320)
     d_high = _lumped_iterate(rhs, mesh, n_iter=3)
@@ -109,67 +109,61 @@ def ice_fct_advect(ice: IceState, mesh: MeshTables, cfg, ice_dt) -> IceState:
     # low-order solution (ref :173-236)
     area1 = mesh.area[0]
     inv_area = jnp.where(area1 > 0, 1.0 / jnp.where(area1 > 0, area1, 1.0), 0.0)
-    mc_f = jnp.stack([_mass_matvec(fields[f], mesh) for f in range(3)])
-    low = (rhs + gamma * mc_f) * inv_area[None, :] + (1.0 - gamma) * fields
+    low = (rhs + gamma * _mass_matvec(fields, mesh)) * inv_area \
+        + (1.0 - gamma) * fields
 
-    # FEM-FCT limiting per field (ref ice_fem_fct :321-632)
+    # FEM-FCT limiting (ref ice_fem_fct :321-632), batched over F
     en = mesh.elem_nodes
-    coef = mesh.elem_area / 12.0
-    new_fields = []
-    for f in range(3):
-        x = fields[f]
-        dh = d_high[f]
-        lo = low[f]
-        # antidiffusive element fluxes: -sum_q icoef(:,q)*(gamma*x+dh)
-        # icoef = 1 everywhere, -2 on diagonal => sum = (s - 3*y_q) where
-        # s=sum(y), y=gamma*x+dh  (since icoef(n,q): column q gets 1,1,1 with
-        # diagonal replaced by -2 => sum_n icoef(n,q)*y_n = s - 3*y_q)
-        y = gamma * x + dh
-        ye = y[en]
-        s = ye.sum(-1)
-        # icefluxes(elem,q) = -(sum_n icoef(n,q) y_n) * vol/(12*area(q))
-        # with icoef=1 except -2 on the diagonal => sum_n = s - 3*y_q
-        flux_q = -(s[:, None] - 3.0 * ye) * mesh.elem_area[:, None] / 12.0
-        flux_q = flux_q / jnp.maximum(area1[en], 1e-30)
+    # antidiffusive element fluxes: -sum_q icoef(:,q)*(gamma*x+dh) with
+    # icoef = 1 everywhere, -2 on the diagonal => sum_n icoef(n,q)*y_n
+    # = s - 3*y_q where s = sum(y)
+    y = gamma * fields + d_high
+    ye = y[..., en]                                       # [F, E, 3]
+    s = ye.sum(-1)
+    flux_q = -(s[..., None] - 3.0 * ye) * mesh.elem_area[:, None] / 12.0
+    flux_q = flux_q / jnp.maximum(area1[en], 1e-30)
 
-        # cluster min/max of the low-order solution over node neighborhoods:
-        # nn_pos = node itself + edge neighbors; implement via edge scatter max
-        n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
-        tmax = lo
-        tmin = lo
-        big = jnp.finfo(lo.dtype).max
-        nb_max = jnp.full_like(lo, -big).at[n0].max(lo[n1]).at[n1].max(lo[n0])
-        nb_min = jnp.full_like(lo, big).at[n0].min(lo[n1]).at[n1].min(lo[n0])
-        tmax = jnp.maximum(tmax, nb_max) - lo
-        tmin = jnp.minimum(tmin, nb_min) - lo
+    # cluster min/max of the low-order solution over node neighborhoods
+    n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
+    big = jnp.finfo(low.dtype).max
+    nb_max = jnp.full_like(low, -big)
+    nb_max = nb_max.at[..., n0].max(low[..., n1]).at[..., n1].max(low[..., n0])
+    nb_min = jnp.full_like(low, big)
+    nb_min = nb_min.at[..., n0].min(low[..., n1]).at[..., n1].min(low[..., n0])
+    tmax = jnp.maximum(low, nb_max) - low
+    tmin = jnp.minimum(low, nb_min) - low
 
-        # sums of +/- fluxes (gather-based)
-        pplus = elem_contrib_to_nodes(jnp.maximum(flux_q, 0.0), mesh)
-        pminus = elem_contrib_to_nodes(jnp.minimum(flux_q, 0.0), mesh)
-        pplus = jnp.where(jnp.abs(pplus) > 0,
-                          jnp.minimum(1.0, tmax / jnp.where(pplus != 0, pplus, 1.0)),
-                          0.0)
-        pminus = jnp.where(jnp.abs(pminus) > 0,
-                           jnp.minimum(1.0, tmin / jnp.where(pminus != 0, pminus, 1.0)),
-                           0.0)
+    # sums of +/- fluxes (gather-based) -> nodal limiting factors
+    pplus = elem_contrib_to_nodes(jnp.maximum(flux_q, 0.0), mesh)
+    pminus = elem_contrib_to_nodes(jnp.minimum(flux_q, 0.0), mesh)
+    pplus = jnp.where(jnp.abs(pplus) > 0,
+                      jnp.minimum(1.0, tmax / jnp.where(pplus != 0, pplus, 1.0)),
+                      0.0)
+    pminus = jnp.where(jnp.abs(pminus) > 0,
+                       jnp.minimum(1.0, tmin / jnp.where(pminus != 0, pminus, 1.0)),
+                       0.0)
 
-        # element limiting factor ae = min over its 3 nodes
-        ae = jnp.ones(en.shape[0], lo.dtype)
-        for k in range(3):
-            fk = flux_q[:, k]
-            fac = jnp.where(fk >= 0, pplus[en[:, k]], pminus[en[:, k]])
-            ae = jnp.minimum(ae, fac)
-
-        out = lo + elem_contrib_to_nodes(ae[:, None] * flux_q, mesh)
-        new_fields.append(out)
-
-    m_ice, a_ice, m_snow = new_fields
+    # element limiting factor ae = min over its 3 nodes
+    fac = jnp.where(flux_q >= 0, pplus[..., en], pminus[..., en])  # [F,E,3]
+    ae = fac.min(-1)
+    out = low + elem_contrib_to_nodes(ae[..., None] * flux_q, mesh)
 
     # divergence part (ref ice_update_for_div :806-893)
     d_div = _lumped_iterate(rhs_div, mesh, n_iter=3)
-    m_ice = m_ice + d_div[0]
-    a_ice = a_ice + d_div[1]
-    m_snow = m_snow + d_div[2]
+    return out + d_div
+
+
+def ice_fct_advect(ice: IceState, mesh: MeshTables, cfg, ice_dt) -> IceState:
+    """Full advection step for the FESIM 3-field state: TG rhs -> HO/LO
+    solutions -> FEM-FCT -> update.
+
+    Mirrors ice_timestep's sequence ice_TG_rhs_div -> ice_fct_solve ->
+    ice_update_for_div (``ice_setup_step.F90:224-231``).
+    """
+    gamma = cfg.ice.ice_gamma_fct
+    fields = jnp.stack([ice.m_ice, ice.a_ice, ice.m_snow])   # [3, N]
+    m_ice, a_ice, m_snow = fct_advect_fields(ice.u_ice, ice.v_ice, fields,
+                                             mesh, gamma, ice_dt)
 
     # cut_off (ref ice_thermo_oce.F90:2-63)
     a_ice = jnp.minimum(a_ice, 1.0)

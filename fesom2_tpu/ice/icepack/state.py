@@ -1,0 +1,154 @@
+"""Icepack state pytree and configuration.
+
+Mirrors the per-gridpoint state of the reference driver
+(``src/icepack_drivers/icedrv_main.F90:83-140``: aicen, vicen, vsnon,
+trcrn = [Tsfc, qice(nilyr), qsno(nslyr)]) with TPU layout
+``[ncat, N]`` / ``[ncat, nlyr, N]``.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as c
+from .itd import category_bounds
+
+
+@dataclass
+class IcepackConfig:
+    """Subset of config/namelist.icepack exercised by the reference CI
+    (env_nml, thermo_nml, shortwave_nml, dynamics_nml)."""
+    ncat: int = 5
+    nilyr: int = 4
+    nslyr: int = 4
+    kcatbound: int = 1
+    kitd: int = 1                 # 1 linear remap | 0 delta rebin
+    ktherm: int = 1               # BL99
+    conduct: str = "bubbly"       # 'bubbly' (Pringle 2007) | 'MU71'
+    ksno: float = 0.30
+    # shortwave / albedo (ccsm3)
+    albicev: float = 0.78
+    albicei: float = 0.36
+    albsnowv: float = 0.98
+    albsnowi: float = 0.70
+    albocn: float = 0.06
+    ahmax: float = 0.3
+    i0vis: float = 0.70           # fraction of penetrating vis SW
+    kappav: float = 1.4           # vis extinction in ice [1/m]
+    frac_vis: float = 0.52        # visible fraction of incoming SW
+    dT_mlt: float = 1.5
+    dalb_mlt: float = -0.075
+    dalb_mltv: float = -0.100
+    dalb_mlti: float = -0.150
+    snowpatch: float = 0.02
+    # dynamics / ridging
+    kstrength: int = 1            # 1 Rothrock | 0 Hibler
+    krdg_partic: int = 1          # exponential participation
+    krdg_redist: int = 1          # exponential redistribution
+    mu_rdg: float = 3.0
+    Cf: float = 17.0
+    P_star: float = 27000.0
+    C_star: float = 20.0
+    # forcing
+    ustar_min: float = 0.0005
+    emissivity: float = 0.95
+    tfrz_option: str = "linear_salt"
+    natmiter: int = 5
+    # numerics
+    niter_therm: int = 12         # outer Newton iterations of the BL99 solve
+    ndtd: int = 1
+
+    def __post_init__(self):
+        self.hin_max = category_bounds(self.ncat, self.kcatbound)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class IcepackState:
+    """Prognostic multi-category state; N = number of surface nodes."""
+    aicen: jnp.ndarray    # [ncat, N] category area fractions
+    vicen: jnp.ndarray    # [ncat, N] ice volume per grid area [m]
+    vsnon: jnp.ndarray    # [ncat, N] snow volume per grid area [m]
+    Tsfcn: jnp.ndarray    # [ncat, N] surface temperature [C]
+    qin: jnp.ndarray      # [ncat, nilyr, N] ice enthalpy density [J/m^3] (<0)
+    qsn: jnp.ndarray      # [ncat, nslyr, N] snow enthalpy density [J/m^3] (<0)
+
+
+def salinity_profile(nilyr: int) -> np.ndarray:
+    """BL99 fixed bulk-salinity profile per ice layer midpoint [ppt]."""
+    z = (np.arange(nilyr) + 0.5) / nilyr
+    return 0.5 * c.saltmax * (1.0 - np.cos(np.pi
+                                           * z ** (c.sal_a / (z + c.sal_b))))
+
+
+def melt_temps(nilyr: int) -> np.ndarray:
+    """Layer melting temperatures Tm = -mu*S [C]."""
+    return -c.mu_liq * salinity_profile(nilyr)
+
+
+def enthalpy_ice(T, S):
+    """BL99 ice enthalpy density q(T,S) [J/m^3], T in C (<= Tm <= 0)."""
+    Tm = -c.mu_liq * S
+    Ts = jnp.minimum(T, -1e-6)
+    return -c.rhoi * (c.cp_ice * (Tm - Ts) + c.Lfresh * (1.0 - Tm / Ts)
+                      - c.cp_ocn * Tm)
+
+
+def enthalpy_snow(T):
+    """Snow enthalpy density [J/m^3]."""
+    return -c.rhos * (-c.cp_ice * T + c.Lfresh)
+
+
+def temperature_ice(q, S):
+    """Invert q(T,S): T from the quadratic
+    cp_ice*T^2 + b*T + Lfresh*Tm = 0."""
+    Tm = -c.mu_liq * S
+    b = (c.cp_ocn - c.cp_ice) * Tm - q / c.rhoi - c.Lfresh
+    cc = c.Lfresh * Tm
+    disc = jnp.maximum(b * b - 4.0 * c.cp_ice * cc, 0.0)
+    T = (-b - jnp.sqrt(disc)) / (2.0 * c.cp_ice)
+    return jnp.minimum(T, Tm)
+
+
+def temperature_snow(q):
+    return jnp.minimum((q / c.rhos + c.Lfresh) / c.cp_ice, 0.0)
+
+
+def init_icepack_state(cfg: IcepackConfig, a_ice, m_ice, m_snow, Tsf,
+                       dtype=jnp.float64) -> IcepackState:
+    """Distribute an aggregate (a, hi*a, hs*a) initial condition into
+    categories: all initial ice is placed in the category containing its
+    mean thickness (the reference driver's init_state does the same
+    single-category placement per point)."""
+    N = a_ice.shape[0]
+    ncat, nilyr, nslyr = cfg.ncat, cfg.nilyr, cfg.nslyr
+    hmax = cfg.hin_max
+    hi = jnp.where(a_ice > c.puny, m_ice / jnp.maximum(a_ice, c.puny), 0.0)
+
+    sal = jnp.asarray(salinity_profile(nilyr), dtype)
+    # isothermal cold profile at the surface temperature (capped below Tm)
+    Tprof = jnp.minimum(Tsf, -c.mu_liq * c.saltmax - 0.1)
+    qi0 = enthalpy_ice(Tprof[None, :], sal[:, None])            # [nilyr, N]
+    qs0 = jnp.broadcast_to(enthalpy_snow(Tprof)[None, :], (nslyr, N))
+
+    aicen = []
+    for n in range(ncat):
+        inb = (hi > hmax[n]) & (hi <= hmax[n + 1]) & (a_ice > c.puny)
+        aicen.append(jnp.where(inb, a_ice, 0.0))
+    aicen = jnp.stack(aicen)
+    frac = jnp.where(a_ice[None] > c.puny,
+                     aicen / jnp.maximum(a_ice[None], c.puny), 0.0)
+    vicen = frac * m_ice[None]
+    vsnon = frac * m_snow[None]
+    has = aicen > c.puny
+    return IcepackState(
+        aicen=aicen.astype(dtype),
+        vicen=vicen.astype(dtype),
+        vsnon=vsnon.astype(dtype),
+        Tsfcn=jnp.where(has, jnp.minimum(Tsf, 0.0)[None], 0.0).astype(dtype),
+        qin=jnp.where(has[:, None, :], qi0[None], 0.0).astype(dtype),
+        qsn=jnp.where(has[:, None, :], qs0[None], 0.0).astype(dtype),
+    )

@@ -1,0 +1,361 @@
+"""BL99 (Bitz & Lipscomb 1999) vertical thermodynamics, ktherm=1.
+
+Per category and node: implicit multi-layer heat conduction with a
+surface energy-balance Newton iteration, then thickness changes (top/
+bottom melt, congelation growth, sublimation, snow-ice flooding,
+snowfall) with conservative re-layering.
+
+Reference behavior: icepack_therm_bl99/icepack_therm_vertical driven by
+``src/icepack_drivers/icedrv_step.F90`` step_therm1 :79-289.  TPU design:
+categories/layers are static axes; the nonlinear solve is a fixed-count
+``lax.fori_loop`` over a batched 9-row Thomas solve (unrolled — rows are
+static); all melt/growth layer accounting is cumsum arithmetic, no loops
+over data-dependent extents.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import constants as c
+from .state import enthalpy_ice, enthalpy_snow
+
+
+# --------------------------------------------------------------------------
+# surface fluxes over ice (constant-coefficient bulk, like the FESIM
+# thermodynamics; Icepack's stability iteration is a documented deviation)
+# --------------------------------------------------------------------------
+Ch_ice = 1.75e-3
+Ce_ice = 1.75e-3
+
+
+def _qsat_ice(Tsf):
+    """Saturation specific humidity over ice (CICE coefficients)."""
+    return (c.qqqice / c.rhoair) * jnp.exp(-c.TTTice / (Tsf + c.Tffresh))
+
+
+def surface_fluxes(Tsf, fswsfc, flw, Tair, shum, wind, emiss):
+    """Net surface flux fsurf(Tsf) [W/m^2, + downward] and d(fsurf)/dTsf.
+
+    Returns (fsurf, dfsurf, fsens, flat, flwout)."""
+    TK = Tsf + c.Tffresh
+    flwout = -emiss * c.stefan_boltzmann * TK ** 4
+    dflw = -4.0 * emiss * c.stefan_boltzmann * TK ** 3
+    cs = c.rhoair * c.cp_air * Ch_ice * wind
+    fsens = cs * (Tair - Tsf)
+    dfsens = -cs
+    ce = c.rhoair * c.Lsub * Ce_ice * wind
+    qs = _qsat_ice(Tsf)
+    flat = ce * (shum - qs)
+    dflat = -ce * qs * c.TTTice / TK ** 2
+    fsurf = fswsfc + emiss * flw + flwout + fsens + flat
+    dfsurf = dflw + dfsens + dflat
+    return fsurf, dfsurf, fsens, flat, flwout
+
+
+def conductivity_ice(T, S, conduct="bubbly"):
+    """Ice thermal conductivity [W/m/K]; T [C] < 0."""
+    Ts = jnp.minimum(T, -0.01)
+    if conduct == "MU71":
+        k = c.kice0 + c.beta_mu71 * S / Ts
+    else:  # bubbly (Pringle et al. 2007), rhoi/917 = 1 here
+        k = 2.11 - 0.011 * Ts + 0.09 * S / Ts
+    return jnp.maximum(k, 0.1 * c.kice0)
+
+
+# --------------------------------------------------------------------------
+# batched Thomas solve, rows static
+# --------------------------------------------------------------------------
+def _thomas(sub, diag, sup, rhs):
+    """Solve tridiag systems; all args [m, ...]; returns x [m, ...]."""
+    m = diag.shape[0]
+    cp = [None] * m
+    dp = [None] * m
+    cp[0] = sup[0] / diag[0]
+    dp[0] = rhs[0] / diag[0]
+    for j in range(1, m):
+        den = diag[j] - sub[j] * cp[j - 1]
+        cp[j] = sup[j] / den
+        dp[j] = (rhs[j] - sub[j] * dp[j - 1]) / den
+    x = [None] * m
+    x[m - 1] = dp[m - 1]
+    for j in range(m - 2, -1, -1):
+        x[j] = dp[j] - cp[j] * x[j + 1]
+    return jnp.stack(x)
+
+
+# --------------------------------------------------------------------------
+# temperature solve
+# --------------------------------------------------------------------------
+def temperature_solve(cfg, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
+                      flw, Tair, shum, wind, Tbot, dt, sal, Tmlt):
+    """Implicit BL99 temperature update.
+
+    hi, hs, Tsf0, fswsfc: [ncat, N]; Tsn0 [ncat, ns, N]; Tin0/iabs
+    [ncat, ni, N]; flw/Tair/shum/wind/Tbot: [N] (broadcast over
+    categories).  Unknowns per column: [Tsf, snow layers, ice layers]
+    with a Dirichlet bottom at Tbot.  Fixed ``cfg.niter_therm``
+    Picard/Newton iterations re-linearizing the BL99 brine-pocket heat
+    capacity c(T) = cp_i - Lfresh*Tm/(T_iter*T_init) and the surface
+    balance; the melting branch pins Tsf = 0 and is re-evaluated each
+    iteration.  Returns dict(Tsf, Tsn, Tin, melting, fsurf, fcondtop,
+    fcondbot, fsens, flat, flwout)."""
+    ni, ns = cfg.nilyr, cfg.nslyr
+    m = 1 + ns + ni
+    dtype = hi.dtype
+
+    his = jnp.maximum(hi, 0.01)
+    dzi = his / ni
+    snow_on = hs >= c.hs_min
+    dzs = jnp.maximum(hs, c.hs_min) / ns
+
+    sal_l = jnp.asarray(sal, dtype)[None, :, None]       # [1, ni, 1]
+    Tm_l = jnp.asarray(Tmlt, dtype)[None, :, None]
+
+    def couplings(Tin):
+        """C[j] couples row j and j+1 (list of [ncat,N]); plus K_bot."""
+        ki = conductivity_ice(Tin, sal_l, cfg.conduct)   # [ncat, ni, N]
+        ks = cfg.ksno
+        k_direct = 2.0 * ki[:, 0, :] / dzi               # surface<->ice1
+        Cs = []
+        # surface <-> snow1 ... snowNs <-> ice1 chain
+        c_sfc_snow = 2.0 * ks / dzs
+        c_snow_snow = ks / dzs
+        c_snow_ice = 2.0 * ks * ki[:, 0, :] / (ki[:, 0, :] * dzs + ks * dzi)
+        series_off = (ns + 1) * k_direct       # chain collapses to direct
+        Cs.append(jnp.where(snow_on, c_sfc_snow, series_off))
+        for j in range(ns - 1):
+            Cs.append(jnp.where(snow_on, c_snow_snow, series_off))
+        Cs.append(jnp.where(snow_on, c_snow_ice, series_off))
+        for k in range(ni - 1):
+            Cs.append(2.0 * ki[:, k, :] * ki[:, k + 1, :]
+                      / (dzi * (ki[:, k, :] + ki[:, k + 1, :])))
+        K_bot = 2.0 * ki[:, ni - 1, :] / dzi
+        return Cs, K_bot
+
+    Tin_init = Tin0
+    Tsn_init = Tsn0
+
+    def heat_capacity_ice(T_iter):
+        Tprod = jnp.minimum(T_iter, -1e-3) * jnp.minimum(Tin_init, -1e-3)
+        return c.rhoi * (c.cp_ice - c.Lfresh * Tm_l / Tprod)
+
+    cap_snow = jnp.where(snow_on, c.rhos * c.cp_ice * dzs / dt,
+                         jnp.asarray(1e-6, dtype))       # [ncat, N]
+
+    def body(_, carry):
+        Tsf, Tsn, Tin, melting = carry
+        Cs, K_bot = couplings(Tin)
+        fsurf, dfsurf, _, _, _ = surface_fluxes(Tsf, fswsfc, flw, Tair,
+                                                shum, wind, cfg.emissivity)
+
+        sub = [jnp.zeros_like(Tsf) for _ in range(m)]
+        diag = [None] * m
+        sup = [jnp.zeros_like(Tsf) for _ in range(m)]
+        rhs = [None] * m
+
+        # surface row
+        free_diag = Cs[0] - dfsurf
+        free_rhs = fsurf - dfsurf * Tsf
+        diag[0] = jnp.where(melting, 1.0, free_diag)
+        sup[0] = jnp.where(melting, 0.0, -Cs[0])
+        rhs[0] = jnp.where(melting, 0.0, free_rhs)
+
+        # snow rows
+        for j in range(ns):
+            r = 1 + j
+            a = cap_snow
+            diag[r] = a + Cs[r - 1] + Cs[r]
+            sub[r] = -Cs[r - 1]
+            sup[r] = -Cs[r]
+            rhs[r] = a * Tsn_init[:, j, :]
+
+        # ice rows
+        cap_i = heat_capacity_ice(Tin) * dzi[:, None, :] / dt
+        for k in range(ni):
+            r = 1 + ns + k
+            a = cap_i[:, k, :]
+            cl = Cs[r - 1]
+            cr = K_bot if k == ni - 1 else Cs[r]
+            diag[r] = a + cl + cr
+            sub[r] = -cl
+            rhs[r] = a * Tin_init[:, k, :] + iabs[:, k, :]
+            if k == ni - 1:
+                rhs[r] = rhs[r] + K_bot * Tbot
+            else:
+                sup[r] = -cr
+
+        x = _thomas(jnp.stack(sub), jnp.stack(diag), jnp.stack(sup),
+                    jnp.stack(rhs))
+        Tsf_new = x[0]
+        Tsn_new = jnp.stack([x[1 + j] for j in range(ns)], axis=1)
+        Tin_new = jnp.stack([x[1 + ns + k] for k in range(ni)], axis=1)
+        Tsn_new = jnp.minimum(Tsn_new, 0.0)
+        Tin_new = jnp.minimum(Tin_new, Tm_l - 1e-6)
+
+        # melting-state update: pin when the free solve wants Tsf > 0;
+        # unpin when the balance at Tsf=0 no longer delivers excess heat
+        fs0, _, _, _, _ = surface_fluxes(jnp.zeros_like(Tsf), fswsfc, flw,
+                                         Tair, shum, wind, cfg.emissivity)
+        fct0 = Cs[0] * (0.0 - x[1])
+        melt_next = jnp.where(melting, fs0 > fct0, Tsf_new > 0.0)
+        Tsf_new = jnp.where(melt_next, 0.0, jnp.minimum(Tsf_new, 0.0))
+        return (Tsf_new, Tsn_new, Tin_new, melt_next)
+
+    melting0 = jnp.zeros_like(Tsf0, dtype=bool)
+    Tsf, Tsn, Tin, melting = jax.lax.fori_loop(
+        0, cfg.niter_therm, body, (Tsf0, Tsn0, Tin0, melting0))
+
+    Cs, K_bot = couplings(Tin)
+    fsurf, dfsurf, fsens, flat, flwout = surface_fluxes(
+        Tsf, fswsfc, flw, Tair, shum, wind, cfg.emissivity)
+    # conductive flux from the surface into the interior; when snow is off
+    # the chain series-collapses and Cs[0]*(Tsf - Tsn1) still equals the
+    # through-flux because the intermediate nodes carry no capacity
+    fcondtop = Cs[0] * (Tsf - Tsn[:, 0, :])
+    fcondbot = K_bot * (Tbot - Tin[:, ni - 1, :])   # + upward into the ice
+    return dict(Tsf=Tsf, Tsn=Tsn, Tin=Tin, melting=melting, fsurf=fsurf,
+                fcondtop=fcondtop, fcondbot=fcondbot, fsens=fsens,
+                flat=flat, flwout=flwout)
+
+
+# --------------------------------------------------------------------------
+# layer-energy consumption helpers (cumsum based)
+# --------------------------------------------------------------------------
+def _consume_topdown(energy, E):
+    """energy [.., N] consumed against per-layer energies E [.., L, N]
+    (ordered top->bottom).  Returns (frac [..,L,N] melted, leftover)."""
+    cum = jnp.cumsum(E, axis=-2)
+    before = cum - E
+    Es = jnp.maximum(E, c.puny)
+    frac = jnp.clip((energy[..., None, :] - before) / Es, 0.0, 1.0)
+    frac = jnp.where(E > 0, frac, 0.0)
+    leftover = jnp.maximum(energy - cum[..., -1, :], 0.0)
+    return frac, leftover
+
+
+def _consume_bottomup(energy, E):
+    frac, leftover = _consume_topdown(energy, jnp.flip(E, axis=-2))
+    return jnp.flip(frac, axis=-2), leftover
+
+
+# --------------------------------------------------------------------------
+# conservative 1-D remap of segment enthalpies onto uniform layers
+# --------------------------------------------------------------------------
+def _remap_layers(seg_t, seg_q, nlyr):
+    """seg_t, seg_q: [.., S, N] segment thicknesses (top->bottom) and
+    enthalpy densities.  Returns (h_new [..,N], q_new [..,nlyr,N])."""
+    h_new = seg_t.sum(-2)
+    bounds = jnp.cumsum(seg_t, axis=-2)
+    sl = bounds - seg_t                                    # [.., S, N]
+    sr = bounds
+    dz = jnp.maximum(h_new, c.puny) / nlyr
+    k = jnp.arange(nlyr, dtype=seg_t.dtype)
+    zl = k[:, None] * dz[..., None, :]                     # [.., nlyr, N]
+    zr = (k + 1)[:, None] * dz[..., None, :]
+    ov = jnp.maximum(
+        jnp.minimum(zr[..., :, None, :], sr[..., None, :, :])
+        - jnp.maximum(zl[..., :, None, :], sl[..., None, :, :]), 0.0)
+    E = (ov * seg_q[..., None, :, :]).sum(-2)              # [.., nlyr, N]
+    q_new = jnp.where(h_new[..., None, :] > c.puny,
+                      E / jnp.maximum(dz[..., None, :], c.puny), 0.0)
+    return h_new, q_new
+
+
+# --------------------------------------------------------------------------
+# thickness changes
+# --------------------------------------------------------------------------
+def thickness_changes(cfg, hi, hs, qin, qsn, Tsf, sol, fbot, Tbot,
+                      snowfall, Tair, dt, sal):
+    """Growth/melt + re-layering.  All [ncat, N] / [ncat, L, N].
+
+    fbot: heat flux delivered by the ocean to the ice bottom [W/m^2, >=0
+    melts].  snowfall: snow accumulation [m water-equivalent / s].
+
+    Returns dict of new (hi, hs, qin, qsn) + diagnostics + budget terms."""
+    ni, ns = cfg.nilyr, cfg.nslyr
+    dtype = hi.dtype
+    ti = jnp.broadcast_to((hi / ni)[:, None, :], qin.shape)
+    ts = jnp.broadcast_to((hs / ns)[:, None, :], qsn.shape)
+
+    # ---- sublimation / deposition (latent flux) ---------------------------
+    subl_mass = jnp.maximum(-sol["flat"], 0.0) / c.Lsub * dt   # kg/m^2 lost
+    dep_mass = jnp.maximum(sol["flat"], 0.0) / c.Lsub * dt     # kg/m^2 gained
+    # remove snow mass top-down, then ice
+    ms = c.rhos * ts                                     # [ncat, ns, N]
+    frac_s_sub, rem = _consume_topdown(subl_mass, ms)
+    mi = c.rhoi * ti
+    frac_i_sub, rem2 = _consume_topdown(rem, mi)
+    ts = ts * (1.0 - frac_s_sub)
+    ti = ti * (1.0 - frac_i_sub)
+    evap = (subl_mass - rem2 - dep_mass) / dt            # net kg/m^2/s to atm
+    dep_t = dep_mass / c.rhos                            # new snow thickness
+    dep_q = enthalpy_snow(jnp.minimum(Tsf, 0.0))
+
+    # ---- top melt ---------------------------------------------------------
+    etop = jnp.where(sol["melting"],
+                     jnp.maximum(sol["fsurf"] - sol["fcondtop"], 0.0) * dt,
+                     0.0)
+    Es = -qsn * ts                                        # J/m^2, positive
+    frac_s_top, rem = _consume_topdown(etop, Es)
+    Ei = -qin * ti
+    frac_i_top, etop_left = _consume_topdown(rem, Ei)
+    melts = (ts * frac_s_top).sum(1)                      # snow melt [m]
+    meltt = (ti * frac_i_top).sum(1)                      # top ice melt [m]
+    ts = ts * (1.0 - frac_s_top)
+    ti = ti * (1.0 - frac_i_top)
+
+    # ---- bottom growth / melt ---------------------------------------------
+    ebot = (sol["fcondbot"] - fbot) * dt          # >0 freeze, <0 melt [J/m^2]
+    sal_bot = jnp.asarray(sal[-1], dtype)
+    qbot = enthalpy_ice(Tbot, sal_bot)
+    grow = jnp.maximum(ebot, 0.0) / jnp.maximum(-qbot, c.puny)
+    emelt = jnp.maximum(-ebot, 0.0)
+    Ei = -qin * ti
+    frac_i_bot, rem = _consume_bottomup(emelt, Ei)
+    Es = -qsn * ts
+    frac_s_bot, ebot_left = _consume_bottomup(rem, Es)
+    meltb = (ti * frac_i_bot).sum(1)
+    melts = melts + (ts * frac_s_bot).sum(1)
+    ti = ti * (1.0 - frac_i_bot)
+    ts = ts * (1.0 - frac_s_bot)
+    congel = grow
+
+    # ---- snow-ice flooding (mass conserving: snow -> ice, no seawater) ----
+    hi_c = ti.sum(1) + grow
+    hs_c = ts.sum(1)
+    hdraft = (c.rhos * hs_c + c.rhoi * hi_c) / c.rhow
+    dhi_fl = jnp.clip(hdraft - hi_c, 0.0, hs_c * c.rhos / c.rhoi)
+    dhs_fl = dhi_fl * c.rhoi / c.rhos
+    # consume snow *thickness* bottom-up
+    frac_s_fl, _ = _consume_bottomup(dhs_fl, ts)
+    E_fl = (ts * frac_s_fl * (-qsn)).sum(1)               # energy moved
+    q_fl = jnp.where(dhi_fl > c.puny, -E_fl / jnp.maximum(dhi_fl, c.puny),
+                     0.0)
+    ts = ts * (1.0 - frac_s_fl)
+    snoice = dhi_fl
+
+    # ---- snowfall ----------------------------------------------------------
+    new_snow_t = snowfall * dt * (c.rhofresh / c.rhos) + dep_t
+    new_snow_q = enthalpy_snow(jnp.minimum(Tair, 0.0))
+
+    # ---- rebuild uniform layers --------------------------------------------
+    qbot_c = jnp.broadcast_to(qbot, q_fl.shape)            # [ncat, N]
+    seg_ti = jnp.concatenate([dhi_fl[:, None, :], ti, grow[:, None, :]], 1)
+    seg_qi = jnp.concatenate([q_fl[:, None, :], qin, qbot_c[:, None, :]], 1)
+    hi_new, qin_new = _remap_layers(seg_ti, seg_qi, ni)
+
+    nsq = jnp.broadcast_to(new_snow_q, new_snow_t.shape)   # [ncat, N]
+    seg_ts = jnp.concatenate([new_snow_t[:, None, :], ts], 1)
+    seg_qs = jnp.concatenate([nsq[:, None, :], qsn], 1)
+    hs_new, qsn_new = _remap_layers(seg_ts, seg_qs, ns)
+
+    # ---- budgets -----------------------------------------------------------
+    fresh = (c.rhoi * (meltt + meltb - congel) + c.rhos * melts) / dt
+    fsalt = c.rhoi * (meltt + meltb - congel) * c.ice_ref_salinity * 1e-3 / dt
+    eextra = (etop_left + ebot_left) / dt                 # W/m^2 to ocean
+
+    return dict(hi=hi_new, hs=hs_new, qin=qin_new, qsn=qsn_new,
+                meltt=meltt, meltb=meltb, melts=melts, congel=congel,
+                snoice=snoice, fresh=fresh, fsalt=fsalt, eextra=eextra,
+                evap=evap)

@@ -23,9 +23,11 @@ OCE_FIELDS = ["eta", "hbar", "hbar_old", "ssh_rhs_old", "u", "v",
               "hnode", "hnode_new", "uke", "uke_rhs"]
 ICE_FIELDS = ["u_ice", "v_ice", "m_ice", "a_ice", "m_snow",
               "sigma11", "sigma12", "sigma22", "t_skin"]
+IPK_FIELDS = ["aicen", "vicen", "vsnon", "Tsfcn", "qin", "qsn"]
 
 
-def write_restart(path: str, state: OceanState, ice=None, step: int = 0):
+def write_restart(path: str, state: OceanState, ice=None, step: int = 0,
+                  ipk=None):
     """Write a raw full-precision restart file (netCDF3)."""
     variables = {}
     dims = {}
@@ -45,14 +47,20 @@ def write_restart(path: str, state: OceanState, ice=None, step: int = 0):
     if ice is not None:
         for f in ICE_FIELDS:
             add("ice_" + f, getattr(ice, f))
+    if ipk is not None:
+        for f in IPK_FIELDS:
+            add("ipk_" + f, getattr(ipk, f))
     write_dataset(path, dims, variables)
 
 
-def read_restart(path: str, state: OceanState, ice=None, dtype=jnp.float64):
-    """Read a restart file into (state, ice) pytrees."""
+def read_restart(path: str, state: OceanState, ice=None, dtype=jnp.float64,
+                 ipk=None):
+    """Read a restart file into (state, ice[, ipk]) pytrees."""
     names = OCE_FIELDS + ["step"]
     if ice is not None:
         names += ["ice_" + f for f in ICE_FIELDS]
+    if ipk is not None:
+        names += ["ipk_" + f for f in IPK_FIELDS]
     data = read_vars(path, names)
     up = {f: jnp.asarray(data[f], dtype) for f in OCE_FIELDS}
     up["step"] = jnp.asarray(int(data["step"][0]), jnp.int32)
@@ -61,4 +69,9 @@ def read_restart(path: str, state: OceanState, ice=None, dtype=jnp.float64):
         ice = dataclasses.replace(
             ice, **{f: jnp.asarray(data["ice_" + f], dtype)
                     for f in ICE_FIELDS})
+    if ipk is not None:
+        ipk = dataclasses.replace(
+            ipk, **{f: jnp.asarray(data["ipk_" + f], dtype)
+                    for f in IPK_FIELDS})
+        return state, ice, ipk
     return state, ice

@@ -26,11 +26,12 @@ from ..utils.clock import Clock, event_triggered
 @dataclass
 class StreamDef:
     name: str
-    extract: Callable            # (state, ice) -> jnp array (any shape)
+    extract: Callable            # (state, ice[, extra]) -> jnp array
     freq: int = 1
     unit: str = "d"              # y/m/d/h/s
     precision: str = "f8"        # f4 or f8
     comment: str = ""
+    wants_extra: bool = False    # extract takes a third arg (e.g. icepack)
 
 
 @dataclass
@@ -57,8 +58,9 @@ class OutputStreams:
         os.makedirs(result_path, exist_ok=True)
 
     # -- accumulate (device side) -----------------------------------------
-    def update_means(self, state, ice=None):
-        vals = [d.extract(state, ice) for d in self.defs]
+    def update_means(self, state, ice=None, extra=None):
+        vals = [d.extract(state, ice, extra) if d.wants_extra
+                else d.extract(state, ice) for d in self.defs]
         if self._acc is None:
             self._acc = vals
         else:
@@ -135,4 +137,19 @@ def default_ice_streams() -> List[StreamDef]:
         StreamDef("m_snow", lambda s, i: i.m_snow, comment="snow thickness"),
         StreamDef("uice", lambda s, i: i.u_ice, comment="ice velocity x"),
         StreamDef("vice", lambda s, i: i.v_ice, comment="ice velocity y"),
+    ]
+
+
+def default_icepack_streams() -> List[StreamDef]:
+    """Category fields of the icepack path (the enabled entries of
+    &nml_list_icepack, config/namelist.icepack:110-113)."""
+    return [
+        StreamDef("aicen", lambda s, i, p: p.aicen, wants_extra=True,
+                  comment="category ice concentration"),
+        StreamDef("vicen", lambda s, i, p: p.vicen, wants_extra=True,
+                  comment="category ice volume per area"),
+        StreamDef("vsnon", lambda s, i, p: p.vsnon, wants_extra=True,
+                  comment="category snow volume per area"),
+        StreamDef("Tsfcn", lambda s, i, p: p.Tsfcn, wants_extra=True,
+                  comment="category surface temperature"),
     ]

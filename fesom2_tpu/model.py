@@ -210,6 +210,11 @@ def coupled_step_fn(model: "Model", jit: bool = True):
     Signature: step(ocean_state, ice_state, ocean_forcing, ice_forcing)
     -> (ocean_state, ice_state, ocean_forcing).  `ocean_forcing` carries the
     ice-updated heat/water/salt fluxes forward (diagnostic output).
+
+    With cfg.run.use_icepack the ice step is the multi-category icepack
+    path (ref icedrv hook at ice_setup_step.F90:188-189) and the signature
+    gains the IcepackState: step(state, ice, ipk, ocean_forcing,
+    ice_forcing) -> (state, ice, ipk, ocean_forcing).
     """
     from .ice import step as ice_step_mod
     from .ice import coupling as ice_cpl
@@ -218,13 +223,21 @@ def coupled_step_fn(model: "Model", jit: bool = True):
     cfg = model.cfg
     use_virt_salt = cfg.ale.which_ALE == "linfs"
     ocean_step = model.step_fn(jit=False)
+    use_icepack = cfg.run.use_icepack
 
-    def step(state, ice, ocean_forcing, ice_forcing):
+    def step(state, ice, ocean_forcing, ice_forcing, ipk=None):
         surf = ice_cpl.ocean2ice(state, mesh)
-        ice = ice_step_mod.ice_timestep(ice, mesh, ice_forcing, surf, cfg,
-                                        use_virt_salt,
-                                        ref_sss=cfg.tra.ref_sss,
-                                        ref_sss_local=cfg.tra.ref_sss_local)
+        if use_icepack:
+            from .ice.icepack import icepack_timestep
+            ipk, ice = icepack_timestep(
+                ipk, ice, mesh, ice_forcing, surf, cfg, cfg.icepack,
+                use_virt_salt, ref_sss=cfg.tra.ref_sss,
+                ref_sss_local=cfg.tra.ref_sss_local)
+        else:
+            ice = ice_step_mod.ice_timestep(
+                ice, mesh, ice_forcing, surf, cfg, use_virt_salt,
+                ref_sss=cfg.tra.ref_sss,
+                ref_sss_local=cfg.tra.ref_sss_local)
         if cfg.run.use_cavity:
             ice = cavity.cavity_ice_clean(ice, mesh)
         sx, sy = ice_cpl.oce_fluxes_mom(ice, surf, ice_forcing, mesh, cfg)
@@ -278,8 +291,14 @@ def coupled_step_fn(model: "Model", jit: bool = True):
             ocean_forcing = replace(ocean_forcing,
                                     heat_flux=ocean_forcing.heat_flux + dheat)
         state = ocean_step(state, ocean_forcing, sw_3d)
+        if use_icepack:
+            return state, ice, ipk, ocean_forcing
         return state, ice, ocean_forcing
 
+    if not use_icepack:
+        def step3(state, ice, ocean_forcing, ice_forcing):
+            return step(state, ice, ocean_forcing, ice_forcing)
+        return jax.jit(step3) if jit else step3
     return jax.jit(step) if jit else step
 
 
@@ -381,10 +400,10 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
 
             fph = flux_h_lo if use_fct else None
             if cfg.tra.tra_adv_hor in ("MUSCL", "MFCT"):
-                flux_h = tracers.adv_hor_muscl(tAB, adv_u, adv_v, state.helem,
-                                               mesh, st, eg,
-                                               cfg.tra.tra_adv_ph,
-                                               flux_prev=fph, moment=moment)
+                flux_h = tracers.adv_hor_muscl(
+                    tAB, adv_u, adv_v, state.helem, mesh, st, eg,
+                    cfg.tra.tra_adv_ph, flux_prev=fph, moment=moment,
+                    boundary_fallback=(cfg.tra.tra_adv_hor == "MUSCL"))
             else:
                 flux_h = tracers.adv_hor_upw1(tAB, adv_u, adv_v, state.helem,
                                               mesh, flux_prev=fph,
@@ -554,7 +573,7 @@ def setup_pi_model(mesh_path: str = "/root/reference/test/meshes/pi",
     cfg.dyn.mix_scheme = "PP"
     cfg.ice.whichEVP = 1
     cfg.ice.evp_rheol_steps = 120
-    cfg.tra.tra_adv_hor = "MFCT"      # round 1: MUSCL kernel used for MFCT
+    cfg.tra.tra_adv_hor = "MFCT"
     cfg.tra.tra_adv_ver = "QR4C"
     cfg.tra.tra_adv_lim = "FCT"
 
@@ -638,7 +657,7 @@ def pi_coupled_step_fn(model: Model, atm, jit: bool = True):
         tide_offset = tides.foreph_offset(cfg.clock.yearnew, start_month,
                                           cfg.dt)
 
-    def step(state, ice, step_idx):
+    def step(state, ice, step_idx, ipk=None):
         t_sec = (step_idx.astype(model.density_ref.dtype)) * cfg.dt
         surf = ice_cpl.ocean2ice(state, mesh)
         ice_forcing = update_atm_forcing(atm, t_sec, ice.u_ice, ice.v_ice,
@@ -653,8 +672,14 @@ def pi_coupled_step_fn(model: Model, atm, jit: bool = True):
                                            mesh.geo_coords[:, 0],
                                            mesh.geo_coords[:, 1])
             oce_forcing = replace(oce_forcing, ssh_gp=ssh_gp)
+        if cfg.run.use_icepack:
+            return coupled(state, ice, oce_forcing, ice_forcing, ipk)
         return coupled(state, ice, oce_forcing, ice_forcing)
 
+    if not cfg.run.use_icepack:
+        def step3(state, ice, step_idx):
+            return step(state, ice, step_idx)
+        return jax.jit(step3) if jit else step3
     return jax.jit(step) if jit else step
 
 

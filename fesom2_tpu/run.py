@@ -47,24 +47,40 @@ class RunTimers:
 
 def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
            dtype=jnp.float64, logfile_outfreq: int = 10,
-           restart_every: Optional[int] = None, verbose: bool = True):
-    """Run the coupled global pi configuration for n_steps (CI analog)."""
+           restart_every: Optional[int] = None, verbose: bool = True,
+           use_icepack: bool = False):
+    """Run the coupled global pi configuration for n_steps (CI analog).
+
+    use_icepack: multi-category column physics (the test_pi_icepack CI
+    setup analog)."""
     model, atm = setup_pi_model(dtype=dtype)
     state, ice = pi_initial_state(model, dtype=dtype)
+    ipk = None
+    stream_defs = default_ocean_streams(model.mesh) + default_ice_streams()
+    if use_icepack:
+        from .ice.icepack import IcepackConfig, init_icepack_state
+        from .io.streams import default_icepack_streams
+        model.cfg.run.use_icepack = True
+        model.cfg.icepack = IcepackConfig()
+        ipk = init_icepack_state(model.cfg.icepack, ice.a_ice, ice.m_ice,
+                                 ice.m_snow, ice.t_skin, dtype=dtype)
+        stream_defs += default_icepack_streams()
     os.makedirs(result_path, exist_ok=True)
     from .io.mesh_info import write_mesh_info
     write_mesh_info(result_path, model.mesh)   # ref fvom_main.F90 fresh runs
     step = pi_coupled_step_fn(model, atm)
     clock = Clock(0.0, 1, 1948)
-    streams = OutputStreams(default_ocean_streams(model.mesh)
-                            + default_ice_streams(), result_path)
+    streams = OutputStreams(stream_defs, result_path)
     timers = RunTimers()
     t_all = time.perf_counter()
     dt = model.cfg.dt
 
     for k in range(n_steps):
         t0 = time.perf_counter()
-        state, ice, oforc = step(state, ice, jnp.asarray(k))
+        if use_icepack:
+            state, ice, ipk, oforc = step(state, ice, jnp.asarray(k), ipk)
+        else:
+            state, ice, oforc = step(state, ice, jnp.asarray(k))
         jax.block_until_ready(state.eta)
         timers.step += time.perf_counter() - t0
         timers.n_steps += 1
@@ -72,7 +88,7 @@ def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
         clock.advance(dt)
 
         t0 = time.perf_counter()
-        streams.update_means(state, ice)
+        streams.update_means(state, ice, ipk)
         streams.maybe_flush(clock_before, clock, k)
         timers.output += time.perf_counter() - t0
 
@@ -92,7 +108,8 @@ def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
 
         if restart_every and (k + 1) % restart_every == 0:
             t0 = time.perf_counter()
-            write_restart(os.path.join(result_path, "restart.nc"), state, ice, k)
+            write_restart(os.path.join(result_path, "restart.nc"), state,
+                          ice, k, ipk=ipk)
             write_clock_file(os.path.join(result_path, "fesom.clock"), clock)
             timers.restart += time.perf_counter() - t0
 
@@ -143,12 +160,14 @@ def main():
     p.add_argument("--steps", type=int, default=96)
     p.add_argument("--result", default="./result")
     p.add_argument("--f32", action="store_true")
+    p.add_argument("--icepack", action="store_true",
+                   help="multi-category ice column physics (test_pi_icepack)")
     args = p.parse_args()
     dtype = jnp.float32 if args.f32 else jnp.float64
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
     if args.config == "pi":
-        run_pi(args.steps, args.result, dtype)
+        run_pi(args.steps, args.result, dtype, use_icepack=args.icepack)
     else:
         run_soufflet(args.steps, args.result, dtype)
 

@@ -1,0 +1,293 @@
+"""Multi-category (Icepack-equivalent) sea-ice tests.
+
+Reference: src/icepack_drivers/ (driver) + config/namelist.icepack
+(configuration); the column physics follows BL99 / Lipscomb 2001 /
+Lipscomb et al. 2007.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fesom2_tpu.config import ModelConfig
+from fesom2_tpu.ice.state import allocate_ice, zero_ice_forcing, OceanSurface
+from fesom2_tpu.ice.icepack import (IcepackConfig, IcepackState,
+                                    init_icepack_state, icepack_timestep)
+from fesom2_tpu.ice.icepack.itd import (category_bounds, linear_itd, rebin,
+                                        cleanup_itd, aggregate)
+from fesom2_tpu.ice.icepack.state import (enthalpy_ice, temperature_ice,
+                                          enthalpy_snow, temperature_snow,
+                                          salinity_profile, melt_temps)
+from fesom2_tpu.ice.icepack.shortwave import ccsm3_shortwave
+from fesom2_tpu.ice.icepack.thermo_vertical import (temperature_solve,
+                                                    thickness_changes)
+from fesom2_tpu.ice.icepack.ridge import ice_strength, ridge_ice
+from fesom2_tpu.ice.icepack import constants as c
+
+
+@pytest.fixture(scope="module")
+def ipc():
+    return IcepackConfig()
+
+
+def test_category_bounds_match_cice_tables(ipc):
+    """kcatbound=1 for ncat=5 gives the documented 0.6/1.4/2.4/3.6 m
+    boundaries; kcatbound=0 the original tanh values."""
+    b1 = category_bounds(5, 1)
+    assert np.allclose(b1[1:5], [0.6, 1.4, 2.4, 3.6])
+    b0 = category_bounds(5, 0)
+    assert np.allclose(b0[1:5], [0.6445, 1.3914, 2.4702, 4.5673], atol=1e-3)
+
+
+def test_enthalpy_temperature_roundtrip():
+    S = jnp.asarray(salinity_profile(4))
+    T = jnp.asarray([-25.0, -10.0, -2.0, -0.5])
+    assert np.allclose(np.asarray(temperature_ice(enthalpy_ice(T, S), S)),
+                       np.asarray(T), atol=1e-10)
+    q = enthalpy_snow(jnp.asarray(-7.0))
+    assert abs(float(temperature_snow(q)) + 7.0) < 1e-12
+
+
+@pytest.fixture(scope="module")
+def random_state(ipc):
+    rng = np.random.RandomState(0)
+    N = 24
+    a = jnp.asarray(np.clip(rng.rand(N), 0, 0.95))
+    hi = jnp.asarray(0.1 + 4.0 * rng.rand(N))
+    return init_icepack_state(ipc, a, a * hi, a * 0.15,
+                              jnp.full((N,), -8.0)), a, hi
+
+
+def test_linear_remap_conserves(ipc, random_state):
+    st, a, hi = random_state
+    vic2 = st.vicen * 1.2          # uniform growth
+    out = linear_itd(st.aicen, st.vicen, st.aicen, vic2, st.vsnon,
+                     st.Tsfcn, st.qin, st.qsn, ipc.hin_max)
+    a2, v2, vs2, t2, qi2, qs2 = out
+    assert np.allclose(np.asarray(a2.sum(0)), np.asarray(st.aicen.sum(0)),
+                       atol=1e-13)
+    assert np.allclose(np.asarray(v2.sum(0)), np.asarray(vic2.sum(0)),
+                       rtol=1e-12)
+    assert np.allclose(np.asarray(vs2.sum(0)), np.asarray(st.vsnon.sum(0)),
+                       rtol=1e-12)
+    E0 = (st.qin * (vic2 / ipc.nilyr)[:, None, :]).sum((0, 1))
+    E1 = (qi2 * (v2 / ipc.nilyr)[:, None, :]).sum((0, 1))
+    assert np.allclose(np.asarray(E0), np.asarray(E1), rtol=1e-10)
+    # some transfer actually happened (growth pushes ice across bounds)
+    assert float(jnp.abs(a2 - st.aicen).max()) > 1e-6
+
+
+def test_rebin_restores_bounds(ipc, random_state):
+    st, a, hi = random_state
+    v_big = st.vicen * 3.0          # blow mean thickness out of bounds
+    out = rebin(st.aicen, v_big, st.vsnon, st.Tsfcn, st.qin, st.qsn,
+                ipc.hin_max)
+    a2, v2 = np.asarray(out[0]), np.asarray(out[1])
+    hic = np.where(a2 > c.puny, v2 / np.maximum(a2, c.puny), 0.0)
+    for n in range(ipc.ncat):
+        ok = a2[n] > c.puny
+        assert (hic[n][ok] <= ipc.hin_max[n + 1] + 1e-9).all()
+        assert (hic[n][ok] >= ipc.hin_max[n] - 1e-9).all()
+    assert np.allclose(v2.sum(0), np.asarray(v_big.sum(0)), rtol=1e-12)
+
+
+def test_cleanup_returns_fluxes(ipc, random_state):
+    st, a, hi = random_state
+    tiny = st.aicen.at[2].set(1e-13)
+    out = cleanup_itd(tiny, st.vicen, st.vsnon, st.Tsfcn, st.qin, st.qsn,
+                      900.0)
+    a2, v2 = out[0], out[1]
+    dfresh, dfhocn = out[6], out[8]
+    assert float(a2[2].max()) == 0.0
+    # zapped category water appears in the fresh flux, heat is negative
+    mask = np.asarray(st.vicen[2]) > 0
+    assert (np.asarray(dfresh)[mask] > 0).all()
+    assert (np.asarray(dfhocn)[mask] < 0).all()
+
+
+def test_shortwave_budget_closes(ipc):
+    N = 8
+    hi = jnp.asarray(np.linspace(0.05, 4.0, N))[None, :]
+    hs = jnp.asarray(np.linspace(0.0, 0.4, N))[None, :]
+    Tsf = jnp.full((1, N), -3.0)
+    alb, fsfc, iabs, thru = ccsm3_shortwave(ipc, hi, hs, Tsf,
+                                            jnp.full((N,), 250.0))
+    total = fsfc + iabs.sum(1) + thru
+    assert np.allclose(np.asarray(total), np.asarray((1 - alb) * 250.0),
+                       rtol=1e-12)
+    assert float(alb.min()) > 0.05 and float(alb.max()) < 1.0
+
+
+def test_temperature_solve_conserves_energy(ipc):
+    sal = salinity_profile(ipc.nilyr)
+    Tmlt = melt_temps(ipc.nilyr)
+    N = 3
+    hi = jnp.full((1, N), 2.0)
+    hs = jnp.asarray([[0.2, 0.0, 0.2]])
+    Tsf0 = jnp.full((1, N), -20.0)
+    Tin0 = jnp.broadcast_to(jnp.linspace(-15, -3, ipc.nilyr)[None, :, None],
+                            (1, ipc.nilyr, N))
+    Tsn0 = jnp.full((1, ipc.nslyr, N), -18.0)
+    fswsfc = jnp.asarray([[0.0, 0.0, 300.0]])
+    iabs = jnp.zeros((1, ipc.nilyr, N))
+    flw = jnp.asarray([150.0, 150.0, 320.0])
+    Tair = jnp.asarray([-25.0, -25.0, 5.0])
+    shum = jnp.asarray([2e-4, 2e-4, 4e-3])
+    wind = jnp.full((N,), 5.0)
+    Tbot = jnp.full((N,), -1.8)
+    dt = 900.0
+    sol = temperature_solve(ipc, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
+                            flw, Tair, shum, wind, Tbot, dt, sal, Tmlt)
+    assert bool(sol["melting"][0, 2]) and not bool(sol["melting"][0, 0])
+    assert float(sol["Tsf"].max()) <= 0.0
+
+    sal_l = jnp.asarray(sal)[None, :, None]
+    qi0 = enthalpy_ice(Tin0, sal_l)
+    qi1 = enthalpy_ice(sol["Tin"], sal_l)
+    qs0 = enthalpy_snow(Tsn0)
+    qs1 = enthalpy_snow(sol["Tsn"])
+    dzi = hi / ipc.nilyr
+    dzs = jnp.maximum(hs, c.hs_min) / ipc.nslyr
+    snow_on = hs >= c.hs_min
+    dE = ((qi1 - qi0) * dzi[:, None, :]).sum(1) \
+        + (((qs1 - qs0) * dzs[:, None, :]).sum(1)) * snow_on
+    expect = dt * (sol["fcondtop"] + iabs.sum(1) + sol["fcondbot"])
+    rel = np.abs(np.asarray(dE - expect)) / np.maximum(
+        np.abs(np.asarray(expect)), 1.0)
+    assert rel.max() < 1e-6
+
+    # cold column grows at a plausible congelation rate
+    tc = thickness_changes(ipc, hi, hs, qi1, qs1, sol["Tsf"], sol,
+                           jnp.zeros(N), Tbot, jnp.zeros(N), Tair, dt, sal)
+    growth_m_day = float(tc["congel"][0, 0]) * 86400 / dt
+    assert 5e-4 < growth_m_day < 0.05
+    # warm column melts from the top (snow first)
+    assert float(tc["melts"][0, 2]) > 0.0
+
+
+def test_thickness_changes_conserve_water(ipc):
+    """Net ice+snow mass change equals -(fresh + evap-to-atm) * dt."""
+    sal = salinity_profile(ipc.nilyr)
+    Tmlt = melt_temps(ipc.nilyr)
+    N = 4
+    rng = np.random.RandomState(1)
+    hi = jnp.asarray(0.5 + 2 * rng.rand(1, N))
+    hs = jnp.asarray(0.3 * rng.rand(1, N))
+    Tin0 = jnp.asarray(-12 + 8 * rng.rand(1, ipc.nilyr, N))
+    Tsn0 = jnp.asarray(-15 + 5 * rng.rand(1, ipc.nslyr, N))
+    Tsf0 = jnp.asarray(-20 + 18 * rng.rand(1, N))
+    fswsfc = jnp.asarray(200 * rng.rand(1, N))
+    iabs = jnp.asarray(10 * rng.rand(1, ipc.nilyr, N))
+    flw = jnp.asarray(200 + 120 * rng.rand(N))
+    Tair = jnp.asarray(-20 + 25 * rng.rand(N))
+    shum = jnp.full((N,), 2e-3)
+    wind = jnp.full((N,), 6.0)
+    Tbot = jnp.full((N,), -1.8)
+    snowfall = jnp.asarray(1e-8 * rng.rand(N))
+    fbot = jnp.asarray(80 * rng.rand(N) - 20)
+    dt = 3600.0
+    sol = temperature_solve(ipc, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
+                            flw, Tair, shum, wind, Tbot, dt, sal, Tmlt)
+    sal_l = jnp.asarray(sal)[None, :, None]
+    qi = enthalpy_ice(sol["Tin"], sal_l)
+    qs = enthalpy_snow(sol["Tsn"])
+    tc = thickness_changes(ipc, hi, hs, qi, qs, sol["Tsf"], sol, fbot,
+                           Tbot, snowfall, Tair, dt, sal)
+    m0 = c.rhoi * hi + c.rhos * hs
+    m1 = c.rhoi * tc["hi"] + c.rhos * tc["hs"]
+    dm = np.asarray(m1 - m0)[0]
+    # mass balance: melt/growth water to ocean, sublimation to atm,
+    # snowfall in
+    expect = (-tc["fresh"] - tc["evap"]) * dt \
+        + snowfall * dt * c.rhofresh
+    assert np.allclose(dm, np.asarray(expect)[0], rtol=1e-9, atol=1e-9)
+
+
+def test_strength_rothrock_vs_hibler(ipc):
+    rng = np.random.RandomState(2)
+    N = 16
+    a = jnp.asarray(np.clip(rng.rand(5, N) * 0.3, 0, 1))
+    hi = jnp.asarray(0.3 + 2 * rng.rand(5, N))
+    v = a * hi
+    P1 = ice_strength(ipc, a, v)
+    assert bool(jnp.isfinite(P1).all()) and float(P1.min()) >= 0.0
+    cfg0 = dataclasses.replace(ipc, kstrength=0)
+    P0 = ice_strength(cfg0, a, v)
+    expect = cfg0.P_star * np.asarray(v.sum(0)) \
+        * np.exp(-cfg0.C_star * (1 - np.asarray(a.sum(0))))
+    assert np.allclose(np.asarray(P0), expect, rtol=1e-12)
+    # thicker pack is stronger (both closures)
+    P1b = ice_strength(ipc, a, v * 2)
+    assert (np.asarray(P1b) >= np.asarray(P1) - 1e-9).all()
+
+
+def test_ridging_conserves_volume(ipc, random_state):
+    st, a, hi = random_state
+    N = st.aicen.shape[1]
+    conv = jnp.full((N,), 1e-6)        # strong convergence
+    shear = jnp.full((N,), 5e-7)
+    out = ridge_ice(ipc, st.aicen, st.vicen, st.vsnon, st.Tsfcn,
+                    st.qin, st.qsn, conv, shear, 3600.0, ipc.hin_max)
+    a2, v2, vs2 = out[0], out[1], out[2]
+    dfresh, dfhocn = out[6], out[7]
+    # ice volume exactly conserved; area decreases under convergence
+    assert np.allclose(np.asarray(v2.sum(0)), np.asarray(st.vicen.sum(0)),
+                       rtol=1e-10)
+    assert (np.asarray(a2.sum(0)) <= np.asarray(st.aicen.sum(0)) + 1e-12).all()
+    # snow: half of the ridged snow goes to the ocean
+    ds = np.asarray(st.vsnon.sum(0) - vs2.sum(0))
+    assert np.allclose(ds, np.asarray(dfresh) * 3600.0 / c.rhos, rtol=1e-9)
+    assert (np.asarray(dfhocn) <= 1e-15).all()
+
+
+@pytest.fixture(scope="module")
+def pi_icepack(pi_mesh):
+    cfg = ModelConfig()
+    cfg.timestep.step_per_day = 96
+    cfg.ice.whichEVP = 1
+    cfg.run.use_ice = True
+    ipc = IcepackConfig()
+    N = pi_mesh.n_nodes
+    glat = np.asarray(pi_mesh.geo_coords)[:, 1]
+    cold = np.abs(glat) > np.deg2rad(60.0)
+    north = glat > 0
+    m_ice = jnp.asarray(np.where(cold, np.where(north, 1.0, 2.0), 0.0))
+    m_snow = jnp.asarray(np.where(cold, np.where(north, 0.1, 0.5), 0.0))
+    a_ice = jnp.asarray(np.where(cold, 0.9, 0.0))
+    ice = dataclasses.replace(allocate_ice(pi_mesh), m_ice=m_ice,
+                              m_snow=m_snow, a_ice=a_ice)
+    ipk = init_icepack_state(ipc, a_ice, m_ice, m_snow,
+                             jnp.asarray(np.where(cold, -10.0, 0.0)))
+    f = zero_ice_forcing(pi_mesh)
+    f = dataclasses.replace(
+        f, Tair=jnp.asarray(np.where(cold, -15.0, 10.0)),
+        shortwave=jnp.full(N, 50.0), longwave=jnp.full(N, 200.0),
+        shum=jnp.full(N, 1e-3), u_wind=jnp.full(N, 5.0),
+        v_wind=jnp.full(N, 1.0), stress_atmice_x=jnp.full(N, 0.05),
+        prec_rain=jnp.full(N, 1e-8))
+    ocean = OceanSurface(T_oc=jnp.asarray(np.where(cold, -1.9, 15.0)),
+                         S_oc=jnp.full(N, 34.0), u_w=jnp.zeros(N),
+                         v_w=jnp.zeros(N), elevation=jnp.zeros(N))
+    return cfg, ipc, ipk, ice, f, ocean
+
+
+def test_icepack_step_pi(pi_mesh, pi_icepack):
+    cfg, ipc, ipk, ice, f, ocean = pi_icepack
+    step = jax.jit(lambda s, i: icepack_timestep(
+        s, i, pi_mesh, f, ocean, cfg, ipc, use_virt_salt=False))
+    ipk1, ice1 = step(ipk, ice)
+    for k in ("aicen", "vicen", "vsnon", "Tsfcn", "qin", "qsn"):
+        v = getattr(ipk1, k)
+        assert bool(jnp.isfinite(v).all()), k
+    assert float(ipk1.aicen.min()) >= 0.0
+    assert float(ice1.a_ice.max()) <= 1.0 + 1e-12
+    assert float(ipk1.Tsfcn.max()) <= 0.0
+    assert float(jnp.abs(ice1.u_ice).max()) < 1.0
+    # cold-air regions keep growing: positive growth somewhere
+    assert float(ice1.thdgr.max()) > 0.0
+    # second step remains stable
+    ipk2, ice2 = step(ipk1, ice1)
+    assert bool(jnp.isfinite(ipk2.vicen).all())
+    assert bool(jnp.isfinite(ice2.net_heat_flux).all())
