@@ -217,9 +217,14 @@ def pcg(operator, rhs: jnp.ndarray, diag_inv: jnp.ndarray,
             return jnp.sum(v)
     if x0 is None:
         x0 = jnp.zeros_like(rhs)
+    if callable(diag_inv):
+        apply_M = diag_inv          # general preconditioner (block-Schwarz)
+    else:
+        def apply_M(r):
+            return diag_inv * r
 
     r = rhs - operator(x0)
-    z = diag_inv * r
+    z = apply_M(r)
     p = z
     rz = psum(r * z)
     rhs_norm = jnp.sqrt(psum(rhs * rhs)) + 1e-300
@@ -235,7 +240,7 @@ def pcg(operator, rhs: jnp.ndarray, diag_inv: jnp.ndarray,
         alpha = rz / psum(p * Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = diag_inv * r
+        z = apply_M(r)
         rz_new = psum(r * z)
         beta = rz_new / rz
         p = z + beta * p

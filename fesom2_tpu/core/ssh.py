@@ -144,6 +144,159 @@ def solve_ssh_dense(state: OceanState, mesh: MeshTables, cfg, dense_inv, rhs,
     return x, jnp.asarray(1 + n_refine, jnp.int32), res
 
 
+def ssh_sparse_coo(mesh: MeshTables, cfg):
+    """Assemble the SSH operator as COO triplets (host-side numpy).
+
+    Same stencil as ssh_dense_matrix but memory-safe for CORE2-scale
+    meshes (the dense [N,N] form is impossible beyond ~30k nodes)."""
+    N = mesh.n_nodes
+    edges = np.asarray(mesh.edges)
+    etri = np.asarray(mesh.edge_tri)
+    en = np.asarray(mesh.elem_nodes)
+    gsca = np.asarray(mesh.gradient_sca)
+    ecd = np.asarray(mesh.edge_cross_dxdy)
+    zbar = np.asarray(mesh.zbar)
+    H = zbar[np.asarray(mesh.nlevels_elem) - 1] \
+        - zbar[np.asarray(mesh.ulevels_elem) - 1]
+    dt = cfg.dt
+    factor = g * dt * cfg.dyn.alpha * cfg.dyn.theta
+
+    avn = np.asarray(mesh.areasvol)
+    uln0 = np.asarray(mesh.ulevels_node) - 1
+    rows = [np.arange(N)]
+    cols = [np.arange(N)]
+    vals = [avn[uln0, np.arange(N)] / dt]
+    for i in range(2):
+        el = etri[:, i]
+        ok = el >= 0
+        els = np.where(ok, el, 0)
+        dX = ecd[:, 2 * i]
+        dY = ecd[:, 2 * i + 1]
+        sgn = 1.0 if i == 0 else -1.0
+        for k in range(3):
+            fy = H[els] * (gsca[els, k] * dY - gsca[els, k + 3] * dX) * sgn
+            fy = np.where(ok, fy * factor, 0.0)
+            col = en[els, k]
+            for j, rsgn in ((0, 1.0), (1, -1.0)):
+                rows.append(edges[:, j])
+                cols.append(col)
+                vals.append(rsgn * fy)
+    return (np.concatenate(rows), np.concatenate(cols),
+            np.concatenate(vals), N)
+
+
+class BlockSchwarz:
+    """Overlapping additive-Schwarz preconditioner with per-block dense
+    inverses applied as one batched MXU matmul.
+
+    This is the TPU-native counterpart of the reference's pARMS
+    Restrictive Additive Schwarz preconditioner (``psolve.c:77-100``,
+    ``lib/parms/src/parms_pc_ras.c``): blocks come from the same
+    locality partitioner that plays the METIS role, each block is
+    extended by its 1-ring overlap, and the subdomain solves are exact
+    (precomputed dense inverses, [nb,K,K] x [nb,K] einsum on the MXU)
+    instead of ILU.  The symmetric (non-restricted) AS combination keeps
+    the preconditioner SPD so CG remains valid.
+    """
+
+    def __init__(self, block_ids, inv_blocks, node_slots, node_slot_valid):
+        self.block_ids = block_ids            # [nb, K] node index or -1
+        self.inv_blocks = inv_blocks          # [nb, K, K]
+        self.node_slots = node_slots          # [N, S] flat (b*K+p) or 0
+        self.node_slot_valid = node_slot_valid  # [N, S] bool
+
+    def __call__(self, r):
+        ids = self.block_ids
+        valid = ids >= 0
+        rb = jnp.where(valid, r[jnp.where(valid, ids, 0)], 0.0)   # [nb, K]
+        yb = jnp.einsum("bkl,bl->bk", self.inv_blocks, rb,
+                        preferred_element_type=rb.dtype)
+        flat = yb.reshape(-1)
+        contrib = jnp.where(self.node_slot_valid,
+                            flat[self.node_slots], 0.0)           # [N, S]
+        return contrib.sum(-1)
+
+
+def build_block_schwarz(mesh: MeshTables, cfg, block_size: int = 256,
+                        dtype=jnp.float64) -> BlockSchwarz:
+    """Build the block preconditioner: locality blocks from the offline
+    partitioner, 1-ring overlap, dense per-block inverses."""
+    import scipy.sparse as sp
+    from ..parallel.partition import _partition_numpy, _sphere_xyz
+
+    rows, cols, vals, N = ssh_sparse_coo(mesh, cfg)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(N, N)).tocsr()
+    A.sum_duplicates()
+    A.eliminate_zeros()      # padded dummy edges leave structural zeros
+    # dummy padded rows: identity
+    dead = np.asarray(np.abs(A).sum(1)).ravel() == 0
+    if dead.any():
+        A = A + sp.diags(dead.astype(float))
+
+    # compact geometric blocks (recursive coordinate bisection): unlike the
+    # cut-minimizing run-time partition, preconditioner blocks want a small
+    # perimeter so the 1-ring overlap (and hence K^2 memory) stays small
+    nparts = max(1, int(round(N / block_size)))
+    part = np.asarray(_partition_numpy(np.asarray(_sphere_xyz(mesh)),
+                                       np.ones(N), nparts))
+    nb = int(part.max()) + 1
+
+    # block node lists + 1-ring overlap from the matrix graph
+    indptr, indices = A.indptr, A.indices
+    blocks = []
+    for b in range(nb):
+        own = np.nonzero(part == b)[0]
+        if own.size == 0:
+            blocks.append(own)
+            continue
+        ring = np.unique(indices[np.concatenate(
+            [np.arange(indptr[i], indptr[i + 1]) for i in own])])
+        ext = np.unique(np.concatenate([own, ring]))
+        blocks.append(ext)
+    K = max(1, max(len(b) for b in blocks))
+
+    block_ids = np.full((nb, K), -1, np.int64)
+    inv_blocks = np.zeros((nb, K, K))
+    for b, ids in enumerate(blocks):
+        n = len(ids)
+        if n == 0:
+            inv_blocks[b] = np.eye(K)
+            continue
+        block_ids[b, :n] = ids
+        Ab = A[np.ix_(ids, ids)].toarray()
+        inv_blocks[b, :n, :n] = np.linalg.inv(Ab)
+        if n < K:
+            inv_blocks[b, n:, n:] = np.eye(K - n)
+
+    # node -> (block, pos) membership lists for the gather-based combine
+    memb = [[] for _ in range(N)]
+    for b, ids in enumerate(blocks):
+        for p, nid in enumerate(ids):
+            memb[nid].append(b * K + p)
+    S = max(1, max(len(m) for m in memb))
+    node_slots = np.zeros((N, S), np.int64)
+    node_valid = np.zeros((N, S), bool)
+    for nid, m in enumerate(memb):
+        node_slots[nid, :len(m)] = m
+        node_valid[nid, :len(m)] = True
+
+    # partition-of-unity scaling keeps the symmetric AS well-conditioned:
+    # scale each block inverse by 1/overlap-count symmetrically
+    counts = node_valid.sum(-1).astype(float)             # [N]
+    wsqrt = 1.0 / np.sqrt(np.maximum(counts, 1.0))
+    for b, ids in enumerate(blocks):
+        n = len(ids)
+        if n == 0:
+            continue
+        w = wsqrt[ids]
+        inv_blocks[b, :n, :n] = w[:, None] * inv_blocks[b, :n, :n] * w[None, :]
+
+    return BlockSchwarz(jnp.asarray(block_ids, jnp.int32),
+                        jnp.asarray(inv_blocks, dtype),
+                        jnp.asarray(node_slots, jnp.int32),
+                        jnp.asarray(node_valid))
+
+
 def ssh_matrix_diagonal(mesh: MeshTables, cfg) -> jnp.ndarray:
     """Exact diagonal of the assembled operator, for Jacobi preconditioning.
 

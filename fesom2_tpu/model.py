@@ -41,6 +41,9 @@ class Model:
     soufflet_statics: Optional[soufflet.SouffletStatics] = None
     Ssurf: Optional[jnp.ndarray] = None   # initial SSS for relaxation
     ssh_dense_inv: Optional[jnp.ndarray] = None  # [N,N] MXU direct solve
+    # block additive-Schwarz preconditioner for CORE2-scale meshes where
+    # the dense inverse no longer fits (ssh.build_block_schwarz)
+    ssh_block_pc: Optional[object] = None
     # T/S climatology + nodal relaxation-rate sponge for relax_to_clim
     # (ref Tclim/Sclim/relax2clim, oce_modules.F90:249,255); set from the
     # initial state at setup
@@ -73,6 +76,7 @@ class Model:
         st = self.tracer_statics
         diag_inv = self.ssh_diag_inv
         dense_inv = self.ssh_dense_inv
+        block_pc = self.ssh_block_pc
         density_ref = self.density_ref
         sst = self.soufflet_statics
         is_souf = cfg.run.toy_ocean and cfg.run.which_toy == "soufflet"
@@ -150,7 +154,9 @@ class Model:
                 d_eta, _, _ = ssh.solve_ssh_dense(state, mesh, cfg,
                                                   dense_inv, rhs)
             else:
-                d_eta, _, _ = ssh.solve_ssh(state, mesh, cfg, diag_inv, rhs)
+                d_eta, _, _ = ssh.solve_ssh(
+                    state, mesh, cfg,
+                    block_pc if block_pc is not None else diag_inv, rhs)
 
             if is_souf:
                 zvel, ztem = soufflet.zonal_means(state, mesh, sst)
@@ -551,9 +557,13 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
 def setup_pi_model(mesh_path: str = "/root/reference/test/meshes/pi",
                    forcing_path: str = "/root/reference/test/input/global",
                    dtype=jnp.float64, step_per_day: int = 96,
-                   pad_to: int = 1, cavity_depth=None):
+                   pad_to: int = 1, cavity_depth=None, n_refine: int = 0):
     """Global pi-mesh ocean+ice configuration (CI test_pi analog,
     ``setups/test_pi/setup.yml``).  Returns (Model, AtmData).
+
+    n_refine > 0 uniformly refines the mesh 4-way n times (CORE2-class
+    scaling runs: n=2 -> ~49k surface nodes, n=3 -> ~195k; CORE2 itself
+    is ~127k).
 
     Round-1 deviations from the reference CI config (tracked): PP mixing
     instead of KPP.
@@ -577,8 +587,14 @@ def setup_pi_model(mesh_path: str = "/root/reference/test/meshes/pi",
     cfg.tra.tra_adv_ver = "QR4C"
     cfg.tra.tra_adv_lim = "FCT"
 
-    mesh = build_mesh(mesh_path, force_rotation=True, cyclic_length_deg=360.0,
-                      cavity_depth=cavity_depth, dtype=dtype)
+    if n_refine > 0:
+        from .mesh.refine import refined_mesh
+        mesh = refined_mesh(mesh_path, n_refine, force_rotation=True,
+                            cyclic_length_deg=360.0, dtype=dtype)
+    else:
+        mesh = build_mesh(mesh_path, force_rotation=True,
+                          cyclic_length_deg=360.0,
+                          cavity_depth=cavity_depth, dtype=dtype)
     if cavity_depth is not None:
         cfg.run.use_cavity = True
     if pad_to > 1:
@@ -591,9 +607,11 @@ def setup_pi_model(mesh_path: str = "/root/reference/test/meshes/pi",
     dref = eos.reference_density(mesh, Z3, cfg.dyn.state_equation)
     dense_inv = ssh.ssh_dense_inverse(mesh, cfg, dtype) \
         if mesh.n_nodes <= DENSE_SSH_MAX_NODES else None
+    block_pc = None if dense_inv is not None \
+        else ssh.build_block_schwarz(mesh, cfg, dtype=dtype)
     model = Model(mesh=mesh, cfg=cfg, tracer_statics=tst,
                   ssh_diag_inv=diag_inv, density_ref=dref,
-                  ssh_dense_inv=dense_inv)
+                  ssh_dense_inv=dense_inv, ssh_block_pc=block_pc)
     atm = load_core_forcing(mesh, forcing_path, dtype=dtype)
     return model, atm
 
@@ -728,6 +746,8 @@ def setup_soufflet_model(mesh_path: str = "/root/reference/test/meshes/soufflet"
     _, _, sst = soufflet.setup_soufflet(mesh, dtype)
     dense_inv = ssh.ssh_dense_inverse(mesh, cfg, dtype) \
         if mesh.n_nodes <= DENSE_SSH_MAX_NODES else None
+    block_pc = None if dense_inv is not None \
+        else ssh.build_block_schwarz(mesh, cfg, dtype=dtype)
     return Model(mesh=mesh, cfg=cfg, tracer_statics=tst, ssh_diag_inv=diag_inv,
                  density_ref=dref, soufflet_statics=sst,
-                 ssh_dense_inv=dense_inv)
+                 ssh_dense_inv=dense_inv, ssh_block_pc=block_pc)

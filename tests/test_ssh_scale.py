@@ -1,0 +1,76 @@
+"""CORE2-scale SSH solver machinery: mesh refinement and the block
+additive-Schwarz preconditioner (the pARMS-RAS counterpart,
+psolve.c:77-100 / lib/parms/src/parms_pc_ras.c)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fesom2_tpu.config import ModelConfig
+from fesom2_tpu.core import ssh
+from fesom2_tpu.core.ops import pcg
+from fesom2_tpu.mesh.refine import refined_mesh
+
+PI_MESH = "/root/reference/test/meshes/pi"
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    c = ModelConfig()
+    c.timestep.step_per_day = 96
+    return c
+
+
+@pytest.fixture(scope="module")
+def refined(pi_mesh):
+    return refined_mesh(PI_MESH, 1, force_rotation=True,
+                        cyclic_length_deg=360.0)
+
+
+def test_refined_mesh_geometry(pi_mesh, refined):
+    """4-way refinement: ~4x elements, same total area, same ocean area."""
+    assert refined.n_elems == 4 * pi_mesh.n_elems
+    a0 = float(pi_mesh.elem_area.sum())
+    a1 = float(refined.elem_area.sum())
+    assert abs(a1 - a0) / a0 < 1e-3
+    # surface scalar areas partition the same ocean
+    s0 = float(pi_mesh.area[0].sum())
+    s1 = float(refined.area[0].sum())
+    assert abs(s1 - s0) / s0 < 1e-3
+    # level structure preserved conservatively (min rule)
+    assert int(refined.nlevels_elem.max()) <= int(pi_mesh.nlevels_elem.max())
+
+
+def test_block_schwarz_matches_jacobi_and_converges_faster(cfg, refined):
+    op = ssh.ssh_operator(refined, cfg)
+    diag = ssh.ssh_matrix_diagonal(refined, cfg)
+    diag_inv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 0.0)
+    rng = np.random.RandomState(0)
+    rhs = jnp.asarray(rng.randn(refined.n_nodes)
+                      * np.asarray(refined.area[0] > 0))
+
+    xj, itj, resj = pcg(op, rhs, diag_inv, tol=1e-10, maxiter=2000)
+    bs = ssh.build_block_schwarz(refined, cfg, block_size=256)
+    xb, itb, resb = pcg(op, rhs, bs, tol=1e-10, maxiter=2000)
+
+    assert float(resb) < 1e-9
+    # same solution
+    scale = float(jnp.abs(xj).max())
+    assert float(jnp.abs(xj - xb).max()) / scale < 1e-7
+    # and substantially fewer iterations than point Jacobi
+    assert int(itb) < int(itj) / 2, (int(itb), int(itj))
+
+
+def test_block_schwarz_is_spd(cfg, refined):
+    """Symmetric AS must keep <x, M y> symmetric and positive."""
+    bs = ssh.build_block_schwarz(refined, cfg, block_size=256)
+    rng = np.random.RandomState(1)
+    N = refined.n_nodes
+    wet = np.asarray(refined.area[0] > 0)
+    x = jnp.asarray(rng.randn(N) * wet)
+    y = jnp.asarray(rng.randn(N) * wet)
+    mx = bs(x)
+    my = bs(y)
+    sym_err = abs(float((x * my).sum() - (y * mx).sum()))
+    assert sym_err < 1e-8 * float(jnp.abs(x * my).sum() + 1e-30)
+    assert float((x * mx).sum()) > 0.0
