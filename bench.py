@@ -1,20 +1,82 @@
-"""Benchmark: ocean-core throughput on one chip (soufflet channel, f32).
+"""Benchmark: coupled ocean+ice throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: node-levels advanced per second per chip (surface nodes x active
-layers x steps / wall-clock).  Baseline anchor: the reference FESOM2 CORE2
-production throughput of ~2.5 SYPD at 288 cores (Koldunov et al. 2019,
-cited via reference README.md:25; 127k surface nodes x 46 layers, 32
-steps/day) ==> ~2.0e6 node-levels/s for a 288-core allocation.
-vs_baseline = (our node-levels/s on ONE chip) / 2.0e6.
+Primary config: CORE2-class global coupled run — the pi mesh uniformly
+refined 2x (47,615 surface nodes / 93,424 elements / 48 levels; CORE2 is
+~127k nodes), full physics (mEVP ice with 120 subcycles, MFCT+FCT
+tracers, PP mixing, NCEP forcing), f32, one chip, block-Schwarz SSH CG.
+
+Metric: wet node-levels advanced per second per chip.  Baseline anchor:
+the reference FESOM2 CORE2 production throughput of ~2.5 SYPD at 288
+cores (Koldunov et al. 2019, cited via reference README.md:25; 127k
+surface nodes x 46 layers, 32 steps/day) => ~2.0e6 node-levels/s for a
+288-core allocation.  vs_baseline = (our node-levels/s on ONE chip)/2.0e6.
+
+Env overrides: BENCH_CONFIG=soufflet for the small ocean-only channel;
+BENCH_REFINE=N for a different refinement level.
 """
 import json
+import os
 import sys
 import time
 
+BASELINE_NLS = 2.0e6   # node-levels/s of the 288-core reference allocation
 
-def main():
+
+def bench_coupled(n_refine: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dtype = jnp.float32
+    cpu = jax.devices("cpu")[0]
+    # setup is host work: keep eager ops off the (remote) accelerator
+    with jax.default_device(cpu):
+        from fesom2_tpu.model import (setup_pi_model, pi_initial_state,
+                                      pi_coupled_step_fn)
+        model, atm = setup_pi_model(dtype=dtype, n_refine=n_refine)
+        state, ice = pi_initial_state(model, dtype=dtype)
+    step = pi_coupled_step_fn(model, atm)
+
+    # warm-up: compile + force full materialization on the host (on remote
+    # accelerator backends block_until_ready alone can race the compile)
+    state, ice, _ = step(state, ice, jnp.asarray(0))
+    float(state.eta.sum())
+    state, ice, _ = step(state, ice, jnp.asarray(1))
+    float(state.eta.sum())
+
+    n_steps = 15
+    t0 = time.perf_counter()
+    for k in range(2, n_steps + 2):
+        state, ice, _ = step(state, ice, jnp.asarray(k))
+    checksum = float(state.eta.sum())       # host transfer = hard barrier
+    dt_wall = time.perf_counter() - t0
+
+    assert bool(jnp.isfinite(state.eta).all()), "bench run blew up"
+    active = int(np.asarray(model.mesh.node_layer_mask).sum())
+    steps_per_s = n_steps / dt_wall
+    nls = active * steps_per_s
+    sypd = steps_per_s * model.cfg.dt / (365.0 * 86400.0) * 86400.0
+    return {
+        "metric": "core2class_coupled_node_levels_per_s_per_chip",
+        "value": round(nls, 1),
+        "unit": "node-levels/s",
+        "vs_baseline": round(nls / BASELINE_NLS, 4),
+        "detail": {
+            "config": f"pi_x{2**n_refine}refined_coupled_ocean_ice_f32",
+            "surface_nodes": int(model.mesh.n_nodes),
+            "active_node_levels": active,
+            "steps_per_s": round(steps_per_s, 3),
+            "sypd_at_dt900": round(sypd, 3),
+            "device": str(jax.devices()[0]),
+            "n_steps": n_steps,
+            "eta_checksum": checksum,
+        },
+    }
+
+
+def bench_soufflet():
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -22,42 +84,51 @@ def main():
     from fesom2_tpu.core.state import zero_forcing
 
     dtype = jnp.float32
-    model = setup_soufflet_model(dtype=dtype)
-    state = model.initial_state(dtype=dtype)
-    forcing = zero_forcing(model.mesh, dtype)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        model = setup_soufflet_model(dtype=dtype)
+        state = model.initial_state(dtype=dtype)
+        forcing = zero_forcing(model.mesh, dtype)
     step = model.step_fn()
-
-    # warmup / compile
     state = step(state, forcing)
-    jax.block_until_ready(state)
+    float(state.eta.sum())
     state = step(state, forcing)
-    jax.block_until_ready(state)
-
+    float(state.eta.sum())
     n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state = step(state, forcing)
-    jax.block_until_ready(state)
+    float(state.eta.sum())                   # host transfer = hard barrier
     dt_wall = time.perf_counter() - t0
-
-    # active node-levels (count only wet cells)
     active = int(np.asarray(model.mesh.node_layer_mask).sum())
     nls = active * n_steps / dt_wall
-    steps_per_s = n_steps / dt_wall
-
-    baseline = 2.0e6  # node-levels/s of a 288-core reference allocation
-    print(json.dumps({
+    return {
         "metric": "soufflet_ocean_node_levels_per_s_per_chip",
         "value": round(nls, 1),
         "unit": "node-levels/s",
-        "vs_baseline": round(nls / baseline, 4),
+        "vs_baseline": round(nls / BASELINE_NLS, 4),
         "detail": {
-            "steps_per_s": round(steps_per_s, 3),
+            "steps_per_s": round(n_steps / dt_wall, 3),
             "active_node_levels": active,
             "device": str(jax.devices()[0]),
             "n_steps": n_steps,
         },
-    }))
+    }
+
+
+def main():
+    cfg = os.environ.get("BENCH_CONFIG", "coupled")
+    n_refine = int(os.environ.get("BENCH_REFINE", "2"))
+    if cfg == "soufflet":
+        out = bench_soufflet()
+    else:
+        try:
+            out = bench_coupled(n_refine)
+        except Exception as e:  # fall back to the small config
+            print(f"coupled bench failed ({e!r}); falling back to soufflet",
+                  file=sys.stderr)
+            out = bench_soufflet()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

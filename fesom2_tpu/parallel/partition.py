@@ -109,6 +109,33 @@ def edge_cut(mesh: MeshTables, part: np.ndarray) -> int:
     return int((part[edges[:, 0]] != part[edges[:, 1]]).sum())
 
 
+def partition_nodes_hierarchical(mesh: MeshTables, n_part,
+                                 refine_sweeps: int = 8):
+    """Two-level (topology-aware) partition: first into n_part[0] groups
+    (hosts / DCN domains), then each group into n_part[1] parts (chips on
+    ICI).  Mirrors the reference's hierarchical METIS levels from the
+    &machine namelist (n_levels/n_part, gen_modules_config.F90:96-98;
+    partit recursion fort_part.c:137-300), so that the heavy halo traffic
+    stays within a host's ICI domain and only coarse-group boundaries
+    cross DCN.
+
+    Returns (part [N] global part id = host*n_part[1]+chip, host [N])."""
+    if isinstance(n_part, int):
+        n_part = (1, n_part)
+    hosts, chips = int(n_part[0]), int(n_part[1])
+    top = partition_nodes(mesh, hosts, refine_sweeps)
+    xyz = np.asarray(_sphere_xyz(mesh))
+    w = np.asarray(node_weights(mesh))
+    part = np.zeros(mesh.n_nodes, np.int32)
+    for h in range(hosts):
+        idx = np.nonzero(top == h)[0]
+        if idx.size == 0:
+            continue
+        sub = _partition_numpy(xyz[idx], w[idx], chips)
+        part[idx] = h * chips + sub
+    return part, top
+
+
 def _partition_numpy(xyz, w, nparts):
     """Fallback: plain weighted recursive coordinate bisection."""
     N = xyz.shape[0]

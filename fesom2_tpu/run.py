@@ -153,9 +153,45 @@ def run_soufflet(n_steps: int = 72, result_path: str = "./result_souf",
     return state, timers
 
 
+def _version_string() -> str:
+    """Git SHA + dirty flag (ref fesom_version_info.F90 + CMake generation
+    src/CMakeLists.txt:18-26)."""
+    import subprocess
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             cwd=here, capture_output=True, text=True,
+                             timeout=5).stdout.strip()
+        dirty = subprocess.run(["git", "status", "--porcelain"],
+                               cwd=here, capture_output=True, text=True,
+                               timeout=5).stdout.strip()
+        return sha + ("-dirty" if dirty else "")
+    except Exception:
+        return "unknown"
+
+
+def print_info():
+    """--info output (ref info_module.F90:19, command_line_options.F90:16)."""
+    import jax
+    print(f"fesom2_tpu version: {_version_string()}")
+    print(f"jax: {jax.__version__}")
+    print(f"devices: {jax.devices()}")
+    print("configs: pi (global ocean+ice, NCEP-1948 forcing), "
+          "soufflet (baroclinic channel); pi options: --icepack")
+
+
 def main():
     import argparse
     p = argparse.ArgumentParser(description="fesom2_tpu run driver")
+    p.add_argument("--version", action="store_true")
+    p.add_argument("--info", action="store_true")
+    import sys
+    if "--version" in sys.argv[1:]:
+        print(_version_string())
+        return
+    if "--info" in sys.argv[1:]:
+        print_info()
+        return
     p.add_argument("config", choices=["pi", "soufflet"])
     p.add_argument("--steps", type=int, default=96)
     p.add_argument("--result", default="./result")

@@ -44,3 +44,19 @@ def _load_reference_partition(mesh):
     if (part < 0).any():
         return None
     return part
+
+
+def test_hierarchical_partition(pi_mesh):
+    """2-level partition (the &machine n_levels analog,
+    gen_modules_config.F90:96-98): chip parts nest inside host groups and
+    both levels are balanced."""
+    from fesom2_tpu.parallel.partition import partition_nodes_hierarchical
+    part, host = partition_nodes_hierarchical(pi_mesh, (2, 4))
+    assert part.min() >= 0 and part.max() == 7
+    assert host.min() >= 0 and host.max() == 1
+    # nesting: global part id // chips == host id
+    assert (part // 4 == host).all()
+    sizes = np.bincount(part, minlength=8)
+    assert sizes.min() > 0.5 * sizes.mean()
+    hsizes = np.bincount(host, minlength=2)
+    assert abs(hsizes[0] - hsizes[1]) < 0.3 * hsizes.mean()
