@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from dataclasses import replace
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -185,6 +186,61 @@ def ssh_sparse_coo(mesh: MeshTables, cfg):
             np.concatenate(vals), N)
 
 
+@jax.tree_util.register_pytree_node_class
+class RingOperator:
+    """The SSH operator in node-ring form: one packed gather per apply.
+
+    A(eta)[n] = sum_k vals[k, n] * eta[cols[k, n]] — the CSR stencil of
+    ``init_stiff_mat_ale`` (oce_ale.F90:1088-1354) padded to the max node
+    degree + 1 (self).  On TPU one [Kr, N]-indexed gather (~300M idx/s,
+    free leading-dim slices) replaces the 6 edge/element gathers + node
+    assembly of the matrix-free edge-stencil form — measured ~5x fewer
+    gathered indices per CG iteration.
+    """
+
+    def __init__(self, cols, vals):
+        self.cols = cols        # [Kr, N] i32 (self-padded: pad -> n itself)
+        self.vals = vals        # [Kr, N] (pad -> 0)
+
+    def __call__(self, eta):
+        return (self.vals * jnp.take(eta, self.cols, axis=-1)).sum(0)
+
+    def tree_flatten(self):
+        return ((self.cols, self.vals), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def build_ssh_ring(mesh: MeshTables, cfg, dtype=jnp.float64) -> RingOperator:
+    """Assemble the SSH stencil into padded ring form (host-side numpy).
+
+    Valid for linfs where the operator is static; zlevel/zstar falls back
+    to the matrix-free edge-stencil operator (values change with hbar)."""
+    rows, cols, vals, N = ssh_sparse_coo(mesh, cfg)
+    import scipy.sparse as sp
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(N, N)).tocsr()
+    A.sum_duplicates()
+    A.eliminate_zeros()
+    dead = np.asarray(np.abs(A).sum(1)).ravel() == 0
+    if dead.any():
+        A = A + sp.diags(dead.astype(float))
+        A = A.tocsr()
+    indptr, indices, data = A.indptr, A.indices, A.data
+    deg = np.diff(indptr)
+    Kr = int(deg.max())
+    ring_cols = np.tile(np.arange(N), (Kr, 1))     # pad points at self
+    ring_vals = np.zeros((Kr, N))
+    for n in range(N):
+        s, e = indptr[n], indptr[n + 1]
+        ring_cols[: e - s, n] = indices[s:e]
+        ring_vals[: e - s, n] = data[s:e]
+    return RingOperator(jnp.asarray(ring_cols, jnp.int32),
+                        jnp.asarray(ring_vals, dtype))
+
+
+@jax.tree_util.register_pytree_node_class
 class BlockSchwarz:
     """Overlapping additive-Schwarz preconditioner with per-block dense
     inverses applied as one batched MXU matmul.
@@ -204,6 +260,14 @@ class BlockSchwarz:
         self.inv_blocks = inv_blocks          # [nb, K, K]
         self.node_slots = node_slots          # [N, S] flat (b*K+p) or 0
         self.node_slot_valid = node_slot_valid  # [N, S] bool
+
+    def tree_flatten(self):
+        return ((self.block_ids, self.inv_blocks, self.node_slots,
+                 self.node_slot_valid), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
 
     def __call__(self, r):
         ids = self.block_ids
@@ -369,14 +433,19 @@ def compute_ssh_rhs(state: OceanState, mesh: MeshTables, cfg, forcing: Forcing,
 
 
 def solve_ssh(state: OceanState, mesh: MeshTables, cfg, diag_inv, rhs,
-              psum=None):
+              psum=None, ring=None):
     """CG solve for d_eta (replaces psolve; tolerances oce_ale.F90:2296-2301).
 
     The reference's soltol=1e-10 assumes f64 arithmetic; in reduced precision
     that level is unreachable, so the tolerance adapts to the state dtype
     (~100x unit roundoff) unless cfg.dyn carries an explicit `ssh_tol`.
+
+    ``ring``: precomputed RingOperator (linfs only) — one packed gather
+    per operator application instead of the edge-stencil chain.
     """
-    if cfg.ale.which_ALE == "linfs":
+    if ring is not None and cfg.ale.which_ALE == "linfs":
+        op = ring
+    elif cfg.ale.which_ALE == "linfs":
         op = ssh_operator(mesh, cfg)
     else:
         hbar_e = elem_mean_node(state.hbar, mesh)

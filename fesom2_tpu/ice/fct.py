@@ -123,13 +123,17 @@ def fct_advect_fields(u_ice, v_ice, fields, mesh: MeshTables, gamma, ice_dt):
     flux_q = -(s[..., None] - 3.0 * ye) * mesh.elem_area[:, None] / 12.0
     flux_q = flux_q / jnp.maximum(area1[en], 1e-30)
 
-    # cluster min/max of the low-order solution over node neighborhoods
-    n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
+    # cluster min/max of the low-order solution over node neighborhoods,
+    # gather-based over the precomputed 1-ring table (TPU scatters with
+    # min/max combiners are slow AND flip the chip into a degraded gather
+    # mode for the whole program — see Model.statics docstring)
+    nn = mesh.node_neighbors.T                            # [KE, N]
+    nvalid = nn >= 0
+    nsafe = jnp.where(nvalid, nn, 0)
     big = jnp.finfo(low.dtype).max
-    nb_max = jnp.full_like(low, -big)
-    nb_max = nb_max.at[..., n0].max(low[..., n1]).at[..., n1].max(low[..., n0])
-    nb_min = jnp.full_like(low, big)
-    nb_min = nb_min.at[..., n0].min(low[..., n1]).at[..., n1].min(low[..., n0])
+    lowg = low[..., nsafe]                                # [F, KE, N]
+    nb_max = jnp.where(nvalid, lowg, -big).max(-2)
+    nb_min = jnp.where(nvalid, lowg, big).min(-2)
     tmax = jnp.maximum(low, nb_max) - low
     tmin = jnp.minimum(low, nb_min) - low
 

@@ -240,6 +240,7 @@ class MeshTables:
     nod_in_elem_slot: jnp.ndarray  # [N,K] i32 local vertex index of the node
     node_edges: jnp.ndarray        # [N,KE] i32 incident edges, -1 padded
     node_edge_sign: jnp.ndarray    # [N,KE] +1 if node is edge tail, -1 head
+    node_neighbors: jnp.ndarray    # [N,KE] i32 graph-neighbor ring, -1 padded
     # coordinates
     coords: jnp.ndarray            # [N,2] (lon,lat) radians, mesh (rotated) frame
     geo_coords: jnp.ndarray        # [N,2] radians, geographic frame
@@ -381,6 +382,12 @@ def build_mesh_from_raw(raw: RawMesh, *, cartesian: bool = False,
     node_edge_sign = np.zeros((N, KE), np.int64)
     node_edges[en_s, eslot] = eid_s
     node_edge_sign[en_s, eslot] = esg_s
+    # 1-ring graph neighbors: the other endpoint of each incident edge
+    ne_safe = np.clip(node_edges, 0, None)
+    node_neighbors = np.where(
+        node_edges >= 0,
+        np.where(node_edge_sign > 0, edges[ne_safe, 1], edges[ne_safe, 0]),
+        -1)
 
     # ---- levels ----------------------------------------------------------
     if raw.nlevels_elem is not None and raw.nlevels_node is not None:
@@ -573,6 +580,7 @@ def build_mesh_from_raw(raw: RawMesh, *, cartesian: bool = False,
         nod_in_elem=i(nod_in_elem), nod_in_elem_num=i(num),
         nod_in_elem_slot=i(nod_in_elem_slot),
         node_edges=i(node_edges), node_edge_sign=f(node_edge_sign),
+        node_neighbors=i(node_neighbors),
         coords=f(coords), geo_coords=f(geo_coords),
         elem_area=f(elem_area), area=f(area), areasvol=f(areasvol),
         area_inv=f(area_inv), areasvol_inv=f(areasvol_inv),

@@ -44,6 +44,9 @@ class Model:
     # block additive-Schwarz preconditioner for CORE2-scale meshes where
     # the dense inverse no longer fits (ssh.build_block_schwarz)
     ssh_block_pc: Optional[object] = None
+    # ring-form SSH operator (linfs; ssh.build_ssh_ring): one packed
+    # gather per CG operator application
+    ssh_ring: Optional[object] = None
     # T/S climatology + nodal relaxation-rate sponge for relax_to_clim
     # (ref Tclim/Sclim/relax2clim, oce_modules.F90:249,255); set from the
     # initial state at setup
@@ -69,23 +72,58 @@ class Model:
         return state
 
     # ------------------------------------------------------------------
-    def step_fn(self, jit: bool = True):
-        """Return the (optionally jitted) pure step: (state, forcing) -> state."""
-        mesh = self.mesh
+    def statics(self):
+        """All device arrays the step reads, as ONE pytree that is passed
+        through jit as an ARGUMENT.
+
+        Critical TPU performance rule discovered empirically: gather index
+        tables embedded as compile-time constants (closures) switch the
+        whole process into a ~100x slower gather mode — every static array
+        must flow through the jit boundary as a runtime argument.
+        """
+        return dict(
+            mesh=self.mesh,
+            st=self.tracer_statics,
+            diag_inv=self.ssh_diag_inv,
+            dense_inv=self.ssh_dense_inv,
+            block_pc=self.ssh_block_pc,
+            ssh_ring=self.ssh_ring,
+            density_ref=self.density_ref,
+            sst=self.soufflet_statics,
+            Ssurf=self.Ssurf,
+            Tclim=self.Tclim,
+            Sclim=self.Sclim,
+            relax2clim=self.relax2clim,
+            ptr_masks=tuple(m for _, m in (self.ptracer_masks or ())),
+            iw_surf=getattr(self, "iw_surf", None),
+            iw_bot=getattr(self, "iw_bot", None),
+            tidal_forc=getattr(self, "tidal_forc", None),
+        )
+
+    # ------------------------------------------------------------------
+    def step_impl(self):
+        """The pure step with statics passed explicitly:
+        impl(state, forcing, sw_3d, S) -> state, where S = self.statics()."""
         cfg = self.cfg
-        st = self.tracer_statics
-        diag_inv = self.ssh_diag_inv
-        dense_inv = self.ssh_dense_inv
-        block_pc = self.ssh_block_pc
-        density_ref = self.density_ref
-        sst = self.soufflet_statics
         is_souf = cfg.run.toy_ocean and cfg.run.which_toy == "soufflet"
-        if is_souf:
-            mesh = replace_coriolis(mesh, sst.coriolis)
         is_nonlinfs = 0.0 if cfg.ale.which_ALE == "linfs" else 1.0
+        use_dense = self.ssh_dense_inv is not None
+        use_block = self.ssh_block_pc is not None
+        has_clim = self.Tclim is not None and cfg.tra.clim_relax > 1e-8 \
+            and self.relax2clim is not None
+        ptr_idx = tuple(i for i, _ in (self.ptracer_masks or ()))
 
         def step(state: OceanState, forcing: Forcing,
-                 sw_3d=None) -> OceanState:
+                 sw_3d, S) -> OceanState:
+            mesh = S["mesh"]
+            st = S["st"]
+            diag_inv = S["diag_inv"]
+            dense_inv = S["dense_inv"]
+            block_pc = S["block_pc"]
+            density_ref = S["density_ref"]
+            sst = S["sst"]
+            if is_souf:
+                mesh = replace_coriolis(mesh, sst.coriolis)
             # --- pre-phase (fvom_main loop top) ---------------------------
             state = dynamics.compute_vel_nodes(state, mesh)
 
@@ -104,8 +142,7 @@ class Model:
             if "CVMIX_IDEMIX" in schemes:
                 state = cvmix_mixing.calc_cvmix_idemix(
                     state, mesh, cfg, forcing,
-                    iw_surf=getattr(self, "iw_surf", None),
-                    iw_bot=getattr(self, "iw_bot", None),
+                    iw_surf=S["iw_surf"], iw_bot=S["iw_bot"],
                     standalone=main is None)
             if main == "KPP":
                 from .core.mixing import kpp as kpp_mixing
@@ -132,8 +169,7 @@ class Model:
                 state = pp_mixing.mo_convect(state, mesh, cfg, forcing)
             if "CVMIX_TIDAL" in schemes:
                 state = cvmix_mixing.calc_cvmix_tidal(
-                    state, mesh, cfg,
-                    tidal_forc=getattr(self, "tidal_forc", None))
+                    state, mesh, cfg, tidal_forc=S["tidal_forc"])
 
             # --- momentum (ref :2663-2682; mom_adv=3 -> vector-invariant) -
             if cfg.dyn.mom_adv == 3:
@@ -150,13 +186,14 @@ class Model:
 
             # --- SSH (ref :2687-2722) -------------------------------------
             rhs = ssh.compute_ssh_rhs(state, mesh, cfg, forcing, u_rhs, v_rhs)
-            if dense_inv is not None:
+            if use_dense:
                 d_eta, _, _ = ssh.solve_ssh_dense(state, mesh, cfg,
                                                   dense_inv, rhs)
             else:
                 d_eta, _, _ = ssh.solve_ssh(
                     state, mesh, cfg,
-                    block_pc if block_pc is not None else diag_inv, rhs)
+                    block_pc if use_block else diag_inv, rhs,
+                    ring=S["ssh_ring"])
 
             if is_souf:
                 zvel, ztem = soufflet.zonal_means(state, mesh, sst)
@@ -189,19 +226,70 @@ class Model:
 
             # --- tracers (ref :2749) --------------------------------------
             clim = None
-            if self.Tclim is not None and cfg.tra.clim_relax > 1e-8 \
-                    and self.relax2clim is not None:
-                clim = (self.Tclim, self.Sclim, self.relax2clim)
+            if has_clim:
+                clim = (S["Tclim"], S["Sclim"], S["relax2clim"])
+            ptr_masks = list(zip(ptr_idx, S["ptr_masks"])) or None
             state = solve_tracers(state, mesh, cfg, st, forcing,
                                   is_nonlinfs, sst if is_souf else None,
                                   fer=fer, redi=redi, sw_3d=sw_3d,
-                                  clim=clim, ptr_masks=self.ptracer_masks)
+                                  clim=clim, ptr_masks=ptr_masks)
 
             # --- thickness update (ref :2754) -----------------------------
             state = ale.update_thickness(state, mesh, cfg)
             return replace(state, step=state.step + 1)
 
-        return jax.jit(step) if jit else step
+        return step
+
+    # ------------------------------------------------------------------
+    def step_fn(self, jit: bool = True):
+        """Return the pure step with the public signature
+        step(state, forcing[, sw_3d]) -> state.
+
+        All static arrays (mesh tables, preconditioners, climatologies)
+        are bound OUTSIDE the jit trace and passed as arguments — see
+        Model.statics() for why this is load-bearing on TPU.
+        """
+        impl = self.step_impl()
+        bind = _statics_binder(self.statics())
+        core = jax.jit(impl) if jit else impl
+
+        def step(state: OceanState, forcing: Forcing, sw_3d=None):
+            return core(state, forcing, sw_3d,
+                        bind(jax.tree.leaves(state)[0]))
+
+        return step
+
+
+
+def _statics_binder(S_raw):
+    """Return get(example_array) -> statics placed compatibly with the
+    caller's arrays.
+
+    Single-device callers get statics committed to the default device
+    (required: uncommitted host arrays would be re-transferred on every
+    dispatch over a remote-accelerator link).  Callers with sharded inputs
+    (multi-device CPU mesh tests, GSPMD runs) get statics replicated over
+    the same device set.
+    """
+    import numpy as _np
+    from jax.sharding import Mesh as _Mesh, NamedSharding, PartitionSpec
+    cache = {}
+
+    def get(example):
+        sh = getattr(example, "sharding", None)
+        devs = tuple(sorted(sh.device_set, key=lambda d: d.id)) \
+            if sh is not None else ()
+        key = tuple(d.id for d in devs)
+        if key not in cache:
+            if len(devs) > 1:
+                repl = NamedSharding(_Mesh(_np.array(devs), ("_repl",)),
+                                     PartitionSpec())
+                cache[key] = jax.device_put(S_raw, repl)
+            else:
+                cache[key] = jax.device_put(S_raw, jax.devices()[0])
+        return cache[key]
+
+    return get
 
 
 def replace_coriolis(mesh: MeshTables, coriolis_elem) -> MeshTables:
@@ -209,29 +297,23 @@ def replace_coriolis(mesh: MeshTables, coriolis_elem) -> MeshTables:
     return dataclasses.replace(mesh, coriolis=coriolis_elem)
 
 
-def coupled_step_fn(model: "Model", jit: bool = True):
+def coupled_step_impl(model: "Model"):
     """Ocean+ice step following the reference hot loop (fvom_main.F90:199-268):
     ocean2ice -> ice_timestep -> oce_fluxes_mom/oce_fluxes -> ocean step.
 
-    Signature: step(ocean_state, ice_state, ocean_forcing, ice_forcing)
-    -> (ocean_state, ice_state, ocean_forcing).  `ocean_forcing` carries the
-    ice-updated heat/water/salt fluxes forward (diagnostic output).
-
-    With cfg.run.use_icepack the ice step is the multi-category icepack
-    path (ref icedrv hook at ice_setup_step.F90:188-189) and the signature
-    gains the IcepackState: step(state, ice, ipk, ocean_forcing,
-    ice_forcing) -> (state, ice, ipk, ocean_forcing).
+    Returns impl(state, ice, ocean_forcing, ice_forcing, S[, ipk]) where
+    S = model.statics(); see Model.statics() for why statics are arguments.
     """
     from .ice import step as ice_step_mod
     from .ice import coupling as ice_cpl
     from .core import cavity
-    mesh = model.mesh
     cfg = model.cfg
     use_virt_salt = cfg.ale.which_ALE == "linfs"
-    ocean_step = model.step_fn(jit=False)
+    ocean_impl = model.step_impl()
     use_icepack = cfg.run.use_icepack
 
-    def step(state, ice, ocean_forcing, ice_forcing, ipk=None):
+    def step_impl(state, ice, ocean_forcing, ice_forcing, S, ipk=None):
+        mesh = S["mesh"]
         surf = ice_cpl.ocean2ice(state, mesh)
         if use_icepack:
             from .ice.icepack import icepack_timestep
@@ -258,14 +340,14 @@ def coupled_step_fn(model: "Model", jit: bool = True):
         ocean_forcing = ice_cpl.oce_fluxes(ice, surf, ice_forcing,
                                            ocean_forcing, mesh, cfg,
                                            use_virt_salt,
-                                           Ssurf=model.Ssurf,
+                                           Ssurf=S["Ssurf"],
                                            ref_sss=cfg.tra.ref_sss,
                                            ref_sss_local=cfg.tra.ref_sss_local)
         if cfg.run.use_cavity:
             # 3-equation melt fluxes replace the (absent) atmosphere fluxes
             # at cavity nodes (ref ice_oce_coupling.F90:222)
             chf, cwf = cavity.cavity_heat_water_fluxes_3eq(
-                state, mesh, model.density_ref)
+                state, mesh, S["density_ref"])
             cav_n = mesh.ulevels_node > 1
             ocean_forcing = replace(
                 ocean_forcing,
@@ -296,16 +378,40 @@ def coupled_step_fn(model: "Model", jit: bool = True):
                 dheat = jnp.where(cav_n, 0.0, dheat)
             ocean_forcing = replace(ocean_forcing,
                                     heat_flux=ocean_forcing.heat_flux + dheat)
-        state = ocean_step(state, ocean_forcing, sw_3d)
+        state = ocean_impl(state, ocean_forcing, sw_3d, S)
         if use_icepack:
             return state, ice, ipk, ocean_forcing
         return state, ice, ocean_forcing
 
+    return step_impl
+
+
+def coupled_step_fn(model: "Model", jit: bool = True):
+    """Public coupled step: step(state, ice, ocean_forcing, ice_forcing
+    [, ipk]) -> (state, ice[, ipk], ocean_forcing).
+
+    With cfg.run.use_icepack the ice step is the multi-category icepack
+    path (ref icedrv hook at ice_setup_step.F90:188-189) and the signature
+    gains the IcepackState."""
+    impl = coupled_step_impl(model)
+    bind = _statics_binder(model.statics())
+    use_icepack = model.cfg.run.use_icepack
     if not use_icepack:
+        def step3_impl(state, ice, ocean_forcing, ice_forcing, S):
+            return impl(state, ice, ocean_forcing, ice_forcing, S)
+        core3 = jax.jit(step3_impl) if jit else step3_impl
+
         def step3(state, ice, ocean_forcing, ice_forcing):
-            return step(state, ice, ocean_forcing, ice_forcing)
-        return jax.jit(step3) if jit else step3
-    return jax.jit(step) if jit else step
+            return core3(state, ice, ocean_forcing, ice_forcing,
+                         bind(jax.tree.leaves(state)[0]))
+        return step3
+
+    core = jax.jit(impl) if jit else impl
+
+    def step(state, ice, ocean_forcing, ice_forcing, ipk=None):
+        return core(state, ice, ocean_forcing, ice_forcing,
+                    bind(jax.tree.leaves(state)[0]), ipk)
+    return step
 
 
 # --------------------------------------------------------------------------
@@ -349,6 +455,10 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
                   st: TracerStatics, forcing: Forcing, is_nonlinfs: float,
                   sst=None, fer=None, redi=None, sw_3d=None,
                   clim=None, ptr_masks=None) -> OceanState:
+    """All tracers advance in ONE vmapped pass: TPU gathers fetch extra
+    leading-dimension rows for free, so batching T/S (+ passives) through
+    the advection/FCT/diffusion pipeline costs the same gather time as a
+    single tracer (the reference loops per tracer, oce_ale_tracer.F90:101)."""
     dt = cfg.dt
     # salt-plume brine redistribution (ref oce_ale_tracer.F90:120-121)
     if cfg.dyn.SPP:
@@ -371,97 +481,80 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
     av = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
     nln = mesh.nlevels_node
     zbar_n_bot = jnp.take(mesh.zbar, nln - 1)
+    ntr = cfg.tra.num_tracers
+    tids = [cfg.tra.tracer_ID[i] if i < len(cfg.tra.tracer_ID) else i
+            for i in range(ntr)]
 
-    tr_list = []
-    tr_old_list = []
-    for i in range(cfg.tra.num_tracers):
-        t = state.tr[i]
-        t_prev = state.tr_old[i]
+    # ---- advection operator (do_oce_adv_tra); moment=2 reruns it on
+    # squared face reconstructions for the DVD diagnostic -------------------
+    def run_adv(t, tAB, eg, moment=1):
+        flux_h_lo = tracers.adv_hor_upw1(t, adv_u, adv_v, state.helem,
+                                         mesh, moment=moment)
+        flux_v_lo = tracers.adv_ver_upw1(t, adv_we, mesh, moment=moment)
+        if use_fct:
+            lo_h = ops.edge_divergence(flux_h_lo, mesh)
+            fct_lo = (tracers._mpow(t, moment) * state.hnode
+                      + (lo_h + (flux_v_lo[:-1] - flux_v_lo[1:])) * dt / av) \
+                / jnp.where(nmask, state.hnode_new, 1.0)
+            fct_lo = jnp.where(nmask, fct_lo, 0.0)
+            if cfg.dyn.w_split:
+                fct_lo = tracers.adv_vert_impl(fct_lo, state.w_i,
+                                               state.hnode_new, mesh, dt)
+                flux_v_lo = tracers.adv_ver_upw1(t, adv_w, mesh,
+                                                 moment=moment)
+            w_for_ho = adv_w
+        else:
+            fct_lo = None
+            w_for_ho = adv_we if not cfg.dyn.w_split else adv_we
+
+        fph = flux_h_lo if use_fct else None
+        if cfg.tra.tra_adv_hor in ("MUSCL", "MFCT"):
+            flux_h = tracers.adv_hor_muscl(
+                tAB, adv_u, adv_v, state.helem, mesh, st, eg,
+                cfg.tra.tra_adv_ph, flux_prev=fph, moment=moment,
+                boundary_fallback=(cfg.tra.tra_adv_hor == "MUSCL"))
+        else:
+            flux_h = tracers.adv_hor_upw1(tAB, adv_u, adv_v, state.helem,
+                                          mesh, flux_prev=fph,
+                                          moment=moment)
+        fp = flux_v_lo if use_fct else None
+        if cfg.tra.tra_adv_ver == "QR4C":
+            flux_v = tracers.adv_ver_qr4c(tAB, w_for_ho, state.Z_3d,
+                                          state.zbar_3d, mesh,
+                                          cfg.tra.tra_adv_pv,
+                                          flux_prev=fp, moment=moment)
+        elif cfg.tra.tra_adv_ver == "PPM":
+            flux_v = tracers.adv_ver_ppm(tAB, w_for_ho, state.hnode,
+                                         state.hnode_new, mesh, dt,
+                                         flux_prev=fp, moment=moment)
+        elif cfg.tra.tra_adv_ver == "CDIFF":
+            flux_v = tracers.adv_ver_cdiff(tAB, w_for_ho, mesh,
+                                           flux_prev=fp, moment=moment)
+        else:
+            flux_v = tracers.adv_ver_upw1(tAB, w_for_ho, mesh,
+                                          flux_prev=fp, moment=moment)
+
+        if use_fct:
+            flux_h, flux_v = tracers.fct_limiter(
+                tracers._mpow(t, moment), fct_lo, flux_h, flux_v, mesh, dt)
+            return tracers.flux2dtracer(flux_h, flux_v, mesh, dt,
+                                        ttf=tracers._mpow(t, moment),
+                                        lo=fct_lo,
+                                        hnode=state.hnode,
+                                        hnode_new=state.hnode_new)
+        return tracers.flux2dtracer(flux_h, flux_v, mesh, dt)
+
+    # ---- stage 1 (vmapped over tracers): advection + explicit diffusion --
+    def stage1(t, t_prev, moment=1):
         # AB interpolation (init_tracers_AB, oce_tracer_mod.F90:48-62)
         tAB = -(0.5 + eps) * t_prev + (1.5 + eps) * t
         gxAB, gyAB = tracers.tracer_gradient_elements(tAB, mesh)
         eg = tracers.fill_up_dn_grad(gxAB, gyAB, mesh, st)
-
-        # ---- advection (do_oce_adv_tra); moment=2 reruns the operator on
-        # squared face reconstructions for the DVD diagnostic ---------------
-        def run_adv(t, tAB, eg, moment=1):
-            flux_h_lo = tracers.adv_hor_upw1(t, adv_u, adv_v, state.helem,
-                                             mesh, moment=moment)
-            flux_v_lo = tracers.adv_ver_upw1(t, adv_we, mesh, moment=moment)
-            if use_fct:
-                lo_h = ops.edge_divergence(flux_h_lo, mesh)
-                fct_lo = (tracers._mpow(t, moment) * state.hnode
-                          + (lo_h + (flux_v_lo[:-1] - flux_v_lo[1:])) * dt / av) \
-                    / jnp.where(nmask, state.hnode_new, 1.0)
-                fct_lo = jnp.where(nmask, fct_lo, 0.0)
-                if cfg.dyn.w_split:
-                    fct_lo = tracers.adv_vert_impl(fct_lo, state.w_i,
-                                                   state.hnode_new, mesh, dt)
-                    flux_v_lo = tracers.adv_ver_upw1(t, adv_w, mesh,
-                                                     moment=moment)
-                w_for_ho = adv_w
-            else:
-                fct_lo = None
-                w_for_ho = adv_we
-
-            fph = flux_h_lo if use_fct else None
-            if cfg.tra.tra_adv_hor in ("MUSCL", "MFCT"):
-                flux_h = tracers.adv_hor_muscl(
-                    tAB, adv_u, adv_v, state.helem, mesh, st, eg,
-                    cfg.tra.tra_adv_ph, flux_prev=fph, moment=moment,
-                    boundary_fallback=(cfg.tra.tra_adv_hor == "MUSCL"))
-            else:
-                flux_h = tracers.adv_hor_upw1(tAB, adv_u, adv_v, state.helem,
-                                              mesh, flux_prev=fph,
-                                              moment=moment)
-            fp = flux_v_lo if use_fct else None
-            if cfg.tra.tra_adv_ver == "QR4C":
-                flux_v = tracers.adv_ver_qr4c(tAB, w_for_ho, state.Z_3d,
-                                              state.zbar_3d, mesh,
-                                              cfg.tra.tra_adv_pv,
-                                              flux_prev=fp, moment=moment)
-            elif cfg.tra.tra_adv_ver == "PPM":
-                flux_v = tracers.adv_ver_ppm(tAB, w_for_ho, state.hnode,
-                                             state.hnode_new, mesh, dt,
-                                             flux_prev=fp, moment=moment)
-            elif cfg.tra.tra_adv_ver == "CDIFF":
-                flux_v = tracers.adv_ver_cdiff(tAB, w_for_ho, mesh,
-                                               flux_prev=fp, moment=moment)
-            else:
-                flux_v = tracers.adv_ver_upw1(tAB, w_for_ho, mesh,
-                                              flux_prev=fp, moment=moment)
-
-            if use_fct:
-                flux_h, flux_v = tracers.fct_limiter(
-                    tracers._mpow(t, moment), fct_lo, flux_h, flux_v, mesh, dt)
-                return tracers.flux2dtracer(flux_h, flux_v, mesh, dt,
-                                            ttf=tracers._mpow(t, moment),
-                                            lo=fct_lo,
-                                            hnode=state.hnode,
-                                            hnode_new=state.hnode_new)
-            return tracers.flux2dtracer(flux_h, flux_v, mesh, dt)
-
-        dttf_h, dttf_v = run_adv(t, tAB, eg)
+        dttf_h, dttf_v = run_adv(t, tAB, eg, moment=moment)
+        if moment == 2:
+            return tAB, dttf_h, dttf_v
         del_ttf = dttf_h + dttf_v
-
-        # discrete variance decay (Klingbeil et al. 2014 eq. 23; ref
-        # compute_diag_dvd_2ndmoment_klingbeil_etal_2014 + compute_diag_dvd,
-        # gen_modules_diag.F90:744-838): advect the squared reconstructions,
-        # subtract the square of the advected field
-        if cfg.diag.ldiag_DVD and i < state.dvd_h.shape[0]:
-            d2h, d2v = run_adv(t, tAB, eg, moment=2)
-            hN = jnp.where(nmask, state.hnode_new, 1.0)
-            adv1_h = (tAB * state.hnode + dttf_h) / hN
-            adv1_v = (t * state.hnode + dttf_v) / hN
-            tgt2_h = (tAB ** 2 * state.hnode + d2h) / hN
-            tgt2_v = (t ** 2 * state.hnode + d2v) / hN
-            dvd_h_i = jnp.where(nmask, (tgt2_h - adv1_h ** 2) / dt, 0.0)
-            dvd_v_i = jnp.where(nmask, (tgt2_v - adv1_v ** 2) / dt, 0.0)
-            state = replace(state, dvd_h=state.dvd_h.at[i].set(dvd_h_i),
-                            dvd_v=state.dvd_v.at[i].set(dvd_v_i))
-
-        # ---- diffusion (diff_tracers_ale) ------------------------------
-        t_old_next = t                       # reset AB memory to T^n
+        # ---- explicit diffusion (diff_tracers_ale) ----------------------
         gx, gy = tracers.tracer_gradient_elements(t, mesh)
         if redi is not None:
             taper, Ki_l = redi
@@ -474,19 +567,53 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
         else:
             del_ttf = del_ttf + tracers.diff_hor(gx, gy, state.helem, st.Ki,
                                                  mesh, dt)
-
         del_ttf = del_ttf + t * (state.hnode - state.hnode_new)
-        t = t + del_ttf / jnp.where(nmask, state.hnode_new, 1.0)
-        t = jnp.where(nmask, t, 0.0)
+        t_new = t + del_ttf / jnp.where(nmask, state.hnode_new, 1.0)
+        t_new = jnp.where(nmask, t_new, 0.0)
+        return t_new, tAB, dttf_h, dttf_v
 
-        tid = cfg.tra.tracer_ID[i] if i < len(cfg.tra.tracer_ID) else i
-        t_top = ops.take_row(t, mesh.ulevels_node - 1)   # surface layer value
-        surf_bc = tracers.bc_surface(tid, t_top, forcing, dt, is_nonlinfs)
-        sw_src = None
-        if sw_3d is not None and tid == 0:
-            sw_src = tracers.sw_3d_source(sw_3d, mesh, dt)
-        if cfg.dyn.use_kpp_nonlclflx and cfg.dyn.mix_scheme.upper() == "KPP" \
-                and tid in (0, 1):
+    t_expl, tAB_all, dttf_h_all, dttf_v_all = jax.vmap(stage1)(
+        state.tr[:ntr], state.tr_old[:ntr])
+    tr_old = state.tr[:ntr]                 # reset AB memory to T^n
+
+    # discrete variance decay (Klingbeil et al. 2014 eq. 23; ref
+    # gen_modules_diag.F90:744-838): advect the squared reconstructions,
+    # subtract the square of the advected field
+    if cfg.diag.ldiag_DVD and state.dvd_h.shape[0] > 0:
+        nd = state.dvd_h.shape[0]
+        _, d2h, d2v = jax.vmap(lambda a, b: stage1(a, b, moment=2))(
+            state.tr[:nd], state.tr_old[:nd])
+        hN = jnp.where(nmask, state.hnode_new, 1.0)
+        tABd = tAB_all[:nd]
+        td = state.tr[:nd]
+        adv1_h = (tABd * state.hnode + dttf_h_all[:nd]) / hN
+        adv1_v = (td * state.hnode + dttf_v_all[:nd]) / hN
+        tgt2_h = (tABd ** 2 * state.hnode + d2h) / hN
+        tgt2_v = (td ** 2 * state.hnode + d2v) / hN
+        dvd_h = jnp.where(nmask, (tgt2_h - adv1_h ** 2) / dt, 0.0)
+        dvd_v = jnp.where(nmask, (tgt2_v - adv1_v ** 2) / dt, 0.0)
+        state = replace(state, dvd_h=dvd_h, dvd_v=dvd_v)
+
+    # ---- per-tracer surface BC + sources (cheap 2D work) -----------------
+    use_kpp_nl = cfg.dyn.use_kpp_nonlclflx \
+        and cfg.dyn.mix_scheme.upper() == "KPP"
+    sw_src_T = tracers.sw_3d_source(sw_3d, mesh, dt) \
+        if sw_3d is not None else None
+    surf_bcs = []
+    srcs = []
+    any_src = (sw_src_T is not None) or use_kpp_nl
+    for i in range(ntr):
+        t_i = t_expl[i]
+        tid = tids[i]
+        t_top = ops.take_row(t_i, mesh.ulevels_node - 1)
+        surf_bcs.append(tracers.bc_surface(tid, t_top, forcing, dt,
+                                           is_nonlinfs))
+        if not any_src:
+            continue
+        src = jnp.zeros_like(t_i)
+        if sw_src_T is not None and tid == 0:
+            src = src + sw_src_T
+        if use_kpp_nl and tid in (0, 1):
             # nonlocal KPP transport redistributes the surface flux through
             # the boundary layer (ref oce_ale_tracer.F90:688-781)
             G = state.kpp_nonloc
@@ -496,38 +623,38 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
             if tid == 0:
                 nl_src = gdiv * (forcing.heat_flux / vcpw * dt)[None, :]
             else:
-                rsss = t[0] if cfg.tra.ref_sss_local else cfg.tra.ref_sss
+                rsss = t_i[0] if cfg.tra.ref_sss_local else cfg.tra.ref_sss
                 nl_src = -gdiv * (rsss * forcing.water_flux * dt)
-            nl_src = jnp.where(nmask, nl_src, 0.0)
-            sw_src = nl_src if sw_src is None else sw_src + nl_src
-        w_i = None
-        if (not use_fct) and cfg.dyn.w_split:
-            w_i = state.w_i
-        if cfg.tra.i_vert_diff:
+            src = src + jnp.where(nmask, nl_src, 0.0)
+        srcs.append(src)
+    surf_bc_all = jnp.stack(surf_bcs)
+    src_all = jnp.stack(srcs) if any_src else None
+
+    # ---- stage 2 (vmapped): implicit vertical diffusion ------------------
+    w_i = state.w_i if ((not use_fct) and cfg.dyn.w_split) else None
+    if cfg.tra.i_vert_diff:
+        def stage2(t, surf_bc, src):
+            kw = dict(w_i=w_i, sw_source=src)
             if redi is not None:
-                t = tracers.diff_ver_impl(t, state.Kv, state.hnode_new,
-                                          zbar_n_bot, mesh, dt, surf_bc,
-                                          w_i=w_i, sw_source=sw_src,
-                                          Ki_layered=redi[1],
-                                          slope3=redi[0][2])
-            else:
-                t = tracers.diff_ver_impl(t, state.Kv, state.hnode_new,
-                                          zbar_n_bot, mesh, dt, surf_bc,
-                                          w_i=w_i, sw_source=sw_src)
+                kw.update(Ki_layered=redi[1], slope3=redi[0][2])
+            return tracers.diff_ver_impl(t, state.Kv, state.hnode_new,
+                                         zbar_n_bot, mesh, dt, surf_bc, **kw)
+        if src_all is None:
+            tr = jax.vmap(lambda a, b: stage2(a, b, None))(t_expl,
+                                                           surf_bc_all)
+        else:
+            tr = jax.vmap(stage2)(t_expl, surf_bc_all, src_all)
+    else:
+        tr = t_expl
 
-        # relax to T/S climatology in sponge regions (ref relax_to_clim,
-        # oce_tracer_mod.F90:87-119; relax2clim nonzero only where toy/
-        # regional setups define sponges)
-        if clim is not None and tid in (0, 1):
-            target = clim[tid]
-            t = t + clim[2][None, :] * dt * (target - t)
-            t = jnp.where(nmask, t, 0.0)
-
-        tr_list.append(t)
-        tr_old_list.append(t_old_next)
-
-    tr = jnp.stack(tr_list)
-    tr_old = jnp.stack(tr_old_list)
+    # relax to T/S climatology in sponge regions (ref relax_to_clim,
+    # oce_tracer_mod.F90:87-119)
+    if clim is not None:
+        for i in range(min(2, ntr)):
+            if tids[i] in (0, 1):
+                target = clim[tids[i]]
+                t_i = tr[i] + clim[2][None, :] * dt * (target - tr[i])
+                tr = tr.at[i].set(jnp.where(nmask, t_i, 0.0))
 
     # 3D-restored passive tracers: hold the source region at 1.0
     # (ref oce_ale_tracer.F90:159-161)
@@ -609,9 +736,12 @@ def setup_pi_model(mesh_path: str = "/root/reference/test/meshes/pi",
         if mesh.n_nodes <= DENSE_SSH_MAX_NODES else None
     block_pc = None if dense_inv is not None \
         else ssh.build_block_schwarz(mesh, cfg, dtype=dtype)
+    ring = None if dense_inv is not None or cfg.ale.which_ALE != "linfs" \
+        else ssh.build_ssh_ring(mesh, cfg, dtype=dtype)
     model = Model(mesh=mesh, cfg=cfg, tracer_statics=tst,
                   ssh_diag_inv=diag_inv, density_ref=dref,
-                  ssh_dense_inv=dense_inv, ssh_block_pc=block_pc)
+                  ssh_dense_inv=dense_inv, ssh_block_pc=block_pc,
+                  ssh_ring=ring)
     atm = load_core_forcing(mesh, forcing_path, dtype=dtype)
     return model, atm
 
@@ -662,43 +792,62 @@ def pi_coupled_step_fn(model: Model, atm, jit: bool = True):
     from .ice.state import zero_ice_forcing
     from .ice import coupling as ice_cpl
 
-    mesh = model.mesh
     cfg = model.cfg
-    base_ice_forcing = zero_ice_forcing(mesh, model.density_ref.dtype)
-    base_oce_forcing = zero_forcing(mesh, model.density_ref.dtype)
-    coupled = coupled_step_fn(model, jit=False)
+    dtype = model.density_ref.dtype
+    coupled = coupled_step_impl(model)
 
     tide_offset = None
-    if cfg.run.use_global_tides:
+    use_tides = cfg.run.use_global_tides
+    if use_tides:
         from .forcing import tides
         start_month = 1 + (cfg.clock.daynew - 1) // 31
         tide_offset = tides.foreph_offset(cfg.clock.yearnew, start_month,
                                           cfg.dt)
 
-    def step(state, ice, step_idx, ipk=None):
-        t_sec = (step_idx.astype(model.density_ref.dtype)) * cfg.dt
+    def step_impl(state, ice, step_idx, SP, ipk=None):
+        S = SP["S"]
+        mesh = S["mesh"]
+        atm_ = SP["atm"]
+        t_sec = (step_idx.astype(dtype)) * cfg.dt
         surf = ice_cpl.ocean2ice(state, mesh)
-        ice_forcing = update_atm_forcing(atm, t_sec, ice.u_ice, ice.v_ice,
+        ice_forcing = update_atm_forcing(atm_, t_sec, ice.u_ice, ice.v_ice,
                                          surf.u_w, surf.v_w, surf.T_oc,
-                                         base_ice_forcing)
-        oce_forcing = base_oce_forcing
-        if tide_offset is not None:
+                                         SP["base_ice_forcing"])
+        oce_forcing = SP["base_oce_forcing"]
+        if use_tides:
             # ref fvom_main.F90:199-202: foreph increments mmccdt first
-            mmccdt = tide_offset + step_idx.astype(model.density_ref.dtype) + 1.0
+            mmccdt = SP["tide_offset"] + step_idx.astype(dtype) + 1.0
             from .forcing import tides
             ssh_gp = tides.tidal_potential(mmccdt, cfg.dt,
                                            mesh.geo_coords[:, 0],
                                            mesh.geo_coords[:, 1])
             oce_forcing = replace(oce_forcing, ssh_gp=ssh_gp)
         if cfg.run.use_icepack:
-            return coupled(state, ice, oce_forcing, ice_forcing, ipk)
-        return coupled(state, ice, oce_forcing, ice_forcing)
+            return coupled(state, ice, oce_forcing, ice_forcing, S, ipk)
+        return coupled(state, ice, oce_forcing, ice_forcing, S)
+
+    bind = _statics_binder(dict(
+        S=model.statics(), atm=atm,
+        base_ice_forcing=zero_ice_forcing(model.mesh, dtype),
+        base_oce_forcing=zero_forcing(model.mesh, dtype),
+        tide_offset=tide_offset))
 
     if not cfg.run.use_icepack:
+        def step3_impl(state, ice, step_idx, SP):
+            return step_impl(state, ice, step_idx, SP)
+        core3 = jax.jit(step3_impl) if jit else step3_impl
+
         def step3(state, ice, step_idx):
-            return step(state, ice, step_idx)
-        return jax.jit(step3) if jit else step3
-    return jax.jit(step) if jit else step
+            return core3(state, ice, step_idx,
+                         bind(jax.tree.leaves(state)[0]))
+        return step3
+
+    core = jax.jit(step_impl) if jit else step_impl
+
+    def step(state, ice, step_idx, ipk=None):
+        return core(state, ice, step_idx,
+                    bind(jax.tree.leaves(state)[0]), ipk)
+    return step
 
 
 def setup_soufflet_model(mesh_path: str = "/root/reference/test/meshes/soufflet",
@@ -748,6 +897,9 @@ def setup_soufflet_model(mesh_path: str = "/root/reference/test/meshes/soufflet"
         if mesh.n_nodes <= DENSE_SSH_MAX_NODES else None
     block_pc = None if dense_inv is not None \
         else ssh.build_block_schwarz(mesh, cfg, dtype=dtype)
+    ring = None if dense_inv is not None or cfg.ale.which_ALE != "linfs" \
+        else ssh.build_ssh_ring(mesh, cfg, dtype=dtype)
     return Model(mesh=mesh, cfg=cfg, tracer_statics=tst, ssh_diag_inv=diag_inv,
                  density_ref=dref, soufflet_statics=sst,
-                 ssh_dense_inv=dense_inv, ssh_block_pc=block_pc)
+                 ssh_dense_inv=dense_inv, ssh_block_pc=block_pc,
+                 ssh_ring=ring)

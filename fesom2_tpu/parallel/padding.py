@@ -58,6 +58,7 @@ def pad_mesh(mesh: MeshTables, multiple: int) -> MeshTables:
     r["nod_in_elem_slot"] = _pad(mesh.nod_in_elem_slot, dn, 0, axis=0)
     r["node_edges"] = _pad(mesh.node_edges, dn, -1, axis=0)
     r["node_edge_sign"] = _pad(mesh.node_edge_sign, dn, 0.0, axis=0)
+    r["node_neighbors"] = _pad(mesh.node_neighbors, dn, -1, axis=0)
     # coordinates
     r["coords"] = _pad(mesh.coords, dn, 0.0, axis=0)
     r["geo_coords"] = _pad(mesh.geo_coords, dn, 0.0, axis=0)
