@@ -165,6 +165,10 @@ class OceTraConfig:
 @dataclass
 class IceConfig:
     whichEVP: int = 0             # 0 EVP, 1 mEVP, 2 aEVP
+    # run the EVP subcycle loop only on the polar caps |lat| > this value
+    # (deg); None = global.  Exact as long as all ice stays inside the cap
+    # (ice/subdomain.py) — gather volume per subcycle scales with cap size.
+    evp_subdomain_lat: float = None
     Pstar: float = 30000.0        # [N/m^2]
     ellipse: float = 2.0
     c_pressure: float = 20.0

@@ -351,11 +351,18 @@ def aevp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
 
 
 def ice_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
-                 ocean: OceanSurface, cfg, strength_node=None) -> IceState:
+                 ocean: OceanSurface, cfg, strength_node=None,
+                 sub=None) -> IceState:
     """Dispatch on whichEVP (ref ice_setup_step.F90:195-208).
 
     strength_node (icepack builds): per-node ice strength replacing the
-    Hibler P* closure inside the rheology (ref ice_maEVP.F90:46-98)."""
+    Hibler P* closure inside the rheology (ref ice_maEVP.F90:46-98).
+
+    sub (IceSubdomain): restrict the subcycle loop to the polar caps —
+    exact while all ice stays inside (see ice/subdomain.py)."""
+    if sub is not None:
+        return ice_dynamics_sub(ice, mesh, sub, forcing, ocean, cfg,
+                                strength_node=strength_node)
     which = cfg.ice.whichEVP
     if which == 0:
         return evp_dynamics(ice, mesh, forcing, ocean, cfg)
@@ -363,6 +370,62 @@ def ice_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
         return aevp_dynamics(ice, mesh, forcing, ocean, cfg)
     return mevp_dynamics(ice, mesh, forcing, ocean, cfg,
                          strength_node=strength_node)
+
+
+def ice_dynamics_sub(ice: IceState, mesh: MeshTables, sub,
+                     forcing: IceForcing, ocean: OceanSurface, cfg,
+                     strength_node=None) -> IceState:
+    """EVP on the ice subdomain: one packed gather in, the unchanged
+    kernels on restricted tables (IceSubdomain duck-types the MeshTables
+    fields they read), unique-index scatter of (u,v) and stresses out."""
+    g = sub.sub_nodes
+    ge = sub.sub_elems
+    which = cfg.ice.whichEVP
+    nodal = [ice.u_ice, ice.v_ice, ice.m_ice, ice.a_ice, ice.m_snow,
+             forcing.stress_atmice_x, forcing.stress_atmice_y,
+             ocean.u_w, ocean.v_w, ocean.elevation]
+    if strength_node is not None:
+        nodal.append(strength_node)
+    if which == 2:
+        nodal.append(ice.beta_aevp)
+    loc = jnp.take(jnp.stack(nodal), g, axis=-1)
+    elem = [ice.sigma11, ice.sigma12, ice.sigma22]
+    if which == 2:
+        elem.append(ice.alpha_aevp)
+    se = jnp.take(jnp.stack(elem), ge, axis=-1)
+
+    ice_l = replace(ice, u_ice=loc[0], v_ice=loc[1], m_ice=loc[2],
+                    a_ice=loc[3], m_snow=loc[4],
+                    sigma11=se[0], sigma12=se[1], sigma22=se[2],
+                    alpha_aevp=se[3] if which == 2 else ice.alpha_aevp,
+                    beta_aevp=loc[-1] if which == 2 else ice.beta_aevp)
+    forcing_l = replace(forcing, stress_atmice_x=loc[5],
+                        stress_atmice_y=loc[6])
+    ocean_l = replace(ocean, u_w=loc[7], v_w=loc[8], elevation=loc[9])
+    sn_l = loc[10] if strength_node is not None else None
+
+    if which == 0:
+        out = evp_dynamics(ice_l, sub, forcing_l, ocean_l, cfg)
+    elif which == 2:
+        out = aevp_dynamics(ice_l, sub, forcing_l, ocean_l, cfg)
+    else:
+        out = mevp_dynamics(ice_l, sub, forcing_l, ocean_l, cfg,
+                            strength_node=sn_l)
+
+    uv = jnp.stack([ice.u_ice, ice.v_ice]) \
+        .at[:, g].set(jnp.stack([out.u_ice, out.v_ice]))
+    sig_new = [out.sigma11, out.sigma12, out.sigma22]
+    sig_old = [ice.sigma11, ice.sigma12, ice.sigma22]
+    if which == 2:
+        sig_new.append(out.alpha_aevp)
+        sig_old.append(ice.alpha_aevp)
+    sig = jnp.stack(sig_old).at[:, ge].set(jnp.stack(sig_new))
+    res = replace(ice, u_ice=uv[0], v_ice=uv[1],
+                  sigma11=sig[0], sigma12=sig[1], sigma22=sig[2])
+    if which == 2:
+        res = replace(res, alpha_aevp=sig[3],
+                      beta_aevp=ice.beta_aevp.at[g].set(out.beta_aevp))
+    return res
 
 
 def ridging_rates(ice: IceState, mesh: MeshTables, cfg):

@@ -13,10 +13,10 @@ from .thermo import thermodynamics
 
 def ice_timestep(ice: IceState, mesh: MeshTables, forcing: IceForcing,
                  ocean: OceanSurface, cfg, use_virt_salt: bool,
-                 ref_sss: float = 34.0, ref_sss_local: bool = False
-                 ) -> IceState:
+                 ref_sss: float = 34.0, ref_sss_local: bool = False,
+                 sub=None) -> IceState:
     ice_dt = cfg.dt * cfg.ice.ice_ave_steps
-    ice = ice_dynamics(ice, mesh, forcing, ocean, cfg)
+    ice = ice_dynamics(ice, mesh, forcing, ocean, cfg, sub=sub)
     ice = ice_fct_advect(ice, mesh, cfg, ice_dt)
     ice = thermodynamics(ice, mesh, forcing, ocean, cfg, use_virt_salt,
                          ref_sss, ref_sss_local)

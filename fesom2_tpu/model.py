@@ -95,6 +95,7 @@ class Model:
             Sclim=self.Sclim,
             relax2clim=self.relax2clim,
             ptr_masks=tuple(m for _, m in (self.ptracer_masks or ())),
+            ice_sub=getattr(self, "ice_submesh", None),
             iw_surf=getattr(self, "iw_surf", None),
             iw_bot=getattr(self, "iw_bot", None),
             tidal_forc=getattr(self, "tidal_forc", None),
@@ -325,7 +326,8 @@ def coupled_step_impl(model: "Model"):
             ice = ice_step_mod.ice_timestep(
                 ice, mesh, ice_forcing, surf, cfg, use_virt_salt,
                 ref_sss=cfg.tra.ref_sss,
-                ref_sss_local=cfg.tra.ref_sss_local)
+                ref_sss_local=cfg.tra.ref_sss_local,
+                sub=S["ice_sub"])
         if cfg.run.use_cavity:
             ice = cavity.cavity_ice_clean(ice, mesh)
         sx, sy = ice_cpl.oce_fluxes_mom(ice, surf, ice_forcing, mesh, cfg)
@@ -710,6 +712,7 @@ def setup_pi_model(mesh_path: str = "/root/reference/test/meshes/pi",
     cfg.dyn.mix_scheme = "PP"
     cfg.ice.whichEVP = 1
     cfg.ice.evp_rheol_steps = 120
+    cfg.ice.evp_subdomain_lat = 40.0
     cfg.tra.tra_adv_hor = "MFCT"
     cfg.tra.tra_adv_ver = "QR4C"
     cfg.tra.tra_adv_lim = "FCT"
@@ -742,6 +745,10 @@ def setup_pi_model(mesh_path: str = "/root/reference/test/meshes/pi",
                   ssh_diag_inv=diag_inv, density_ref=dref,
                   ssh_dense_inv=dense_inv, ssh_block_pc=block_pc,
                   ssh_ring=ring)
+    if cfg.ice.evp_subdomain_lat is not None:
+        from .ice.subdomain import build_ice_subdomain
+        model.ice_submesh = build_ice_subdomain(
+            mesh, lat_deg=cfg.ice.evp_subdomain_lat)
     atm = load_core_forcing(mesh, forcing_path, dtype=dtype)
     return model, atm
 
