@@ -203,7 +203,10 @@ class RingOperator:
         self.vals = vals        # [Kr, N] (pad -> 0)
 
     def __call__(self, eta):
-        return (self.vals * jnp.take(eta, self.cols, axis=-1)).sum(0)
+        # gather from a 2-row stack: TPU gathers from a 1-row table hit a
+        # degenerate ~2.3x-slower path, while extra leading rows are free
+        e2 = jnp.stack([eta, eta])
+        return (self.vals * jnp.take(e2, self.cols, axis=-1)[0]).sum(0)
 
     def tree_flatten(self):
         return ((self.cols, self.vals), None)
@@ -272,12 +275,17 @@ class BlockSchwarz:
     def __call__(self, r):
         ids = self.block_ids
         valid = ids >= 0
-        rb = jnp.where(valid, r[jnp.where(valid, ids, 0)], 0.0)   # [nb, K]
+        # 2-row stacks dodge the degenerate 1-row-table gather path
+        r2 = jnp.stack([r, r])
+        rb = jnp.where(valid, jnp.take(r2, jnp.where(valid, ids, 0),
+                                       axis=-1)[0], 0.0)          # [nb, K]
         yb = jnp.einsum("bkl,bl->bk", self.inv_blocks, rb,
                         preferred_element_type=rb.dtype)
         flat = yb.reshape(-1)
+        flat2 = jnp.stack([flat, flat])
         contrib = jnp.where(self.node_slot_valid,
-                            flat[self.node_slots], 0.0)           # [N, S]
+                            jnp.take(flat2, self.node_slots, axis=-1)[0],
+                            0.0)                                   # [N, S]
         return contrib.sum(-1)
 
 
