@@ -6,3 +6,4 @@ from .mesh_loader import PostMesh, load_mesh, read_stream, ind_for_depth, \
 from .regrid import lon_lat_to_cartesian, fesom2regular, regular_grid
 from .moc import moc_z, moc_dens
 from .climatology import Climatology, fesom2clim
+from .plot import ftriplot, wplot_xy, wplot_yz, moving_average

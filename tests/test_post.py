@@ -104,3 +104,32 @@ def test_climatology_compare(run_outputs):
     assert ok.any()
     # after 3 steps from WOA ICs the surface bias vs WOA is small
     assert np.nanmean(np.abs(bias[0])) < 3.0
+
+
+def test_plot_tools(run_outputs):
+    """fesom_plot_tools equivalents render without error (Agg backend)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    out, state, ice = run_outputs
+    m = post.load_mesh(out)
+    sst = np.asarray(state.tr[0, 0]).astype(float)
+    fig, ax, im = post.ftriplot(m, sst)
+    assert len(ax.collections) > 0 or im is not None
+    plt.close(fig)
+    # polar view + element data
+    ev = np.asarray(state.u[0]).astype(float)
+    fig, ax, im = post.ftriplot(m, ev, oce="np", data_on_elem=True,
+                                do_cbar=False)
+    plt.close(fig)
+    # regridded xy + section plots
+    lons, lats = post.regular_grid(90, 45)
+    gridded = post.fesom2regular(sst, m, lons, lats)
+    fig, ax, im = post.wplot_xy(lons, lats, gridded)
+    plt.close(fig)
+    lat_axis = np.linspace(-80, 80, 17)
+    sec = np.outer(m.zmid, np.ones(lat_axis.size))
+    fig, ax, im = post.wplot_yz(lat_axis, m.zmid, sec)
+    plt.close(fig)
+    ma = post.moving_average(np.arange(10.0), 3)
+    assert ma.shape == (10,)
