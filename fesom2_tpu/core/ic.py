@@ -63,9 +63,23 @@ def _fill_missing(field, missing_mask, n_pass=60):
                 s[0, :, :] = np.nan
             shifted.append(s)
         stack = np.stack(shifted)
-        fill = np.nanmean(stack, axis=0)
+        # explicit all-NaN handling (nanmean would warn on empty slices):
+        # cells with no filled neighbor this pass stay NaN for the next pass
+        cnt = (~np.isnan(stack)).sum(axis=0)
+        tot = np.nansum(np.where(np.isnan(stack), 0.0, stack), axis=0)
+        fill = np.where(cnt > 0, tot / np.maximum(cnt, 1), np.nan)
         f = np.where(np.isnan(f), fill, f)
-    return np.nan_to_num(f, nan=0.0)
+    # cells unreachable by the flood fill (enclosed basins below the deepest
+    # data level): fill with the horizontal mean of their depth level, which
+    # is a physically sane stand-in for T/S (0.0 was not)
+    if np.isnan(f).any():
+        lvl_cnt = (~np.isnan(f)).sum(axis=(1, 2))
+        lvl_tot = np.nansum(np.where(np.isnan(f), 0.0, f), axis=(1, 2))
+        glob = lvl_tot.sum() / max(lvl_cnt.sum(), 1)
+        lvl_mean = np.where(lvl_cnt > 0, lvl_tot / np.maximum(lvl_cnt, 1),
+                            glob)
+        f = np.where(np.isnan(f), lvl_mean[:, None, None], f)
+    return f
 
 
 def climatology_ic(mesh: MeshTables, path: str,

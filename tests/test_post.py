@@ -133,3 +133,11 @@ def test_plot_tools(run_outputs):
     plt.close(fig)
     ma = post.moving_average(np.arange(10.0), 3)
     assert ma.shape == (10,)
+    # edge padding: constant input stays constant at the ends (ADVICE r1)
+    assert np.allclose(post.moving_average(np.ones(7), 3), 1.0)
+    # degenerate data guards (ADVICE r1)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="NaN"):
+        post.ftriplot(m, np.full_like(sst, np.nan))
+    with _pytest.raises(ValueError, match="masked"):
+        post.wplot_xy(lons, lats, np.full_like(np.asarray(gridded), np.nan))
