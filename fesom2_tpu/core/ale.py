@@ -175,11 +175,12 @@ def bolus_wvel(fer_u, fer_v, state: OceanState, mesh: MeshTables):
 
 def _nlevels_node_min(mesh: MeshTables):
     """min over adjacent elements of nlevels (ref nlevels_nod2D_min)."""
+    from .ops import halo_fix_nodes
     nie = mesh.nod_in_elem
     valid = nie >= 0
     safe = jnp.where(valid, nie, 0)
     nle = jnp.where(valid, jnp.take(mesh.nlevels_elem, safe), 10 ** 6)
-    return nle.min(-1)
+    return halo_fix_nodes(nle.min(-1))
 
 
 def update_thickness(state: OceanState, mesh: MeshTables, cfg) -> OceanState:

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from ..constants import g, density_0, r_earth
 from ..mesh import MeshTables
 from .state import OceanState, Forcing
-from .ops import (scalar_gradient, tridiag_solve, elem_to_node_mean,
+from .ops import (halo_fix_nodes, halo_fix_elems,
+                  scalar_gradient, tridiag_solve, elem_to_node_mean,
                   edge_divergence, cumsum_bottom_up, elem_contrib_to_nodes)
 
 
@@ -142,8 +143,8 @@ def momentum_adv_scalar(state: OceanState, mesh: MeshTables,
     valid = nie >= 0
     safe = jnp.where(valid, nie, 0)
     w_area = jnp.where(valid, jnp.take(area, safe), 0.0)   # [N, K]
-    wu = (jnp.take(u_up, safe, axis=-1) * w_area).sum(-1)  # [nl, N]
-    wv = (jnp.take(v_up, safe, axis=-1) * w_area).sum(-1)
+    wu = halo_fix_nodes((jnp.take(u_up, safe, axis=-1) * w_area).sum(-1))
+    wv = halo_fix_nodes((jnp.take(v_up, safe, axis=-1) * w_area).sum(-1))
 
     wu = wu * state.w_e
     wv = wv * state.w_e
@@ -269,7 +270,9 @@ def compute_vel_rhs_vinv(state: OceanState, mesh: MeshTables,
     bnd_node = ((mesh.node_edges >= mesh.n_edges_in)
                 & (mesh.node_edges >= 0)).any(-1)             # [N]
     KE = jnp.where(bnd_node[None, :], 0.0, KE)
-    KE = jnp.where(mesh.node_layer_mask, KE, 0.0)
+    # bnd_node is derived from the (incomplete at halos) incidence table, so
+    # re-fix halos after applying it
+    KE = halo_fix_nodes(jnp.where(mesh.node_layer_mask, KE, 0.0))
 
     # AB part (ref :168-176)
     u_rhs = -(0.5 + eps) * state.u_rhsAB
@@ -340,8 +343,10 @@ def visc_filt_bcksct(state: OceanState, mesh: MeshTables, cfg, u_rhs, v_rhs):
     e_is_left = mesh.edge_tri[ee, 0] == jnp.arange(mesh.n_elems)[:, None]
     esign = jnp.where(e_is_left, -1.0, 1.0)               # [E, 3]
     inv_area_e = 1.0 / jnp.maximum(area, 1e-30)
-    U_b = (jnp.take(du, ee, axis=-1) * esign).sum(-1) * inv_area_e[None, :]
-    V_b = (jnp.take(dv, ee, axis=-1) * esign).sum(-1) * inv_area_e[None, :]
+    U_b = halo_fix_elems((jnp.take(du, ee, axis=-1) * esign).sum(-1)
+                         * inv_area_e[None, :])
+    V_b = halo_fix_elems((jnp.take(dv, ee, axis=-1) * esign).sum(-1)
+                         * inv_area_e[None, :])
 
     # smooth to nodes (area-weighted over ALL adjacent elements, no level
     # check in the denominator — matches the reference loop :619-635)
@@ -377,7 +382,7 @@ def visc_filt_harmon(state: OceanState, mesh: MeshTables, cfg, u_rhs, v_rhs):
     ia2 = 1.0 / jnp.maximum(area[et2s], 1e-30)
     u_rhs = u_rhs.at[:, et1].add(-du * ia1[None]).at[:, et2s].add(du * ia2[None])
     v_rhs = v_rhs.at[:, et1].add(-dv * ia1[None]).at[:, et2s].add(dv * ia2[None])
-    return u_rhs, v_rhs
+    return halo_fix_elems(u_rhs), halo_fix_elems(v_rhs)
 
 
 def _edge_internal_shared(mesh: MeshTables):
@@ -398,7 +403,7 @@ def _accum_edge_to_elem(val, mesh: MeshTables):
     ee = mesh.elem_edges
     is_left = mesh.edge_tri[ee, 0] == jnp.arange(mesh.n_elems)[:, None]
     esign = jnp.where(is_left, -1.0, 1.0)
-    return (jnp.take(val, ee, axis=-1) * esign).sum(-1)
+    return halo_fix_elems((jnp.take(val, ee, axis=-1) * esign).sum(-1))
 
 
 def _apply_edge_filter(val_u, val_v, mesh, et1, et2s, u_rhs, v_rhs):

@@ -167,8 +167,9 @@ def fer_gamma2vel(gamma, state: OceanState, mesh: MeshTables):
 
 
 def _node_min_levels(mesh: MeshTables):
+    from .ops import halo_fix_nodes
     nie = mesh.nod_in_elem
     valid = nie >= 0
     safe = jnp.where(valid, nie, 0)
     nle = jnp.where(valid, jnp.take(mesh.nlevels_elem, safe), 10 ** 6)
-    return nle.min(-1)
+    return halo_fix_nodes(nle.min(-1))

@@ -14,10 +14,62 @@ Reference precedents are cited per function.
 """
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
 from ..mesh import MeshTables
+
+
+# --------------------------------------------------------------------------
+# distributed-execution context (partition-aware halo runtime)
+# --------------------------------------------------------------------------
+# When the step runs per-shard inside shard_map (parallel/dist.py), every
+# node/element ASSEMBLY below produces exact values only at OWNED entities
+# (halo incidence rows are incomplete on purpose).  The active DistContext
+# repairs the halo slots right after each assembly with a packed neighbor
+# exchange (all_to_all over the 'cell' mesh axis) — the TPU-native
+# equivalent of the reference's exchange_nod/exchange_elem calls after each
+# kernel family (gen_halo_exchange.F90:129-164).  Single-device execution
+# (no context) is completely unaffected: the hooks are identity.
+_DIST_CTX = None
+
+
+@contextlib.contextmanager
+def dist_context(ctx):
+    """Activate a DistContext for the duration of a trace."""
+    global _DIST_CTX
+    prev = _DIST_CTX
+    _DIST_CTX = ctx
+    try:
+        yield ctx
+    finally:
+        _DIST_CTX = prev
+
+
+def halo_fix_nodes(x: jnp.ndarray) -> jnp.ndarray:
+    """Replace halo-node entries of x [..., n_loc] with their owners' values
+    (identity outside a dist context)."""
+    if _DIST_CTX is None:
+        return x
+    return _DIST_CTX.exchange_nodes(x)
+
+
+def halo_fix_elems(x: jnp.ndarray) -> jnp.ndarray:
+    """Replace halo-element entries of x [..., e_loc] with owners' values."""
+    if _DIST_CTX is None:
+        return x
+    return _DIST_CTX.exchange_elems(x)
+
+
+def node_sum(v: jnp.ndarray):
+    """Global sum of a node field: plain sum single-device; owned-masked
+    psum over the device mesh under a dist context (halo copies and padding
+    must not be double counted)."""
+    if _DIST_CTX is None:
+        return jnp.sum(v)
+    return _DIST_CTX.gsum_nodes(v)
 
 
 def take_last(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -53,7 +105,7 @@ def elem_mean_node(x: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
 def scatter_add_nodes(vals: jnp.ndarray, idx: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
     """Scatter-add vals[.., K] into a zero array [.., n_nodes] at idx[K]."""
     shape = vals.shape[:-1] + (n_nodes,)
-    return jnp.zeros(shape, vals.dtype).at[..., idx].add(vals)
+    return halo_fix_nodes(jnp.zeros(shape, vals.dtype).at[..., idx].add(vals))
 
 
 def edge_divergence(flux: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
@@ -73,7 +125,7 @@ def edge_divergence(flux: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
     safe = jnp.where(valid, ne, 0)
     sign = jnp.where(valid, mesh.node_edge_sign.T, 0.0)
     vals = take_last(flux, safe)           # [.., KE, N]
-    return (vals * sign).sum(-2)
+    return halo_fix_nodes((vals * sign).sum(-2))
 
 
 def edge_signed_reduce(flux: jnp.ndarray, mesh: MeshTables, fn) -> jnp.ndarray:
@@ -86,7 +138,7 @@ def edge_signed_reduce(flux: jnp.ndarray, mesh: MeshTables, fn) -> jnp.ndarray:
     safe = jnp.where(valid, ne, 0)
     sign = jnp.where(valid, mesh.node_edge_sign.T, 0.0)
     vals = fn(take_last(flux, safe) * sign)
-    return jnp.where(valid, vals, 0.0).sum(-2)
+    return halo_fix_nodes(jnp.where(valid, vals, 0.0).sum(-2))
 
 
 def elem_contrib_to_nodes(contrib: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
@@ -105,7 +157,7 @@ def elem_contrib_to_nodes(contrib: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray
     flat = contrib.reshape(contrib.shape[:-2] + (-1,))       # [..., E*3]
     idx = safe * 3 + slot                                    # [K, N]
     vals = take_last(flat, idx)                              # [..., K, N]
-    return jnp.where(valid, vals, 0.0).sum(-2)
+    return halo_fix_nodes(jnp.where(valid, vals, 0.0).sum(-2))
 
 
 def elem_contrib_to_nodes_3e(contrib: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
@@ -119,7 +171,7 @@ def elem_contrib_to_nodes_3e(contrib: jnp.ndarray, mesh: MeshTables) -> jnp.ndar
     flat = contrib.reshape(contrib.shape[:-2] + (-1,))       # [..., 3*E]
     idx = slot * E + safe                                    # [K, N]
     vals = take_last(flat, idx)
-    return jnp.where(valid, vals, 0.0).sum(-2)
+    return halo_fix_nodes(jnp.where(valid, vals, 0.0).sum(-2))
 
 
 def scalar_gradient(f_nodes: jnp.ndarray, mesh: MeshTables):
@@ -151,7 +203,7 @@ def elem_to_node_mean(x_elem: jnp.ndarray, mesh: MeshTables,
         xv = jnp.take(x_elem, safe, axis=-1)                   # [N, K]
         num = (xv * w).sum(-1)
         den = w.sum(-1)
-        return num / den
+        return halo_fix_nodes(num / den)
     # leveled: x_elem [nl-1, E]
     xv = jnp.take(x_elem, safe, axis=-1)                       # [nl-1, N, K]
     if respect_levels:
@@ -161,7 +213,7 @@ def elem_to_node_mean(x_elem: jnp.ndarray, mesh: MeshTables,
         wl = jnp.broadcast_to(w[None], xv.shape)
     num = (xv * wl).sum(-1)
     den = wl.sum(-1)
-    return num / jnp.maximum(den, 1e-30)
+    return halo_fix_nodes(num / jnp.maximum(den, 1e-30))
 
 
 # --------------------------------------------------------------------------
@@ -217,13 +269,14 @@ def pcg(operator, rhs: jnp.ndarray, diag_inv: jnp.ndarray,
     (``psolve.c:152-221``; tolerances from ``oce_ale.F90:2295-2301``; the
     operator is SPD so CG applies, as noted at ``oce_ale.F90:2321``).
 
-    `psum` is an optional reduction for sharded execution (defaults to jnp.sum
-    composed over the local axis — under shard_map pass a psum-wrapped sum).
+    `psum` is an optional reduction for sharded execution; under a dist
+    context it defaults to the owned-masked cross-shard sum.  The residual
+    norm is carried through the while_loop so the loop condition contains
+    no collective (XLA requires a replicated scalar cond).
     Returns (x, iterations, relative_residual).
     """
     if psum is None:
-        def psum(v):
-            return jnp.sum(v)
+        psum = node_sum
     if x0 is None:
         x0 = jnp.zeros_like(rhs)
     if callable(diag_inv):
@@ -236,25 +289,28 @@ def pcg(operator, rhs: jnp.ndarray, diag_inv: jnp.ndarray,
     z = apply_M(r)
     p = z
     rz = psum(r * z)
+    rr = psum(r * r)
     rhs_norm = jnp.sqrt(psum(rhs * rhs)) + 1e-300
     tol2 = (tol * rhs_norm) ** 2
 
     def cond(carry):
-        x, r, p, rz, it = carry
-        return jnp.logical_and(psum(r * r) > tol2, it < maxiter)
+        x, r, p, rz, rr, it = carry
+        return jnp.logical_and(rr > tol2, it < maxiter)
 
     def body(carry):
-        x, r, p, rz, it = carry
+        x, r, p, rz, rr, it = carry
         Ap = operator(p)
         alpha = rz / psum(p * Ap)
         x = x + alpha * p
         r = r - alpha * Ap
         z = apply_M(r)
         rz_new = psum(r * z)
+        rr = psum(r * r)
         beta = rz_new / rz
         p = z + beta * p
-        return (x, r, p, rz_new, it + 1)
+        return (x, r, p, rz_new, rr, it + 1)
 
-    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
-    res = jnp.sqrt(psum(r * r)) / rhs_norm
+    x, r, p, rz, rr, it = jax.lax.while_loop(cond, body,
+                                             (x0, r, p, rz, rr, 0))
+    res = jnp.sqrt(rr) / rhs_norm
     return x, it, res

@@ -205,8 +205,10 @@ class RingOperator:
     def __call__(self, eta):
         # gather from a 2-row stack: TPU gathers from a 1-row table hit a
         # degenerate ~2.3x-slower path, while extra leading rows are free
+        from .ops import halo_fix_nodes
         e2 = jnp.stack([eta, eta])
-        return (self.vals * jnp.take(e2, self.cols, axis=-1)[0]).sum(0)
+        return halo_fix_nodes(
+            (self.vals * jnp.take(e2, self.cols, axis=-1)[0]).sum(0))
 
     def tree_flatten(self):
         return ((self.cols, self.vals), None)

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ..constants import r_earth, vcpw
 from ..mesh import MeshTables
-from .ops import tridiag_solve, elem_to_node_mean, edge_divergence, edge_signed_reduce
+from .ops import (tridiag_solve, elem_to_node_mean, edge_divergence,
+                  edge_signed_reduce, halo_fix_nodes)
 from .tracer_setup import TracerStatics
 
 
@@ -87,7 +88,7 @@ def _node_min_levels(mesh: MeshTables):
     valid = nie >= 0
     safe = jnp.where(valid, nie, 0)
     nle = jnp.where(valid, jnp.take(mesh.nlevels_elem, safe), 10 ** 6)
-    return nle.min(-1)
+    return halo_fix_nodes(nle.min(-1))
 
 
 # --------------------------------------------------------------------------
@@ -464,10 +465,12 @@ def fct_limiter(ttf, lo, adf_h, adf_v, mesh: MeshTables, dt):
     nie = mesh.nod_in_elem
     valid = nie >= 0
     safe = jnp.where(valid, nie, 0)
-    cl_max = jnp.where(valid[None, :, :], jnp.take(te_max, safe, axis=-1),
-                       -bignumber).max(-1)        # [nl-1, N]
-    cl_min = jnp.where(valid[None, :, :], jnp.take(te_min, safe, axis=-1),
-                       bignumber).min(-1)
+    cl_max = halo_fix_nodes(
+        jnp.where(valid[None, :, :], jnp.take(te_max, safe, axis=-1),
+                  -bignumber).max(-1))            # [nl-1, N]
+    cl_min = halo_fix_nodes(
+        jnp.where(valid[None, :, :], jnp.take(te_min, safe, axis=-1),
+                  bignumber).min(-1))
     up_max = jnp.concatenate([cl_max[:1], cl_max[:-1]], 0)
     dn_max = jnp.concatenate([cl_max[1:], cl_max[-1:]], 0)
     up_min = jnp.concatenate([cl_min[:1], cl_min[:-1]], 0)
@@ -606,8 +609,8 @@ def diff_ver_redi_expl(gx, gy, slope_tapered, Ki_layered, hnode_new,
     lm = jnp.take(mesh.elem_layer_mask, safe, axis=-1)
     wl = jnp.where(lm, w[None], 0.0)
     av = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
-    tx = (jnp.take(gx, safe, axis=-1) * wl).sum(-1) / 3.0 / av
-    ty = (jnp.take(gy, safe, axis=-1) * wl).sum(-1) / 3.0 / av
+    tx = halo_fix_nodes((jnp.take(gx, safe, axis=-1) * wl).sum(-1) / 3.0 / av)
+    ty = halo_fix_nodes((jnp.take(gy, safe, axis=-1) * wl).sum(-1) / 3.0 / av)
 
     # actual interface/mid depths
     lmask = mesh.node_layer_mask

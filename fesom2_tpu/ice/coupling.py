@@ -50,7 +50,8 @@ def oce_fluxes(ice: IceState, ocean: OceanSurface, forcing: IceForcing,
     """Heat/freshwater/virtual-salt fluxes to the ocean with global balancing
     (ref :155-346). Returns an updated ocean Forcing."""
     if psum is None:
-        psum = jnp.sum
+        from ..core.ops import node_sum
+        psum = node_sum   # owned-masked cross-shard sum under dist context
     area1 = mesh.area[0]
     inv_ocean_area = 1.0 / mesh.ocean_area
 

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from ..constants import g, density_0
 from ..mesh import MeshTables
-from ..core.ops import elem_contrib_to_nodes, elem_contrib_to_nodes_3e
+from ..core.ops import (elem_contrib_to_nodes, elem_contrib_to_nodes_3e,
+                        halo_fix_nodes, halo_fix_elems)
 from .state import IceState, IceForcing, OceanSurface, rhoice, rhosno, inv_rhowat
 
 
@@ -344,7 +345,7 @@ def aevp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
     nie = mesh.nod_in_elem.T                     # [K, N]
     valid = nie >= 0
     av = jnp.where(valid, jnp.take(alpha, jnp.where(valid, nie, 0)), 50.0)
-    beta = av.max(0)
+    beta = halo_fix_nodes(av.max(0))
 
     return replace(ice, u_ice=u, v_ice=v, sigma11=s11, sigma12=s12,
                    sigma22=s22, alpha_aevp=alpha, beta_aevp=beta)

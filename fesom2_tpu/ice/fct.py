@@ -18,7 +18,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from ..mesh import MeshTables
-from ..core.ops import elem_contrib_to_nodes
+from ..core.ops import elem_contrib_to_nodes, halo_fix_nodes
 from .state import IceState
 
 
@@ -132,8 +132,8 @@ def fct_advect_fields(u_ice, v_ice, fields, mesh: MeshTables, gamma, ice_dt):
     nsafe = jnp.where(nvalid, nn, 0)
     big = jnp.finfo(low.dtype).max
     lowg = low[..., nsafe]                                # [F, KE, N]
-    nb_max = jnp.where(nvalid, lowg, -big).max(-2)
-    nb_min = jnp.where(nvalid, lowg, big).min(-2)
+    nb_max = halo_fix_nodes(jnp.where(nvalid, lowg, -big).max(-2))
+    nb_min = halo_fix_nodes(jnp.where(nvalid, lowg, big).min(-2))
     tmax = jnp.maximum(low, nb_max) - low
     tmin = jnp.minimum(low, nb_min) - low
 

@@ -789,12 +789,11 @@ def pi_initial_state(model: Model, forcing_path: str =
     return state, ice
 
 
-def pi_coupled_step_fn(model: Model, atm, jit: bool = True):
-    """Full coupled step with on-device atmospheric forcing update.
-
-    (state, ice, step_idx) -> (state, ice, ocean_forcing); model time =
-    step_idx*dt measured from year start (clock offset of the CI run).
-    """
+def pi_coupled_parts(model: Model, atm):
+    """The coupled-pi step implementation + raw statics, shared between the
+    single-device driver (pi_coupled_step_fn) and the distributed driver
+    (parallel/dist.py): impl(state, ice, step_idx, SP[, ipk]) -> outputs,
+    with SP the statics pytree returned alongside."""
     from .forcing.atmos import update_atm_forcing
     from .ice.state import zero_ice_forcing
     from .ice import coupling as ice_cpl
@@ -833,11 +832,23 @@ def pi_coupled_step_fn(model: Model, atm, jit: bool = True):
             return coupled(state, ice, oce_forcing, ice_forcing, S, ipk)
         return coupled(state, ice, oce_forcing, ice_forcing, S)
 
-    bind = _statics_binder(dict(
+    SP_raw = dict(
         S=model.statics(), atm=atm,
         base_ice_forcing=zero_ice_forcing(model.mesh, dtype),
         base_oce_forcing=zero_forcing(model.mesh, dtype),
-        tide_offset=tide_offset))
+        tide_offset=tide_offset)
+    return step_impl, SP_raw
+
+
+def pi_coupled_step_fn(model: Model, atm, jit: bool = True):
+    """Full coupled step with on-device atmospheric forcing update.
+
+    (state, ice, step_idx) -> (state, ice, ocean_forcing); model time =
+    step_idx*dt measured from year start (clock offset of the CI run).
+    """
+    cfg = model.cfg
+    step_impl, SP_raw = pi_coupled_parts(model, atm)
+    bind = _statics_binder(SP_raw)
 
     if not cfg.run.use_icepack:
         def step3_impl(state, ice, step_idx, SP):

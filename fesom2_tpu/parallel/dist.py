@@ -1,0 +1,617 @@
+"""Partition-aware distributed runtime: per-shard local meshes + explicit
+halo exchange under shard_map.
+
+This is the TPU-native replacement for the reference's entire L3 layer:
+
+- METIS domain decomposition + contiguous per-rank renumbering
+  (``gen_modules_partitioning.F90:14-75``, ``fvom_init.F90:1421-1540``)
+  -> :func:`build_layout`: the node graph is partitioned by the offline
+  partitioner (``parallel/partition.py``, the METIS-role component), and
+  every shard gets a LOCAL mesh whose entities are renumbered into
+  [owned | pad | halo | pad] blocks of uniform (static) sizes.
+- precomputed per-neighbor indexed halo datatypes + exchange_nod/exchange_elem
+  (``gen_modules_partitioning.F90:190-477``, ``gen_halo_exchange.F90:129-164``)
+  -> :class:`HaloSchedule` + :class:`DistContext`: packed send tables and
+  receive maps, executed as ONE ``lax.all_to_all`` over the ``"cell"`` mesh
+  axis per exchange (ICI collective, no host round trips).  The exchange is
+  invoked from hooks inside the assembly operators (``core/ops.py``), i.e.
+  after each kernel family — exactly where the reference exchanges.
+- the communication-structure construction of ``gen_comm.F90:12-657``
+  -> the closure computation in :func:`build_layout` (which entities each
+  shard needs: owned + 1 ring of elements/edges + the MUSCL up/downwind
+  triangles, mirroring eDim/eXDim).
+
+Correctness invariants (why the physics code runs UNCHANGED per shard):
+
+1. Local index tables are complete for OWNED entities: every edge/element
+   incident to an owned node is local, every edge of an owned element is
+   local, and every element adjacent to those edges is local.  Assemblies
+   therefore produce exact values at owned slots.
+2. Assemblies leave garbage at halo slots; the ops-layer hook immediately
+   replaces halos with the owners' values (``halo_fix_nodes/elems``).  Thus
+   every node/element field is owner-consistent at ALL local slots at all
+   times, so pure gathers (node->elem, node->edge, elem->edge) need no
+   communication at all.
+3. Global reductions (CG dot products, flux balancing) run as owned-masked
+   ``lax.psum`` (``ops.node_sum``).
+
+Edges carry no prognostic state and are never exchanged: every local edge
+value is recomputed from owner-consistent node/element inputs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..mesh import MeshTables
+from ..core.tracer_setup import TracerStatics
+from .partition import partition_nodes
+
+AXIS = "cell"
+
+
+# --------------------------------------------------------------------------
+# schedule + runtime context
+# --------------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class HaloSchedule:
+    """Per-shard exchange tables, stacked on a leading shard axis [S, ...]."""
+    node_send: jnp.ndarray    # [S, S, Mn] i32: local idx of owned node that
+    #                           shard s sends to shard d at slot m; -1 pad
+    node_src: jnp.ndarray     # [S, Hn] i32: per halo slot, index into the
+    #                           flattened all_to_all receive [S*Mn]; -1 pad
+    elem_send: jnp.ndarray    # [S, S, Me] i32
+    elem_src: jnp.ndarray     # [S, He] i32
+    own_node_f: jnp.ndarray   # [S, n_loc] 1.0 at real owned node slots
+    n_own_node: int = dataclasses.field(metadata=dict(static=True))
+    n_own_elem: int = dataclasses.field(metadata=dict(static=True))
+
+
+class DistContext:
+    """Runtime halo-exchange + reduction hooks, built INSIDE shard_map from
+    the squeezed per-shard schedule."""
+
+    def __init__(self, sched: HaloSchedule, axis: str = AXIS):
+        self.axis = axis
+        self.node_send = sched.node_send      # [S, Mn]
+        self.node_src = sched.node_src        # [Hn]
+        self.elem_send = sched.elem_send
+        self.elem_src = sched.elem_src
+        self.own_node_f = sched.own_node_f    # [n_loc]
+        self.n_own_node = sched.n_own_node
+        self.n_own_elem = sched.n_own_elem
+
+    def _exchange(self, x, send, src, n_own):
+        """x [..., n_own + H]: one packed all_to_all halo refresh."""
+        valid = send >= 0                                   # [S, M]
+        buf = jnp.take(x, jnp.where(valid, send, 0), axis=-1)
+        zero = jnp.zeros((), x.dtype)
+        buf = jnp.where(valid, buf, zero)                   # [..., S, M]
+        recv = jax.lax.all_to_all(buf, self.axis,
+                                  split_axis=buf.ndim - 2,
+                                  concat_axis=buf.ndim - 2)
+        rf = recv.reshape(recv.shape[:-2] + (-1,))          # [..., S*M]
+        hvalid = src >= 0
+        halo = jnp.take(rf, jnp.where(hvalid, src, 0), axis=-1)
+        halo = jnp.where(hvalid, halo, zero)
+        return jnp.concatenate([x[..., :n_own], halo], axis=-1)
+
+    def exchange_nodes(self, x):
+        return self._exchange(x, self.node_send, self.node_src,
+                              self.n_own_node)
+
+    def exchange_elems(self, x):
+        return self._exchange(x, self.elem_send, self.elem_src,
+                              self.n_own_elem)
+
+    def gsum_nodes(self, v):
+        """Owned-masked global sum of a [..., n_loc] node field.
+
+        jnp.where (not multiply): pad/halo slots may legitimately hold
+        NaN scratch, and 0*NaN would poison the reduction."""
+        zero = jnp.zeros((), v.dtype)
+        return jax.lax.psum(jnp.sum(jnp.where(self.own_node_f > 0, v, zero)),
+                            self.axis)
+
+
+# --------------------------------------------------------------------------
+# layout construction (host-side numpy, runs once at setup)
+# --------------------------------------------------------------------------
+@dataclass
+class DistLayout:
+    S: int
+    part: np.ndarray              # [N] node -> shard
+    n_own: int                    # padded owned-node block size
+    n_loc: int                    # owned + halo block
+    e_own: int
+    e_loc: int
+    ed_loc: int
+    sizes: tuple                  # (N, E, Ed) of the global mesh
+    node_l2g: np.ndarray          # [S, n_loc] global id or -1
+    elem_l2g: np.ndarray          # [S, e_loc]
+    edge_l2g: np.ndarray          # [S, ed_loc]
+    node_from: np.ndarray         # [N] gather idx into flattened [S*n_loc]
+    elem_from: np.ndarray         # [E]
+    sched: HaloSchedule
+    mesh_local: MeshTables        # stacked [S, ...] local meshes
+    st_local: TracerStatics       # stacked localized tracer statics (or None)
+    diag_inv_local: jnp.ndarray   # stacked Jacobi preconditioner [S, n_loc]
+
+
+def _pad_rows(rows, width, fill=-1, dtype=np.int64):
+    out = np.full((len(rows), width), fill, dtype)
+    for i, r in enumerate(rows):
+        out[i, :len(r)] = r
+    return out
+
+
+def build_layout(mesh: MeshTables, S: int, st: TracerStatics = None,
+                 part: np.ndarray = None, cfg=None) -> DistLayout:
+    """Partition + renumber + build local meshes and exchange schedules."""
+    en = np.asarray(mesh.elem_nodes).astype(np.int64)
+    edges = np.asarray(mesh.edges).astype(np.int64)
+    etri = np.asarray(mesh.edge_tri).astype(np.int64)
+    eedges = np.asarray(mesh.elem_edges).astype(np.int64)
+    enb = np.asarray(mesh.elem_neighbors).astype(np.int64)
+    nie_g = np.asarray(mesh.nod_in_elem).astype(np.int64)
+    nies_g = np.asarray(mesh.nod_in_elem_slot).astype(np.int64)
+    nedg_g = np.asarray(mesh.node_edges).astype(np.int64)
+    nsgn_g = np.asarray(mesh.node_edge_sign)
+    nnb_g = np.asarray(mesh.node_neighbors).astype(np.int64)
+    updn = np.asarray(st.edge_up_dn_tri).astype(np.int64) \
+        if st is not None else None
+    N, E, Ed = mesh.n_nodes, mesh.n_elems, mesh.n_edges
+    n_in = mesh.n_edges_in
+
+    if part is None:
+        part = partition_nodes(mesh, S)
+    part = np.asarray(part, np.int64)
+    elem_owner = part[en[:, 0]]
+
+    # ---- per-shard entity closure ----------------------------------------
+    own_nodes, halo_nodes, loc_elems, loc_edges_in, loc_edges_bnd = \
+        [], [], [], [], []
+    e_own_sets = []
+    for s in range(S):
+        ownN = np.nonzero(part == s)[0]
+        node_is = np.zeros(N, bool)
+        node_is[ownN] = True
+        # edges incident to owned nodes
+        ed1 = node_is[edges[:, 0]] | node_is[edges[:, 1]]
+        # elements incident to owned nodes, adjacent to those edges, and
+        # MUSCL up/downwind triangles of those edges (eDim + eXDim analog)
+        el = node_is[en].any(1)
+        el_is = np.zeros(E, bool)
+        el_is[np.nonzero(el)[0]] = True
+        adj = etri[ed1]
+        el_is[adj[adj >= 0]] = True
+        if updn is not None:
+            ud = updn[ed1]
+            el_is[ud[ud >= 0]] = True
+        # one more ring: elements across every edge of the current element
+        # set (needed so du = u[et1]-u[et2] is computable at all edges of
+        # owned/1-ring elements — the viscosity-filter stencil)
+        ed2 = np.zeros(Ed, bool)
+        ed2[eedges[el_is].ravel()] = True
+        ed2 |= ed1
+        adj2 = etri[ed2]
+        el_is[adj2[adj2 >= 0]] = True
+        # final edge set: incident-to-owned + all edges of local elements
+        ed_is = ed2.copy()
+        ed_is[eedges[el_is].ravel()] = True
+        # local nodes: owned + every node of local elements/edges
+        node_all = node_is.copy()
+        node_all[en[el_is].ravel()] = True
+        node_all[edges[ed_is].ravel()] = True
+        halo = np.nonzero(node_all & ~node_is)[0]
+
+        eids = np.nonzero(el_is)[0]
+        e_own = eids[elem_owner[eids] == s]
+        e_halo = eids[elem_owner[eids] != s]
+        edids = np.nonzero(ed_is)[0]
+
+        own_nodes.append(ownN)                    # sorted (nonzero is sorted)
+        halo_nodes.append(halo)
+        e_own_sets.append((e_own, e_halo))
+        loc_edges_in.append(edids[edids < n_in])
+        loc_edges_bnd.append(edids[edids >= n_in])
+
+    # ---- uniform padded block sizes ---------------------------------------
+    n_own = max(len(x) for x in own_nodes)
+    n_halo = max(len(x) for x in halo_nodes) + 1      # >=1 dummy halo slot
+    n_loc = n_own + n_halo
+    e_own = max(len(a) for a, _ in e_own_sets)
+    e_halo = max(len(b) for _, b in e_own_sets) + 1   # >=1 dummy elem slot
+    e_loc = e_own + e_halo
+    ed_in = max(len(x) for x in loc_edges_in)
+    ed_bnd = max(len(x) for x in loc_edges_bnd) + 1   # >=1 dummy edge slot
+    ed_loc = ed_in + ed_bnd
+    # the generic tree localizer dispatches on the LAST-axis size; local
+    # block sizes must be mutually distinct and distinct from global sizes
+    while len({n_loc, e_loc, ed_loc}) < 3:
+        ed_loc += 1
+
+    # ---- local<->global maps ----------------------------------------------
+    node_l2g = np.full((S, n_loc), -1, np.int64)
+    elem_l2g = np.full((S, e_loc), -1, np.int64)
+    edge_l2g = np.full((S, ed_loc), -1, np.int64)
+    node_g2l = np.full((S, N), -1, np.int64)
+    elem_g2l = np.full((S, E), -1, np.int64)
+    edge_g2l = np.full((S, Ed), -1, np.int64)
+    for s in range(S):
+        o, h = own_nodes[s], halo_nodes[s]
+        node_l2g[s, :len(o)] = o
+        node_l2g[s, n_own:n_own + len(h)] = h
+        eo, eh = e_own_sets[s]
+        elem_l2g[s, :len(eo)] = eo
+        elem_l2g[s, e_own:e_own + len(eh)] = eh
+        ein, ebn = loc_edges_in[s], loc_edges_bnd[s]
+        edge_l2g[s, :len(ein)] = ein
+        edge_l2g[s, ed_in:ed_in + len(ebn)] = ebn
+        for g2l, l2g in ((node_g2l, node_l2g), (elem_g2l, elem_l2g),
+                         (edge_g2l, edge_l2g)):
+            v = l2g[s] >= 0
+            g2l[s, l2g[s, v]] = np.nonzero(v)[0]
+
+    # global gather maps (from_dist): entity -> owner shard slot
+    node_slot_in_owner = np.zeros(N, np.int64)
+    for s in range(S):
+        node_slot_in_owner[own_nodes[s]] = np.arange(len(own_nodes[s]))
+    node_from = part * n_loc + node_slot_in_owner
+    elem_slot = np.zeros(E, np.int64)
+    for s in range(S):
+        eo = e_own_sets[s][0]
+        elem_slot[eo] = np.arange(len(eo))
+    elem_from = elem_owner * e_loc + elem_slot
+
+    # ---- exchange schedules ------------------------------------------------
+    def build_sched(owner_of, l2g, g2l, n_own_blk, n_loc_blk):
+        # send[s][d] = sorted global ids owned by s that d holds as halo
+        send_lists = [[[] for _ in range(S)] for _ in range(S)]
+        for d in range(S):
+            halo_g = l2g[d, n_own_blk:]
+            halo_g = halo_g[halo_g >= 0]
+            for g in halo_g:                      # ascending global id
+                send_lists[owner_of[g]][d].append(g)
+        M = max(1, max(len(send_lists[s][d])
+                       for s in range(S) for d in range(S)))
+        send = np.full((S, S, M), -1, np.int64)
+        for s in range(S):
+            for d in range(S):
+                gl = send_lists[s][d]
+                send[s, d, :len(gl)] = g2l[s, gl]
+        # src[d, h] = owner*M + position of halo-global-id in owner's list
+        H = n_loc_blk - n_own_blk
+        src = np.full((S, H), -1, np.int64)
+        for d in range(S):
+            pos_of = {}
+            for s in range(S):
+                for m, g in enumerate(send_lists[s][d]):
+                    pos_of[g] = s * M + m
+            halo_g = l2g[d, n_own_blk:]
+            for h, g in enumerate(halo_g):
+                if g >= 0:
+                    src[d, h] = pos_of[g]
+        return send, src
+
+    node_send, node_src = build_sched(part, node_l2g, node_g2l, n_own, n_loc)
+    elem_send, elem_src = build_sched(elem_owner, elem_l2g, elem_g2l,
+                                      e_own, e_loc)
+    own_node_f = np.zeros((S, n_loc))
+    for s in range(S):
+        own_node_f[s, :len(own_nodes[s])] = 1.0
+
+    sched = HaloSchedule(
+        node_send=jnp.asarray(node_send, jnp.int32),
+        node_src=jnp.asarray(node_src, jnp.int32),
+        elem_send=jnp.asarray(elem_send, jnp.int32),
+        elem_src=jnp.asarray(elem_src, jnp.int32),
+        own_node_f=jnp.asarray(own_node_f, mesh.zbar.dtype),
+        n_own_node=n_own, n_own_elem=e_own)
+
+    # ---- local meshes ------------------------------------------------------
+    dummy_node = n_loc - 1
+    dummy_elem = e_loc - 1
+    dummy_edge = ed_loc - 1
+
+    def remap(table_g, rows_l2g, g2l_s, missing):
+        """Slice rows by rows_l2g (pad rows -> all `missing`) and remap
+        entries through g2l_s (missing entries -> `missing`)."""
+        safe_rows = np.where(rows_l2g >= 0, rows_l2g, 0)
+        t = table_g[safe_rows]
+        keep = t >= 0
+        mapped = np.where(keep, g2l_s[np.where(keep, t, 0)], -1)
+        mapped = np.where(mapped >= 0, mapped, missing)
+        mapped[rows_l2g < 0] = missing
+        return mapped
+
+    def slice_rows(arr_g, rows_l2g, fill, axis=-1):
+        a = np.asarray(arr_g)
+        safe = np.where(rows_l2g >= 0, rows_l2g, 0)
+        out = np.take(a, safe, axis=axis)
+        pad = rows_l2g < 0
+        sl = [slice(None)] * a.ndim
+        sl[axis] = pad
+        out[tuple(sl)] = fill
+        return out
+
+    locals_ = []
+    for s in range(S):
+        nl2g, el2g, dl2g = node_l2g[s], elem_l2g[s], edge_l2g[s]
+        ng2l, eg2l, dg2l = node_g2l[s], elem_g2l[s], edge_g2l[s]
+        r = {}
+        r["elem_nodes"] = remap(en, el2g, ng2l, dummy_node)
+        r["edges"] = remap(edges, dl2g, ng2l, dummy_node)
+        # missing left triangle -> dummy (masked) element, missing right
+        # triangle -> -1 (the boundary convention), as in parallel/padding.py
+        et_l = remap(etri, dl2g, eg2l, -1)
+        et_l[:, 0] = np.where(et_l[:, 0] >= 0, et_l[:, 0], dummy_elem)
+        r["edge_tri"] = et_l
+        r["elem_neighbors"] = remap(enb, el2g, eg2l, -1)
+        r["elem_edges"] = remap(eedges, el2g, dg2l, dummy_edge)
+        r["nod_in_elem"] = remap(nie_g, nl2g, eg2l, -1)
+        r["nod_in_elem_slot"] = np.where(r["nod_in_elem"] >= 0,
+                                         slice_rows(nies_g, nl2g, 0, axis=0),
+                                         0)
+        r["nod_in_elem_num"] = (r["nod_in_elem"] >= 0).sum(-1)
+        ne_l = remap(nedg_g, nl2g, dg2l, -1)
+        r["node_edges"] = ne_l
+        r["node_edge_sign"] = np.where(ne_l >= 0,
+                                       slice_rows(nsgn_g, nl2g, 0.0, axis=0),
+                                       0.0)
+        r["node_neighbors"] = remap(nnb_g, nl2g, ng2l, -1)
+        for name, fill, axis in (
+                ("coords", 0.0, 0), ("geo_coords", 0.0, 0),
+                ("area", 0.0, -1), ("areasvol", 0.0, -1),
+                ("area_inv", 0.0, -1), ("areasvol_inv", 0.0, -1),
+                ("resolution", 1.0, -1), ("coriolis_node", 0.0, -1),
+                ("nlevels_node", 1, -1), ("ulevels_node", 1, -1),
+                ("node_layer_mask", False, -1), ("bc_index_node", 0.0, -1)):
+            r[name] = slice_rows(getattr(mesh, name), nl2g, fill,
+                                 axis=axis)
+        nlm = slice_rows(mesh.node_level_mask, nl2g, False, axis=-1)
+        nlm[0, nl2g < 0] = True      # one surface level so take() stays legal
+        r["node_level_mask"] = nlm
+        for name, fill, axis in (
+                ("elem_area", 0.0, -1), ("gradient_sca", 0.0, 0),
+                ("gradient_vec", 0.0, 0), ("elem_cos", 1.0, -1),
+                ("metric_factor", 0.0, -1), ("coriolis", 0.0, -1),
+                ("nlevels_elem", 1, -1), ("ulevels_elem", 1, -1),
+                ("elem_layer_mask", False, -1)):
+            r[name] = slice_rows(getattr(mesh, name), el2g, fill, axis=axis)
+        for name in ("edge_dxdy", "edge_cross_dxdy"):
+            r[name] = slice_rows(getattr(mesh, name), dl2g, 0.0, axis=0)
+        r["zbar"] = np.asarray(mesh.zbar)
+        r["Z"] = np.asarray(mesh.Z)
+        locals_.append(r)
+
+    stacked = {k: np.stack([loc[k] for loc in locals_]) for k in locals_[0]}
+    kw = {}
+    for k, v in stacked.items():
+        ref = getattr(mesh, k)
+        kw[k] = jnp.asarray(v, ref.dtype)
+    mesh_local = MeshTables(
+        n_nodes=n_loc, n_elems=e_loc, n_edges=ed_loc, n_edges_in=ed_in,
+        nl=mesh.nl, cyclic_length=mesh.cyclic_length,
+        cartesian=mesh.cartesian, ocean_area=mesh.ocean_area, **kw)
+
+    # ---- tracer statics ----------------------------------------------------
+    st_local = None
+    if st is not None:
+        ud_rows = []
+        nb_rows = []
+        ki_rows = []
+        for s in range(S):
+            ud_rows.append(remap(updn, edge_l2g[s], elem_g2l[s], -1))
+            nb_rows.append(slice_rows(np.asarray(st.nboundary_lay),
+                                      node_l2g[s], 0, axis=-1))
+            ki_rows.append(slice_rows(np.asarray(st.Ki), node_l2g[s], 0.0,
+                                      axis=-1))
+        st_local = TracerStatics(
+            edge_up_dn_tri=jnp.asarray(np.stack(ud_rows), jnp.int32),
+            nboundary_lay=jnp.asarray(np.stack(nb_rows), jnp.int32),
+            Ki=jnp.asarray(np.stack(ki_rows), st.Ki.dtype))
+
+    # ---- Jacobi preconditioner on the local numbering ----------------------
+    diag_local = None
+    if cfg is not None:
+        from ..core.ssh import ssh_matrix_diagonal
+        diag = np.asarray(ssh_matrix_diagonal(mesh, cfg))
+        dinv = np.where(diag > 0, 1.0 / np.where(diag > 0, diag, 1.0), 0.0)
+        diag_local = jnp.asarray(
+            np.stack([slice_rows(dinv, node_l2g[s], 0.0) for s in range(S)]),
+            mesh.zbar.dtype)
+
+    return DistLayout(
+        S=S, part=part, n_own=n_own, n_loc=n_loc, e_own=e_own, e_loc=e_loc,
+        ed_loc=ed_loc, sizes=(N, E, Ed),
+        node_l2g=node_l2g, elem_l2g=elem_l2g, edge_l2g=edge_l2g,
+        node_from=node_from, elem_from=elem_from, sched=sched,
+        mesh_local=mesh_local, st_local=st_local,
+        diag_inv_local=diag_local)
+
+
+# --------------------------------------------------------------------------
+# pytree conversion: global <-> per-shard stacked
+# --------------------------------------------------------------------------
+def _is_arr(x):
+    return isinstance(x, (jnp.ndarray, np.ndarray)) or hasattr(x, "ndim")
+
+
+def localize_tree(tree, layout: DistLayout):
+    """Global pytree -> stacked per-shard pytree [S, ...]: entity-last-axis
+    arrays (recognized by size) are sliced through the local->global maps
+    (halo slots get the owners' values: a consistent start); everything else
+    is broadcast-replicated."""
+    N, E, Ed = layout.sizes
+    maps = {N: layout.node_l2g, E: layout.elem_l2g, Ed: layout.edge_l2g}
+    S = layout.S
+
+    def fix(x):
+        if not _is_arr(x):
+            return x
+        x = jnp.asarray(x)
+        if x.ndim >= 1 and x.shape[-1] in maps:
+            m = maps[x.shape[-1]]
+            safe = jnp.asarray(np.where(m >= 0, m, 0), jnp.int32)  # [S, L]
+            out = jnp.take(x, safe, axis=-1)               # [..., S, L]
+            out = jnp.moveaxis(out, -2, 0)                 # [S, ..., L]
+            valid = jnp.asarray(m >= 0)
+            vshape = (S,) + (1,) * (out.ndim - 2) + (m.shape[1],)
+            if out.dtype == jnp.bool_:
+                return out & valid.reshape(vshape)
+            return out * valid.reshape(vshape).astype(out.dtype)
+        return jnp.broadcast_to(x[None], (S,) + x.shape)
+
+    return jax.tree.map(fix, tree)
+
+
+def gather_tree(tree, layout: DistLayout):
+    """Stacked per-shard pytree [S, ...] -> global pytree (owned entries)."""
+    N, E, Ed = layout.sizes
+    frm = {layout.n_loc: (layout.node_from,),
+           layout.e_loc: (layout.elem_from,)}
+
+    def fix(x):
+        if not _is_arr(x):
+            return x
+        x = jnp.asarray(x)
+        if x.ndim >= 2 and x.shape[-1] in frm and x.shape[0] == layout.S:
+            (g_idx,) = frm[x.shape[-1]]
+            if x.size == 0:     # zero-size feature axes (e.g. n_dvd = 0)
+                return jnp.zeros(x.shape[1:-1] + (len(g_idx),), x.dtype)
+            flat = jnp.moveaxis(x, 0, -2)
+            flat = flat.reshape(flat.shape[:-2] + (-1,))
+            return jnp.take(flat, jnp.asarray(g_idx, jnp.int32), axis=-1)
+        if x.ndim >= 2 and x.shape[-1] == layout.ed_loc \
+                and x.shape[0] == layout.S:
+            raise ValueError("edge fields carry no ownership; cannot gather")
+        return x[0]
+
+    return jax.tree.map(fix, tree)
+
+
+def squeeze_tree(tree):
+    """Drop the leading per-shard axis inside shard_map ([1, ...] -> [...])."""
+    return jax.tree.map(lambda a: a[0] if _is_arr(a) else a, tree)
+
+
+def unsqueeze_tree(tree):
+    return jax.tree.map(lambda a: a[None] if _is_arr(a) else a, tree)
+
+
+def device_mesh(S: int) -> Mesh:
+    return Mesh(np.array(jax.devices()[:S]), (AXIS,))
+
+
+def dist_shard_map(fn, dev_mesh: Mesh):
+    """Wrap impl(*args) -> out into a shard_map over stacked [S, ...] args.
+
+    The returned function has signature (sched, *args): inside, every leaf
+    is squeezed, a DistContext is activated (hooking the ops-layer
+    assemblies), and outputs are re-stacked.  The schedule is an ARGUMENT
+    (not a closure constant) so the jitted program receives the index
+    tables at runtime — embedding gather tables as compile-time constants
+    flips the TPU into a degraded gather mode (see Model.statics)."""
+    from ..core import ops
+
+    def sharded(sched_arg, *args):
+        sq = squeeze_tree((sched_arg,) + tuple(args))
+        ctx = DistContext(sq[0])
+        with ops.dist_context(ctx):
+            out = fn(*sq[1:])
+        return unsqueeze_tree(out)
+
+    return jax.shard_map(sharded, mesh=dev_mesh,
+                         in_specs=P(AXIS), out_specs=P(AXIS),
+                         check_vma=False)
+
+
+def _dist_statics(model, SP_raw, layout: DistLayout):
+    """Localize a statics pytree, replacing the global mesh / tracer
+    statics / SSH preconditioning with their per-shard forms.  The dense
+    inverse, block-Schwarz and ring operators are single-device
+    formulations; distributed SSH runs matrix-free CG with the local
+    Jacobi diagonal (pARMS-role solve over the device mesh)."""
+    S_dict = dict(SP_raw["S"])
+    S_dict["mesh"] = None
+    S_dict["st"] = None
+    S_dict["diag_inv"] = None
+    S_dict["dense_inv"] = None
+    S_dict["block_pc"] = None
+    S_dict["ssh_ring"] = None
+    S_dict["ice_sub"] = None
+    SP2 = dict(SP_raw)
+    SP2["S"] = S_dict
+    SP_loc = localize_tree(SP2, layout)
+    SP_loc["S"]["mesh"] = layout.mesh_local
+    SP_loc["S"]["st"] = layout.st_local
+    SP_loc["S"]["diag_inv"] = layout.diag_inv_local
+    return SP_loc
+
+
+def prepare_dist_model(model):
+    """Switch a Model's solver choices to the distributed formulation
+    (matrix-free CG; no EVP subdomain restriction).  Must run BEFORE
+    building step functions — the impl closes over these flags."""
+    model.ssh_dense_inv = None
+    model.ssh_block_pc = None
+    model.ssh_ring = None
+    model.ice_submesh = None
+    return model
+
+
+def dist_layout_for_model(model, S: int, part=None) -> DistLayout:
+    return build_layout(model.mesh, S, st=model.tracer_statics, part=part,
+                        cfg=model.cfg)
+
+
+def dist_step_fn(model, layout: DistLayout, jit_compile: bool = True):
+    """Distributed ocean-only step: (state_d, forcing_d) -> state_d, all
+    arguments stacked per-shard [S, ...] (see localize_tree)."""
+    prepare_dist_model(model)
+    impl = model.step_impl()
+    SP_loc = _dist_statics(model, {"S": model.statics()}, layout)["S"]
+    dev = device_mesh(layout.S)
+
+    def wrapped(state, forcing, S):
+        return impl(state, forcing, None, S)
+
+    smapped = dist_shard_map(wrapped, dev)
+    core = jax.jit(smapped) if jit_compile else smapped
+
+    def step(state_d, forcing_d):
+        return core(layout.sched, state_d, forcing_d, SP_loc)
+
+    return step
+
+
+def dist_pi_coupled_step_fn(model, atm, layout: DistLayout,
+                            jit_compile: bool = True):
+    """Distributed coupled ocean+ice step on the pi configuration:
+    (state_d, ice_d, step_idx) -> (state_d, ice_d, forcing_d).
+
+    This is the real multi-device execution path: the coupled model —
+    EVP subcycling (120 exchanges), ice FCT, tracer FCT, CG SSH solve —
+    runs per-shard under shard_map with explicit packed halo exchanges,
+    replacing round 1's naive GSPMD full-field collectives."""
+    from ..model import pi_coupled_parts
+    prepare_dist_model(model)
+    step_impl, SP_raw = pi_coupled_parts(model, atm)
+    SP_loc = _dist_statics(model, SP_raw, layout)
+    dev = device_mesh(layout.S)
+    smapped = dist_shard_map(step_impl, dev)
+    core = jax.jit(smapped) if jit_compile else smapped
+
+    def step(state_d, ice_d, step_idx):
+        ks = jnp.broadcast_to(jnp.asarray(step_idx, jnp.int32),
+                              (layout.S,))
+        return core(layout.sched, state_d, ice_d, ks, SP_loc)
+
+    return step

@@ -29,7 +29,7 @@ def smooth_nod(arr, n_smooth: int, mesh: MeshTables):
     for _ in range(n_smooth):
         em = arr[..., mesh.elem_nodes].mean(-1) * ea       # [..., E]
         gathered = jnp.where(has, em[..., jnp.where(has, nie, 0)], 0.0)
-        arr = gathered.sum(-1) / vol
+        arr = ops.halo_fix_nodes(gathered.sum(-1) / vol)
     return arr
 
 
@@ -44,8 +44,9 @@ def smooth_elem(arr, n_smooth: int, mesh: MeshTables):
     vol = jnp.where(vol > 0, vol, 1.0)
     for _ in range(n_smooth):
         contrib = arr * ea
-        at_node = jnp.where(has, contrib[..., jnp.where(has, nie, 0)],
-                            0.0).sum(-1) / vol             # [..., N]
+        at_node = ops.halo_fix_nodes(
+            jnp.where(has, contrib[..., jnp.where(has, nie, 0)],
+                      0.0).sum(-1) / vol)                  # [..., N]
         arr = at_node[..., mesh.elem_nodes].mean(-1)
     return arr
 

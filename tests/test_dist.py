@@ -1,0 +1,214 @@
+"""Partition-aware distributed runtime (parallel/dist.py): local meshes,
+packed halo exchange under shard_map, owned-masked reductions.
+
+The acceptance contract (VERDICT r1 #1): the COUPLED pi model (ocean + mEVP
+ice + FCT + forcing) runs sharded over 8 devices and matches the
+single-device trajectory to f64 tolerance, with no full-field collectives
+in the compiled stencils."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from fesom2_tpu.model import setup_pi_model, pi_initial_state, \
+    pi_coupled_step_fn
+from fesom2_tpu.core.state import zero_forcing
+from fesom2_tpu.parallel import dist
+
+S = 8
+
+
+@pytest.fixture(scope="module")
+def pi_model():
+    model, atm = setup_pi_model()
+    # the distributed formulation uses matrix-free CG + Jacobi and no EVP
+    # subdomain; prepare the model BEFORE building any step fn so the
+    # single-device reference solves the same equations the same way
+    dist.prepare_dist_model(model)
+    return model, atm
+
+
+@pytest.fixture(scope="module")
+def layout(pi_model):
+    model, _ = pi_model
+    return dist.dist_layout_for_model(model, S)
+
+
+def test_layout_invariants(pi_model, layout):
+    model, _ = pi_model
+    mesh = model.mesh
+    lay = layout
+    N, E, Ed = lay.sizes
+    # every node owned exactly once; owners' slots cover all nodes
+    assert lay.part.shape == (N,)
+    counts = np.zeros(N, np.int64)
+    for s in range(S):
+        own = lay.node_l2g[s, :lay.n_own]
+        counts[own[own >= 0]] += 1
+    assert (counts == 1).all()
+    # localize -> gather is the identity on node, elem fields
+    rng = np.random.default_rng(0)
+    xn = jnp.asarray(rng.normal(size=(mesh.nl - 1, N)))
+    xe = jnp.asarray(rng.normal(size=(E,)))
+    tree = {"n": xn, "e": xe, "scalar": jnp.asarray(3.25)}
+    d = dist.localize_tree(tree, lay)
+    assert d["n"].shape == (S, mesh.nl - 1, lay.n_loc)
+    back = dist.gather_tree(d, lay)
+    np.testing.assert_array_equal(np.asarray(back["n"]), np.asarray(xn))
+    np.testing.assert_array_equal(np.asarray(back["e"]), np.asarray(xe))
+    assert float(back["scalar"]) == 3.25
+    # owned incidence completeness: every edge/element incident to an owned
+    # node is present in that shard's local tables (no -1 beyond global pad)
+    nie_g = np.asarray(mesh.nod_in_elem)
+    ml = layout.mesh_local
+    for s in range(min(S, 3)):
+        own_g = lay.node_l2g[s, :lay.n_own]
+        valid = own_g >= 0
+        rows_local = np.asarray(ml.nod_in_elem)[s, :lay.n_own][valid]
+        rows_global = nie_g[own_g[valid]]
+        assert ((rows_local >= 0) == (rows_global >= 0)).all()
+
+
+def test_halo_exchange_roundtrip(pi_model, layout):
+    """Exchanging a globally-consistent field is the identity."""
+    model, _ = pi_model
+    mesh = model.mesh
+    rng = np.random.default_rng(1)
+    xg = jnp.asarray(rng.normal(size=(3, mesh.n_nodes)))
+    xd = dist.localize_tree(xg, layout)
+
+    dev = dist.device_mesh(S)
+    # a sharded identity+exchange through the hook machinery
+    from fesom2_tpu.core import ops
+
+    def body(x):
+        return ops.halo_fix_nodes(x)
+
+    smapped = dist.dist_shard_map(body, dev)
+    out = smapped(layout.sched, xd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xd),
+                               rtol=0, atol=0)
+
+
+def test_dist_assembly_matches_global(pi_model, layout):
+    """edge_divergence / elem_contrib under shard_map == single device."""
+    model, _ = pi_model
+    mesh = model.mesh
+    from fesom2_tpu.core import ops
+    rng = np.random.default_rng(2)
+    flux = jnp.asarray(rng.normal(size=(mesh.nl - 1, mesh.n_edges)))
+    contrib = jnp.asarray(rng.normal(size=(mesh.n_elems, 3)))
+
+    ref_div = ops.edge_divergence(flux, mesh)
+    ref_ctn = ops.elem_contrib_to_nodes(contrib, mesh)
+
+    dev = dist.device_mesh(S)
+
+    def body(fl, ct, m):
+        return ops.edge_divergence(fl, m), \
+            ops.elem_contrib_to_nodes(ct.T, m)
+
+    smapped = dist.dist_shard_map(body, dev)
+    fl_d = dist.localize_tree(flux, layout)
+    # localize_tree dispatches on the LAST axis: pass [3, E]
+    ct_d = dist.localize_tree(contrib.T, layout)
+    div_d, ctn_d = smapped(layout.sched, fl_d, ct_d, layout.mesh_local)
+    div_g = dist.gather_tree(div_d, layout)
+    ctn_g = dist.gather_tree(ctn_d, layout)
+    np.testing.assert_allclose(np.asarray(div_g), np.asarray(ref_div),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(ctn_g), np.asarray(ref_ctn),
+                               rtol=0, atol=0)
+
+
+def test_dist_ocean_step_matches(pi_model, layout):
+    model, _ = pi_model
+    state, _ = pi_initial_state(model)
+    forcing = zero_forcing(model.mesh, jnp.float64)
+    ref = model.step_fn()(state, forcing)
+
+    dstep = dist.dist_step_fn(model, layout)
+    sd = dist.localize_tree(state, layout)
+    fd = dist.localize_tree(forcing, layout)
+    out_d = dstep(sd, fd)
+    out = dist.gather_tree(out_d, layout)
+    for name, tol in (("eta", 1e-10), ("tr", 1e-9), ("u", 1e-9),
+                      ("w", 1e-10), ("hbar", 1e-10)):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        scale = max(np.abs(a).max(), 1e-12)
+        assert np.abs(a - b).max() / scale < tol, \
+            f"{name}: {np.abs(a - b).max() / scale:.2e}"
+
+
+def test_dist_coupled_matches(pi_model, layout):
+    """THE acceptance test: 2 coupled steps (EVP + ice FCT + thermo +
+    forcing + full ocean) sharded == single-device."""
+    model, atm = pi_model
+    state, ice = pi_initial_state(model)
+    step1 = pi_coupled_step_fn(model, atm)
+    s_ref, i_ref = state, ice
+    for k in range(2):
+        s_ref, i_ref, _ = step1(s_ref, i_ref, jnp.asarray(k))
+
+    dstep = dist.dist_pi_coupled_step_fn(model, atm, layout)
+    sd = dist.localize_tree(state, layout)
+    idd = dist.localize_tree(ice, layout)
+    for k in range(2):
+        sd, idd, _ = dstep(sd, idd, k)
+    s_out = dist.gather_tree(sd, layout)
+    i_out = dist.gather_tree(idd, layout)
+
+    for name, tol in (("eta", 1e-9), ("tr", 1e-9), ("u", 1e-8),
+                      ("w", 1e-9), ("hnode", 1e-11)):
+        a = np.asarray(getattr(s_ref, name))
+        b = np.asarray(getattr(s_out, name))
+        scale = max(np.abs(a).max(), 1e-12)
+        assert np.abs(a - b).max() / scale < tol, \
+            f"ocean {name}: {np.abs(a - b).max() / scale:.2e}"
+    for name in ("a_ice", "m_ice", "u_ice", "v_ice"):
+        a = np.asarray(getattr(i_ref, name))
+        b = np.asarray(getattr(i_out, name))
+        scale = max(np.abs(a).max(), 1e-12)
+        assert np.abs(a - b).max() / scale < 1e-8, \
+            f"ice {name}: {np.abs(a - b).max() / scale:.2e}"
+
+
+def test_no_full_field_collectives(pi_model, layout):
+    """Compiled HLO of the distributed coupled step must not move
+    full-field payloads: every collective operand stays halo-sized
+    (VERDICT r1: round 1's GSPMD all-gathered whole fields per stencil)."""
+    import re
+    model, atm = pi_model
+    state, ice = pi_initial_state(model)
+    sd = dist.localize_tree(state, layout)
+    idd = dist.localize_tree(ice, layout)
+
+    from fesom2_tpu.model import pi_coupled_parts
+    dist.prepare_dist_model(model)
+    step_impl, SP_raw = pi_coupled_parts(model, atm)
+    SP_loc = dist._dist_statics(model, SP_raw, layout)
+    dev = dist.device_mesh(S)
+    smapped = dist.dist_shard_map(step_impl, dev)
+    ks = jnp.zeros((S,), jnp.int32)
+    txt = jax.jit(smapped).lower(layout.sched, sd, idd, ks, SP_loc) \
+        .compile().as_text()
+
+    N = model.mesh.n_nodes
+    bad = []
+    n_coll = 0
+    for line in txt.splitlines():
+        if (" all-to-all(" not in line and " all-gather(" not in line):
+            continue
+        n_coll += 1
+        for m in re.finditer(r"\[([0-9,]+)\]", line):
+            dims = [int(d) for d in m.group(1).split(",") if d]
+            if any(d >= N for d in dims):
+                bad.append(line.strip()[:140])
+                break
+    assert n_coll > 0, "no collectives compiled — test would be vacuous"
+    assert not bad, f"full-field collectives found: {bad[:5]}"
