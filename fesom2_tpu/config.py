@@ -79,6 +79,10 @@ class RunConfig:
 @dataclass
 class OceDynConfig:
     state_equation: int = 1       # 1 full EoS (Jackett-McDougall), 0 linear
+    # PGF discretization for moving coordinates (oce_modules.F90:172):
+    # 'shchepetkin' (density Jacobian) | 'easypgf' (EoS re-evaluation at
+    # element mid-depths)
+    which_pgf: str = "shchepetkin"
     C_d: float = 0.0025           # bottom drag
     A_ver: float = 0.001          # vertical harmonic viscosity [m^2/s]
     gamma0: float = 0.01
@@ -336,6 +340,10 @@ def parse_namelist(path: str) -> dict:
     groups = {}
     for m in _NML_GROUP_RE.finditer(src):
         name, body = m.group(1).lower(), m.group(2)
+        # strip comments line-wise FIRST: comment text may itself contain
+        # key=value fragments (e.g. "... with visc_option=5 (easy
+        # backscatter)" in namelist.oce:18) that must not parse as items
+        body = "\n".join(line.split("!")[0] for line in body.splitlines())
         items = {}
         for im in _NML_ITEM_RE.finditer(body):
             items[im.group(1)] = _parse_value(im.group(2))

@@ -44,10 +44,17 @@ def step_info(state: OceanState, mesh: MeshTables, ice=None) -> Dict[str, jnp.nd
     return out
 
 
-def check_blowup(state: OceanState, mesh: MeshTables, ice=None):
+def check_blowup(state: OceanState, mesh: MeshTables, ice=None,
+                 ice_sub=None):
     """Return a scalar flag (0 ok / 1 blowup) following the reference ranges
     (check_blowup :220-504): |eta|<10, |u|,|v|<5(+finite), T in [-5,60],
-    S in [0,60], finite W; ice fields finite."""
+    S in [0,60], finite W; ice fields finite.
+
+    ice_sub: the EVP polar-cap subdomain (ice/subdomain.py) when the run
+    restricts the EVP subcycling — ice advected outside the cap would
+    silently stop moving, so a_ice > 0.01 at any node outside
+    ``ice_sub.node_mask`` is flagged as a blowup-grade configuration
+    error (the cap must be rebuilt with more margin)."""
     nmask = mesh.node_layer_mask
     bad = jnp.zeros((), jnp.int32)
 
@@ -64,6 +71,11 @@ def check_blowup(state: OceanState, mesh: MeshTables, ice=None):
     bad = bad | flag(~jnp.isfinite(S)) | flag(S < 0.0) | flag(S > 60.0)
     if ice is not None:
         bad = bad | flag(~jnp.isfinite(ice.m_ice)) | flag(~jnp.isfinite(ice.u_ice))
+        if ice_sub is not None:
+            # EVP-subdomain escape guard (ice/subdomain.py docstring
+            # contract): dynamics are frozen outside the cap, so ice there
+            # means the cap was chosen too tight
+            bad = bad | flag((ice.a_ice > 0.01) & ~ice_sub.node_mask)
     return bad
 
 

@@ -113,12 +113,85 @@ def pressure_force_zxxxx_shchepetkin(state: OceanState,
                    pgf_y=jnp.where(lmask, pgf_y, 0.0))
 
 
+def pressure_force_easypgf(state: OceanState, mesh: MeshTables,
+                           cfg) -> OceanState:
+    """'easypgf' PGF: per layer, T/S are Newton-quadratically interpolated
+    from each vertex column to the common ELEMENT mid-depth Z_e, the in-situ
+    density is re-evaluated there from the EoS, and the along-layer density
+    gradient is integrated down (ref pressure_force_4_zxxxx_easypgf,
+    ``oce_ale_pressure_bv.F90:2116-2546``; the linfs form :898-1245 is the
+    same algorithm on linfs geometry).  Stencils follow :2209-2296:
+    (k-1,k,k+1) interior, (k,k+1,k+2) at the vertex surface, (k-2,k-1,k)
+    where the vertex column ends with the element's."""
+    from . import eos
+    nl, E = mesh.nl, mesh.n_elems
+    en = mesh.elem_nodes
+    lmask = mesh.elem_layer_mask
+    Z3 = state.Z_3d
+    T, S_ = state.tr[0], state.tr[1]
+    seq = cfg.dyn.state_equation
+
+    h = jnp.where(lmask, state.helem, 0.0)
+    zbot = jnp.take(mesh.zbar, mesh.nlevels_elem - 1)      # [E]
+    Scum = cumsum_bottom_up(h)
+    Z_e = zbot[None] + Scum - 0.5 * h                      # [nl-1, E]
+
+    # same per-(layer, element, vertex) stencil base as shchepetkin
+    k = jnp.arange(nl - 1)[:, None, None]
+    nle = (mesh.nlevels_elem - 1)[None, :, None]
+    nln = (mesh.nlevels_node[en] - 1)[None]
+    b = k - 1
+    b = jnp.where(k == 0, 0, b)
+    bot_eq = jnp.logical_and(k == nle - 1, nln - 1 == k)
+    b = jnp.where(bot_eq, k - 2, b)
+    b = jnp.clip(b, 0, jnp.maximum(nln - 3, 0))
+
+    def at(arr, off):
+        lev = jnp.clip(b + off, 0, nl - 2)
+        return jnp.take_along_axis(arr[:, en], lev, axis=0)
+
+    x0, x1, x2 = at(Z3, 0), at(Z3, 1), at(Z3, 2)
+    dx10, dx21, dx20 = x1 - x0, x2 - x1, x2 - x0
+    safe = lambda d: jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+    ze = Z_e[:, :, None]
+
+    def newton_at_ze(arr):
+        f0, f1, f2 = at(arr, 0), at(arr, 1), at(arr, 2)
+        df10, df21 = f1 - f0, f2 - f1
+        return f0 + df10 / safe(dx10) * (ze - x0) \
+            + (dx10 * df21 - dx21 * df10) / safe(dx20 * dx21 * dx10) \
+            * (ze - x1) * (ze - x0)
+
+    t_at = newton_at_ze(T)
+    s_at = newton_at_ze(S_)
+    bulk_0, bulk_pz, bulk_pz2, rhopot = eos.eos_components(t_at, s_at, seq)
+    rho = bulk_0 + ze * (bulk_pz + ze * bulk_pz2)
+    rho_at = rho * rhopot / (rho + 0.1 * ze * float(seq)) - density_0
+
+    gx = mesh.gradient_sca[:, 0:3]
+    gy = mesh.gradient_sca[:, 3:6]
+    aux_x = jnp.where(lmask, (rho_at * gx).sum(-1) * h * g / density_0, 0.0)
+    aux_y = jnp.where(lmask, (rho_at * gy).sum(-1) * h * g / density_0, 0.0)
+    pgf_x = jnp.cumsum(aux_x, 0) - 0.5 * aux_x
+    pgf_y = jnp.cumsum(aux_y, 0) - 0.5 * aux_y
+    return replace(state, pgf_x=jnp.where(lmask, pgf_x, 0.0),
+                   pgf_y=jnp.where(lmask, pgf_y, 0.0))
+
+
 def pressure_force(state: OceanState, mesh: MeshTables, cfg) -> OceanState:
-    """PGF dispatch (ref oce_ale.F90:2560-2565): linfs -> full-cell form,
-    moving coordinates (zlevel/zstar) -> Shchepetkin density Jacobian
-    (the which_pgf='shchepetkin' default, oce_modules.F90:172)."""
+    """PGF dispatch (ref pressure_force_4_{linfs,zxxxx},
+    oce_ale_pressure_bv.F90:371-430, :1248-1320): linfs with full cells ->
+    full-cell form (which_pgf is only consulted with partial cells, which
+    are not implemented); moving coordinates (zlevel/zstar) ->
+    which_pgf = 'shchepetkin' (default, oce_modules.F90:172) or 'easypgf'."""
     if cfg.ale.which_ALE == "linfs":
         return pressure_force_linfs(state, mesh)
+    which = getattr(cfg.dyn, "which_pgf", "shchepetkin")
+    if which == "easypgf":
+        return pressure_force_easypgf(state, mesh, cfg)
+    if which != "shchepetkin":
+        raise ValueError(f"which_pgf='{which}' not implemented "
+                         "(available: shchepetkin, easypgf)")
     return pressure_force_zxxxx_shchepetkin(state, mesh)
 
 

@@ -82,60 +82,116 @@ def _fill_missing(field, missing_mask, n_pass=60):
     return f
 
 
+DUMMY = 1.0e20   # ref g_config dummy
+
+
+def _interp_field_gen_ic3d(mesh: MeshTables, lon, lat, dep, F):
+    """EXACT re-derivation of the reference interpolation chain
+    (``gen_ic3d.F90`` getcoeffld :364-466 + do_ic3d :471-527):
+
+    1. bilinear in (lon, lat) per file level; a node whose 4 surrounding
+       SURFACE points include a missing value — or that falls outside the
+       grid — gets a DUMMY column (:391); levels with any missing corner
+       get DUMMY (:401-404);
+    2. linear in depth at the model mid-depths; model depths beyond the
+       file's last depth stay DUMMY (binarysearch returns len -> neither
+       branch assigns, :443-459); intervals with a missing endpoint stay
+       DUMMY; depths above the first file depth take data1d(1);
+    3. extrap_nod: iterative horizontal neighbor-mean flood per layer,
+       then vertical copy-down (``gen_support.F90:315-418``) — this is
+       what extends the profile below the data and into coastal columns.
+
+    Returns [nl-1, N] with DUMMY nowhere (after extrapolation) except
+    fully-unreachable basins.
+    """
+    from ..utils.support import extrap_nod
+
+    N = mesh.n_nodes
+    nl1 = mesh.nl - 1
+    F = np.where(np.isfinite(F) & (np.abs(F) < 0.99 * DUMMY), F, DUMMY)
+
+    glon = np.asarray(mesh.geo_coords)[:, 0] / rad
+    glat = np.asarray(mesh.geo_coords)[:, 1] / rad
+    if lon.min() < -1.0:      # grid frame [-180, 180)
+        x = (glon + 180.0) % 360.0 - 180.0
+    else:                     # grid frame [0, 360)
+        x = glon % 360.0
+    y = glat
+
+    nx, ny = lon.size, lat.size
+    i = np.searchsorted(lon, x, side="right") - 1     # lon[i] <= x < lon[i+1]
+    j = np.searchsorted(lat, y, side="right") - 1
+    inside = (i >= 0) & (i <= nx - 2) & (j >= 0) & (j <= ny - 2)
+    i_s = np.clip(i, 0, nx - 2)
+    j_s = np.clip(j, 0, ny - 2)
+    x1, x2 = lon[i_s], lon[i_s + 1]
+    y1, y2 = lat[j_s], lat[j_s + 1]
+    denom = (x2 - x1) * (y2 - y1)
+    c00 = (x2 - x) * (y2 - y) / denom
+    c10 = (x - x1) * (y2 - y) / denom
+    c01 = (x2 - x) * (y - y1) / denom
+    c11 = (x - x1) * (y - y1) / denom
+    f00 = F[:, j_s, i_s]                              # [nzf, N]
+    f10 = F[:, j_s, i_s + 1]
+    f01 = F[:, j_s + 1, i_s]
+    f11 = F[:, j_s + 1, i_s + 1]
+    data = f00 * c00 + f10 * c10 + f01 * c01 + f11 * c11
+    lev_missing = (f00 > 0.99 * DUMMY) | (f10 > 0.99 * DUMMY) \
+        | (f01 > 0.99 * DUMMY) | (f11 > 0.99 * DUMMY)
+    data = np.where(lev_missing, DUMMY, data)
+    # a missing SURFACE corner (or out-of-grid) voids the whole column
+    col_bad = lev_missing[0] | ~inside
+    data = np.where(col_bad[None, :], DUMMY, data)
+
+    # vertical linear interpolation at model mid-depths
+    Z = -np.asarray(mesh.Z)                           # positive [nl-1]
+    nzf = dep.size
+    ind = np.searchsorted(dep, Z, side="right")       # == ref binarysearch
+    out = np.full((nl1, N), DUMMY)
+    for k in range(nl1):
+        if ind[k] >= nzf:                             # below data: stay DUMMY
+            continue
+        if ind[k] == 0:                               # above first depth
+            out[k] = data[0]
+            continue
+        a, b = ind[k] - 1, ind[k]
+        d1, d2 = data[a], data[b]
+        ok = (d1 < 0.99 * DUMMY) & (d2 < 0.99 * DUMMY)
+        val = d1 + (d2 - d1) / (dep[b] - dep[a]) * (Z[k] - dep[a])
+        out[k] = np.where(ok, val, DUMMY)
+
+    out = extrap_nod(out, mesh, dummy=DUMMY)
+    return out
+
+
 def climatology_ic(mesh: MeshTables, path: str,
                    temp_var="temp", salt_var="salt", t_insitu=True):
-    """Trilinear-interpolate WOA-style [depth, lat, lon] T/S onto mesh columns.
+    """T/S initial conditions from a WOA-style [depth, lat, lon] file,
+    following the reference gen_ic3d chain exactly (see
+    :func:`_interp_field_gen_ic3d`; dummy->0 and Kelvin handling per
+    ``gen_ic3d.F90:505-530``).
 
-    Returns (T, S) as [nl-1, N] numpy arrays (potential temperature).
-    """
+    Returns (T, S) as [nl-1, N] numpy arrays (potential temperature),
+    zero below the bottom."""
     d = read_vars(path, ["lon", "lat", "depth", temp_var, salt_var])
     lon = d["lon"].astype(np.float64)
     lat = d["lat"].astype(np.float64)
     dep = np.abs(d["depth"].astype(np.float64))
     T = d[temp_var].astype(np.float64)
     S = d[salt_var].astype(np.float64)
-    miss = (~np.isfinite(T) | ~np.isfinite(S) | (np.abs(T) > 1e10)
-            | (np.abs(S) > 1e10) | (S <= 0))
-    T = _fill_missing(T, miss)
-    S = _fill_missing(S, miss)
 
-    glon = np.mod(np.asarray(mesh.geo_coords)[:, 0] / rad, 360.0)
-    if lon.min() < -1.0:    # grid in [-180, 180)
-        glon = np.where(glon > 180.0, glon - 360.0, glon)
-    glat = np.asarray(mesh.geo_coords)[:, 1] / rad
+    Tn = _interp_field_gen_ic3d(mesh, lon, lat, dep, T)
+    Sn = _interp_field_gen_ic3d(mesh, lon, lat, dep, S)
+    # unreachable cells -> 0; Kelvin -> Celsius (ref :505-516)
+    Tn = np.where(Tn > 0.9 * DUMMY, 0.0, Tn)
+    Sn = np.where(Sn > 0.9 * DUMMY, 0.0, Sn)
+    Tn = np.where(Tn > 100.0, Tn - 273.15, Tn)
 
-    nx, ny = lon.size, lat.size
-    dxg = lon[1] - lon[0]
-    i0 = np.clip(np.floor((glon - lon[0]) / dxg).astype(np.int64), 0, nx - 1)
-    i1 = (i0 + 1) % nx
-    wx = np.clip((glon - lon[i0]) / dxg, 0.0, 1.0)
-    j0 = np.clip(np.searchsorted(lat, glat) - 1, 0, ny - 2)
-    j1 = j0 + 1
-    wy = np.clip((glat - lat[j0]) / (lat[j1] - lat[j0]), 0.0, 1.0)
-
-    Z = -np.asarray(mesh.Z)                     # positive depths of layers
-    nz = dep.size
-    k0 = np.clip(np.searchsorted(dep, Z) - 1, 0, nz - 2)
-    k1 = k0 + 1
-    wz = np.clip((Z - dep[k0]) / (dep[k1] - dep[k0]), 0.0, 1.0)
-
-    def tri(F):
-        # horizontal bilinear at both bracketing depth levels, then linear in z
-        def horiz(k):       # k: [nl-1] depth indices -> [nl-1, N]
-            f = F[k]                                 # [nl-1, ny, nx]
-            v00 = f[np.arange(len(k))[:, None], j0[None, :], i0[None, :]]
-            v01 = f[np.arange(len(k))[:, None], j0[None, :], i1[None, :]]
-            v10 = f[np.arange(len(k))[:, None], j1[None, :], i0[None, :]]
-            v11 = f[np.arange(len(k))[:, None], j1[None, :], i1[None, :]]
-            return ((1 - wy) * ((1 - wx) * v00 + wx * v01)
-                    + wy * ((1 - wx) * v10 + wx * v11))
-        va = horiz(k0)
-        vb = horiz(k1)
-        return (1 - wz)[:, None] * va + wz[:, None] * vb
-
-    Tn = tri(T)
-    Sn = tri(S)
-    if t_insitu:
-        Tn = ptheta(Sn, Tn, np.abs(Z)[:, None] * np.ones_like(Tn))
     mask = np.asarray(mesh.node_layer_mask)
-    return np.where(mask, Tn, 0.0), np.where(mask, Sn, 0.0)
+    Tn = np.where(mask, Tn, 0.0)
+    Sn = np.where(mask, Sn, 0.0)
+    if t_insitu:
+        Z = -np.asarray(mesh.Z)
+        Tn = np.where(mask, ptheta(Sn, Tn, Z[:, None] * np.ones_like(Tn)),
+                      0.0)
+    return Tn, Sn

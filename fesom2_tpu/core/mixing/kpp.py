@@ -79,6 +79,67 @@ def _ri_iwmix(state: OceanState, mesh: MeshTables, cfg):
     return jnp.where(imask, viscA, 0.0), jnp.where(imask, diffK, 0.0)
 
 
+def _ddmix(diffK, alpha, beta, state: OceanState, mesh: MeshTables):
+    """Double-diffusive interior mixing (ref ddmix :857-934): salt
+    fingering + diffusive convection, Rrho-dependent (LMD94 eqns. 31-34).
+    Takes the shared interior diffusivity and returns (diffK_T, diffK_S).
+
+    Deliberate deviation from the reference (documented): ddmix at
+    ``oce_ale_mixing_kpp.F90:880-881`` forms alphaDT = sw_alpha * T with
+    the ABSOLUTE tracer values, under which the salt-fingering condition
+    alpha*T > beta*S > 0 can essentially never hold (alpha*T ~ 3e-3 vs
+    beta*S ~ 2.7e-2 for ocean T/S) — the option is a physical no-op.
+    LMD94 and every other implementation (MOM, CVMix cvmix_ddiff) use the
+    VERTICAL DIFFERENCES across the interface; we implement that."""
+    Rrho0 = 1.9
+    dsfmax = 1.0e-4
+    visc_mol = 1.5e-6
+    nl, N = mesh.nl, mesh.n_nodes
+    nln = mesh.nlevels_node
+    lev = jnp.arange(nl)[:, None]
+
+    # alphaDT/betaDS at interface k from the layer pair (k-1, k), with the
+    # expansion coefficients of layer k-1 (the reference's level choice)
+    T, S = state.tr[0], state.tr[1]
+    aDT_i = alpha[:-1] * (T[:-1] - T[1:])             # [nl-2, N]: ifaces 1..
+    bDS_i = beta[:-1] * (S[:-1] - S[1:])
+    zero = jnp.zeros((1, N), aDT_i.dtype)
+    aDT = jnp.concatenate([zero, aDT_i, zero], 0)[:nl]
+    bDS = jnp.concatenate([zero, bDS_i, zero], 0)[:nl]
+
+    # salt fingering (eqn. 31)
+    finger = (aDT > bDS) & (bDS > 0.0)
+    Rrho_f = jnp.minimum(aDT / jnp.where(bDS == 0, 1.0, bDS), Rrho0)
+    dd = 1.0 - (Rrho_f - 1.0) / (Rrho0 - 1.0)
+    dd = dsfmax * dd * dd * dd
+    addT = jnp.where(finger, 0.7 * dd, 0.0)
+    addS = jnp.where(finger, dd, 0.0)
+
+    # diffusive convection (eqns. 32 + 34)
+    dconv = (aDT < 0.0) & (aDT > bDS)
+    Rrho_d = aDT / jnp.where(bDS == 0, 1.0, bDS)
+    Rsafe = jnp.where(dconv, Rrho_d, 1.0)
+    ddc = visc_mol * 0.909 * jnp.exp(
+        4.6 * jnp.exp(-0.54 * (1.0 / Rsafe - 1.0)))
+    prandtl = jnp.where(Rsafe > 0.5, (1.85 - 0.85 / Rsafe) * Rsafe,
+                        0.15 * Rsafe)
+    addT = addT + jnp.where(dconv, ddc, 0.0)
+    addS = addS + jnp.where(dconv, prandtl * ddc, 0.0)
+
+    # interior interfaces only (nzmin+1 .. nzmax-1), then edge copies
+    # (ref :905-930; ulevels == 1 without cavity)
+    interior = (lev >= 1) & (lev <= (nln - 2)[None, :])
+    diffT = diffK + jnp.where(interior, addT, 0.0)
+    diffS = diffK + jnp.where(interior, addS, 0.0)
+
+    def edge_copy(dk):
+        dk = dk.at[0].set(dk[1])
+        bot = jnp.take_along_axis(dk, (nln - 2)[None, :].astype(jnp.int32), 0)
+        return jnp.where(lev == (nln - 1)[None, :], bot, dk)
+
+    return edge_copy(diffT), edge_copy(diffS)
+
+
 def oce_mixing_kpp(state: OceanState, mesh: MeshTables, cfg,
                    forcing: Forcing) -> OceanState:
     """Full KPP: interior Ri mixing + boundary-layer profile + enhancement."""
@@ -114,6 +175,12 @@ def oce_mixing_kpp(state: OceanState, mesh: MeshTables, cfg,
 
     # ---- interior mixing -------------------------------------------------
     viscA, diffK = _ri_iwmix(state, mesh, cfg)
+    use_dd = bool(getattr(cfg.tra, "double_diffusion", False))
+    if use_dd:
+        # T and S interior diffusivities split (ref :355-358 + ddmix)
+        diffK, diffS = _ddmix(diffK, alpha, beta, state, mesh)
+    else:
+        diffS = diffK
 
     # ---- bldepth (ref :479-661; use_sw_pene off) ------------------------
     zb = jnp.abs(state.zbar_3d)                 # [nl, N]
@@ -188,15 +255,19 @@ def oce_mixing_kpp(state: OceanState, mesh: MeshTables, cfg,
         return p, hcoef
 
     viscp, visch = interp_interior(viscA)
-    diftp, difth = interp_interior(diffK)   # temperature == salinity interior
-    difsp, difsh = diftp, difth
+    diftp, difth = interp_interior(diffK)
+    if use_dd:
+        difsp, difsh = interp_interior(diffS)
+    else:
+        difsp, difsh = diftp, difth
 
     f1 = stable * conc1 * bfsfc / (ustar ** 4 + epsln)
     gat1m = visch / (hbl + epsln) / (wm_h + epsln)
     dat1m = jnp.minimum(-viscp / (wm_h + epsln) + f1 * visch, 0.0)
     gat1t = difth / (hbl + epsln) / (ws_h + epsln)
     dat1t = jnp.minimum(-diftp / (ws_h + epsln) + f1 * difth, 0.0)
-    gat1s, dat1s = gat1t, dat1t
+    gat1s = difsh / (hbl + epsln) / (ws_h + epsln)
+    dat1s = jnp.minimum(-difsp / (ws_h + epsln) + f1 * difsh, 0.0)
 
     # shape functions on all interfaces, masked to nz < kbl
     sig = Z3abs / (hbl[None, :] + epsln)
@@ -213,6 +284,10 @@ def oce_mixing_kpp(state: OceanState, mesh: MeshTables, cfg,
     in_bl = (lev >= 1) & (lev < kbl[None, :]) & lmask_lvl
     blmc_m = jnp.where(in_bl, hbl * wm_i * sig_full * (1.0 + sig_full * Gm), 0.0)
     blmc_t = jnp.where(in_bl, hbl * ws_i * sig_full * (1.0 + sig_full * Gt), 0.0)
+    if use_dd:
+        Gs = a1 + a2 * gat1s[None, :] + a3 * dat1s[None, :]
+        blmc_s = jnp.where(in_bl,
+                           hbl * ws_i * sig_full * (1.0 + sig_full * Gs), 0.0)
     ghats = jnp.where(in_bl, (1.0 - stable[None, :]) * cg
                       / (ws_i * hbl[None, :] + epsln), 0.0)
 
@@ -226,6 +301,9 @@ def oce_mixing_kpp(state: OceanState, mesh: MeshTables, cfg,
     Gt_k = a1k + a2k * gat1t + a3k * dat1t
     dkm1_m = hbl * wm_k * sig_k * (1.0 + sig_k * Gm_k)
     dkm1_t = hbl * ws_k * sig_k * (1.0 + sig_k * Gt_k)
+    if use_dd:
+        Gs_k = a1k + a2k * gat1s + a3k * dat1s
+        dkm1_s = hbl * ws_k * sig_k * (1.0 + sig_k * Gs_k)
 
     # ---- enhance at k = kbl-1 (ref :1129-1190) ---------------------------
     k_enh = jnp.maximum(kbl - 1, 0).astype(jnp.int32)
@@ -251,6 +329,10 @@ def oce_mixing_kpp(state: OceanState, mesh: MeshTables, cfg,
     # ---- combine (ref :393-414) ------------------------------------------
     within = (lev >= 1) & (lev < kbl[None, :]) & lmask_lvl
     Kv = jnp.where(within, jnp.maximum(diffK, blmc_t), diffK)
+    if use_dd:
+        blmc_s = enhanced(diffS, blmc_s, dkm1_s)
+        Kv_s = jnp.where(within, jnp.maximum(diffS, blmc_s), diffS)
+        Kv_s = jnp.where(lmask_lvl, Kv_s, 0.0)
     viscA = jnp.where(within, jnp.maximum(viscA, blmc_m), viscA)
     Kv = jnp.where(lmask_lvl, Kv, 0.0)
 
@@ -266,7 +348,10 @@ def oce_mixing_kpp(state: OceanState, mesh: MeshTables, cfg,
     nln = mesh.nlevels_node
     nonloc = jnp.minimum(ghats * blmc_t, 1.0)
     nonloc = jnp.where((lev >= 1) & (lev < (nln - 1)[None, :]), nonloc, 0.0)
-    return replace(state, Av=Av_e, Kv=Kv, kpp_nonloc=nonloc)
+    out = replace(state, Av=Av_e, Kv=Kv, kpp_nonloc=nonloc)
+    if use_dd:
+        out = replace(out, Kv_s=Kv_s)
+    return out
 
 
 def _node_stress(forcing: Forcing, mesh: MeshTables):

@@ -46,6 +46,9 @@ class OceanState:
     # mixing coefficients
     Av: jnp.ndarray           # [nl, E]
     Kv: jnp.ndarray           # [nl, N]
+    # salinity diffusivity when KPP double diffusion splits T/S
+    # (oce_ale_mixing_kpp.F90 ddmix); mirrors Kv otherwise
+    Kv_s: jnp.ndarray         # [nl, N]
     # Monin-Obukhov mixed-layer length (TB04), relaxed in time [N]
     mixlength: jnp.ndarray
     # turbulent kinetic energy at interfaces (cvmix_TKE closure) [nl, N]
@@ -123,7 +126,8 @@ def allocate_state(mesh: MeshTables, n_tracers: int = 2,
         w=zE(nl, N), w_e=zE(nl, N), w_i=zE(nl, N), cfl_z=zE(nl, N),
         hnode=zE(nl - 1, N), hnode_new=zE(nl - 1, N), helem=zE(nl - 1, E),
         zbar_3d=zE(nl, N), Z_3d=zE(nl - 1, N),
-        Av=zE(nl, E), Kv=zE(nl, N), mixlength=zE(N), tke=zE(nl, N),
+        Av=zE(nl, E), Kv=zE(nl, N), Kv_s=zE(nl, N), mixlength=zE(N),
+        tke=zE(nl, N),
         iwe=zE(nl, N), iwe_diss=zE(nl, N), iwe_alpha_c=zE(nl, N),
         kpp_nonloc=zE(nl, N),
         density_m_rho0=zE(nl - 1, N), hpressure=zE(nl - 1, N),

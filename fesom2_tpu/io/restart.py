@@ -20,9 +20,15 @@ from ..core.state import OceanState
 
 OCE_FIELDS = ["eta", "hbar", "hbar_old", "ssh_rhs_old", "u", "v",
               "u_rhsAB", "v_rhsAB", "w", "w_e", "w_i", "tr", "tr_old",
-              "hnode", "hnode_new", "uke", "uke_rhs"]
+              "hnode", "hnode_new", "uke", "uke_rhs",
+              # persistent mixing memory: Monin-Obukhov mixing length is
+              # relaxed in time (oce_mo_conv.F90), TKE/IDEMIX energies are
+              # prognostic interface fields (gen_modules_cvmix_{tke,idemix})
+              "mixlength", "tke", "iwe"]
 ICE_FIELDS = ["u_ice", "v_ice", "m_ice", "a_ice", "m_snow",
-              "sigma11", "sigma12", "sigma22", "t_skin"]
+              "sigma11", "sigma12", "sigma22", "t_skin",
+              # aEVP persistent stability arrays (ice_maEVP.F90:611-660)
+              "alpha_aevp", "beta_aevp"]
 IPK_FIELDS = ["aicen", "vicen", "vsnon", "Tsfcn", "qin", "qsn"]
 
 
@@ -54,8 +60,13 @@ def write_restart(path: str, state: OceanState, ice=None, step: int = 0,
 
 
 def read_restart(path: str, state: OceanState, ice=None, dtype=jnp.float64,
-                 ipk=None):
-    """Read a restart file into (state, ice[, ipk]) pytrees."""
+                 ipk=None, mesh=None, cfg=None):
+    """Read a restart file into (state, ice[, ipk]) pytrees.
+
+    With (mesh, cfg) given, the ALE layer geometry (helem, zbar_3d, Z_3d)
+    is recomputed from the restored hnode — the restart_thickness_ale
+    analog (``oce_ale.F90:998``), required for bit-continuation under
+    zlevel/zstar."""
     names = OCE_FIELDS + ["step"]
     if ice is not None:
         names += ["ice_" + f for f in ICE_FIELDS]
@@ -65,6 +76,16 @@ def read_restart(path: str, state: OceanState, ice=None, dtype=jnp.float64,
     up = {f: jnp.asarray(data[f], dtype) for f in OCE_FIELDS}
     up["step"] = jnp.asarray(int(data["step"][0]), jnp.int32)
     state = dataclasses.replace(state, **up)
+    if mesh is not None and cfg is not None \
+            and cfg.ale.which_ALE != "linfs":
+        from ..core.ale import update_thickness
+        # update_thickness moves hnode_new -> hnode and rebuilds
+        # helem/zbar_3d/Z_3d; feed it the restored hnode, then restore the
+        # file's hnode_new (the two coincide at a step boundary anyway)
+        geo = update_thickness(
+            dataclasses.replace(state, hnode_new=state.hnode), mesh, cfg)
+        state = dataclasses.replace(
+            state, helem=geo.helem, zbar_3d=geo.zbar_3d, Z_3d=geo.Z_3d)
     if ice is not None:
         ice = dataclasses.replace(
             ice, **{f: jnp.asarray(data["ice_" + f], dtype)

@@ -114,15 +114,32 @@ class OutputStreams:
             t.join()
 
 
-def default_ocean_streams(mesh) -> List[StreamDef]:
+def default_ocean_streams(mesh, fill_T=None, fill_S=None) -> List[StreamDef]:
     """The core subset of the reference's ~100 registered fields
-    (``io_meandata.F90:94-537``); extended per-need."""
+    (``io_meandata.F90:94-537``); extended per-need.
+
+    fill_T/fill_S [nl-1, N]: values written at below-bottom (dry) cells.
+    The reference never touches dry tracer entries, so its output carries
+    the initial climatology there (gen_ic3d fills full columns); our state
+    keeps dry cells at 0 (masked-dense convention), so the tracer streams
+    re-fill them for output parity — fcheck means are over ALL values."""
+    import jax.numpy as jnp
+
+    def tr_out(k, fill):
+        if fill is None:
+            return lambda s, i: s.tr[k]
+        mask = mesh.node_layer_mask
+
+        def f(s, i, _fill=fill, _k=k):
+            return jnp.where(mask, s.tr[_k], _fill)
+        return f
+
     return [
         StreamDef("sst", lambda s, i: s.tr[0, 0], comment="sea surface temperature"),
         StreamDef("sss", lambda s, i: s.tr[1, 0], comment="sea surface salinity"),
         StreamDef("ssh", lambda s, i: s.eta, comment="sea surface height"),
-        StreamDef("temp", lambda s, i: s.tr[0], comment="potential temperature"),
-        StreamDef("salt", lambda s, i: s.tr[1], comment="salinity"),
+        StreamDef("temp", tr_out(0, fill_T), comment="potential temperature"),
+        StreamDef("salt", tr_out(1, fill_S), comment="salinity"),
         StreamDef("u", lambda s, i: s.u, comment="zonal velocity (elements)"),
         StreamDef("v", lambda s, i: s.v, comment="meridional velocity (elements)"),
         StreamDef("w", lambda s, i: s.w, comment="vertical velocity"),

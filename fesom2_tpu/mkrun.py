@@ -1,0 +1,155 @@
+"""mkrun analog: drive runs from reference ``setups/*/setup.yml`` files.
+
+The reference CI uses the external ``fesom2-testing`` package: ``mkrun pi
+test_pi -m docker`` generates a work dir from ``setups/test_pi/setup.yml``
+(base namelists + yaml overrides), runs ``fesom.x``, and ``fcheck .``
+compares output-field means against the goldens stored in the yaml
+(``.github/workflows/fesom2.1.yml:30-50``).  This module reproduces that
+contract end-to-end: the reference namelist files are parsed by
+``config.load_config``, the yaml's ``namelist.*`` groups are applied on
+top, the run executes through the normal driver, and ``post.fcheck``
+checks the result — so reference setup files port verbatim.
+
+Usage:
+    python -m fesom2_tpu.mkrun /root/reference/setups/test_pi/setup.yml \
+        --result /tmp/work_pi [--steps N]
+"""
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+
+from .config import ModelConfig, load_config, _apply
+
+REF_ROOT = "/root/reference"
+# setups/paths.yml maps mesh/forcing keys to machine paths; only the
+# in-repo test data exists here
+MESH_PATHS = {
+    "test_global": os.path.join(REF_ROOT, "test/meshes/pi"),
+    "test_souf": os.path.join(REF_ROOT, "test/meshes/soufflet"),
+}
+FORCING_PATHS = {
+    "test_global": os.path.join(REF_ROOT, "test/input/global"),
+}
+
+# yaml namelist group -> ModelConfig sub-dataclass attribute path(s)
+_GROUP_TARGETS = {
+    "timestep": ("timestep",),
+    "clockinit": ("clock",),
+    "calendar": ("clock",),
+    "ale_def": ("ale",),
+    "geometry": ("geometry",),
+    "run_config": ("run",),
+    "restart_log": (None,),          # top-level fields on ModelConfig
+    "inout": (None,),
+    "oce_dyn": ("dyn", "tra"),
+    "oce_tra": ("tra", "dyn"),
+    "ice_dyn": ("ice",),
+    "ice_therm": ("ice",),
+    "ice_stress": ("ice",),
+}
+
+
+def load_setup(setup_yml: str):
+    """Parse a reference setup.yml into (cfg, mesh_path, forcing_path,
+    goldens dict)."""
+    import yaml
+    with open(setup_yml) as f:
+        y = yaml.safe_load(f)
+
+    cfg = load_config(os.path.join(REF_ROOT, "config/namelist.config"),
+                      os.path.join(REF_ROOT, "config/namelist.oce"),
+                      os.path.join(REF_ROOT, "config/namelist.ice"))
+    for nml in ("namelist.config", "namelist.oce", "namelist.ice",
+                "namelist.forcing"):
+        groups = y.get(nml) or {}
+        for gname, items in groups.items():
+            targets = _GROUP_TARGETS.get(gname.lower())
+            if targets is None or not isinstance(items, dict):
+                continue
+            for t in targets:
+                _apply(cfg if t is None else getattr(cfg, t), items)
+
+    mesh_key = y.get("mesh", "test_global")
+    forcing_key = y.get("forcing", "test_global")
+    goldens = y.get("fcheck", {}) or {}
+    return cfg, MESH_PATHS[mesh_key], FORCING_PATHS.get(forcing_key), goldens
+
+
+def _run_length_steps(cfg: ModelConfig) -> int:
+    n = cfg.timestep.run_length
+    unit = cfg.timestep.run_length_unit
+    spd = cfg.timestep.step_per_day
+    days = {"d": 1, "m": 31, "y": 365}.get(unit, 1) * n
+    if unit == "s":
+        return max(1, int(n / (86400.0 / spd)))
+    return days * spd
+
+
+def run_setup(setup_yml: str, result_path: str, steps: int = None,
+              dtype=jnp.float64, verbose: bool = True, rtol: float = 0.05):
+    """Build + run a reference setup; returns (ok, means, goldens).
+
+    ``ok`` is the fcheck verdict at relative tolerance ``rtol`` — the
+    default 5% reflects that this is an independent re-implementation
+    checked against the Fortran reference's exact CI means."""
+    from .model import setup_pi_model, setup_soufflet_model
+    from .run import run_pi, run_soufflet
+    from .post.fcheck import field_means
+
+    cfg, mesh_path, forcing_path, goldens = load_setup(setup_yml)
+    n_steps = steps if steps is not None else _run_length_steps(cfg)
+    os.makedirs(result_path, exist_ok=True)
+
+    if cfg.run.toy_ocean:
+        model = setup_soufflet_model(mesh_path, cfg=cfg, dtype=dtype)
+        run_soufflet(n_steps, result_path, dtype, verbose=verbose,
+                     model=model)
+    else:
+        model, atm = setup_pi_model(mesh_path, forcing_path, cfg=cfg,
+                                    dtype=dtype)
+        run_pi(n_steps, result_path, dtype, verbose=verbose,
+               model_atm=(model, atm))
+
+    means = field_means(result_path)
+    ok = True
+    report = []
+    for name, gold in goldens.items():
+        if name not in means:
+            report.append(f"MISSING {name} (golden {gold})")
+            ok = False
+            continue
+        got = means[name]
+        denom = max(abs(gold), 1e-3)       # near-zero goldens (u, v): abs
+        rel = abs(got - gold) / denom
+        good = rel <= rtol
+        ok = ok and good
+        report.append(f"{'OK  ' if good else 'FAIL'} {name}: got {got:.9g} "
+                      f"golden {gold:.9g} rel {rel:.2e}")
+    if verbose:
+        print("\n".join(report))
+    return ok, means, goldens
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser(description="mkrun+fcheck from a reference "
+                                            "setup.yml")
+    p.add_argument("setup_yml")
+    p.add_argument("--result", default="./work")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--rtol", type=float, default=0.05)
+    p.add_argument("--f32", action="store_true")
+    args = p.parse_args()
+    import jax
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    ok, _, _ = run_setup(args.setup_yml, args.result, steps=args.steps,
+                         dtype=dtype, rtol=args.rtol)
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -298,9 +298,14 @@ def replace_coriolis(mesh: MeshTables, coriolis_elem) -> MeshTables:
     return dataclasses.replace(mesh, coriolis=coriolis_elem)
 
 
-def coupled_step_impl(model: "Model"):
+def coupled_step_impl(model: "Model", ice_update: bool = True):
     """Ocean+ice step following the reference hot loop (fvom_main.F90:199-268):
     ocean2ice -> ice_timestep -> oce_fluxes_mom/oce_fluxes -> ocean step.
+
+    ice_update=False builds the sequential-ice variant (ice_ave_steps > 1,
+    ``fvom_main.F90:231-239``): the ice state is NOT stepped, but the
+    ocean still receives the fluxes computed from the (held) ice state —
+    the ice catches up with ice_dt = ice_ave_steps * dt on update steps.
 
     Returns impl(state, ice, ocean_forcing, ice_forcing, S[, ipk]) where
     S = model.statics(); see Model.statics() for why statics are arguments.
@@ -316,7 +321,9 @@ def coupled_step_impl(model: "Model"):
     def step_impl(state, ice, ocean_forcing, ice_forcing, S, ipk=None):
         mesh = S["mesh"]
         surf = ice_cpl.ocean2ice(state, mesh)
-        if use_icepack:
+        if not ice_update:
+            pass            # hold the ice state this step (sequential ice)
+        elif use_icepack:
             from .ice.icepack import icepack_timestep
             ipk, ice = icepack_timestep(
                 ipk, ice, mesh, ice_forcing, surf, cfg, cfg.icepack,
@@ -635,17 +642,27 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
     # ---- stage 2 (vmapped): implicit vertical diffusion ------------------
     w_i = state.w_i if ((not use_fct) and cfg.dyn.w_split) else None
     if cfg.tra.i_vert_diff:
-        def stage2(t, surf_bc, src):
+        # per-tracer vertical diffusivity: salinity gets the ddmix-split
+        # Kv_s under KPP double diffusion (oce_ale_mixing_kpp.F90 ddmix)
+        use_dd = getattr(cfg.tra, "double_diffusion", False) \
+            and cfg.dyn.mix_scheme.upper() == "KPP"
+        if use_dd:
+            Kv_all = jnp.stack([state.Kv_s if tids[i] == 1 else state.Kv
+                                for i in range(ntr)])
+        else:
+            Kv_all = jnp.broadcast_to(state.Kv[None], (ntr,) + state.Kv.shape)
+
+        def stage2(t, surf_bc, src, Kv_i):
             kw = dict(w_i=w_i, sw_source=src)
             if redi is not None:
                 kw.update(Ki_layered=redi[1], slope3=redi[0][2])
-            return tracers.diff_ver_impl(t, state.Kv, state.hnode_new,
+            return tracers.diff_ver_impl(t, Kv_i, state.hnode_new,
                                          zbar_n_bot, mesh, dt, surf_bc, **kw)
         if src_all is None:
-            tr = jax.vmap(lambda a, b: stage2(a, b, None))(t_expl,
-                                                           surf_bc_all)
+            tr = jax.vmap(lambda a, b, c: stage2(a, b, None, c))(
+                t_expl, surf_bc_all, Kv_all)
         else:
-            tr = jax.vmap(stage2)(t_expl, surf_bc_all, src_all)
+            tr = jax.vmap(stage2)(t_expl, surf_bc_all, src_all, Kv_all)
     else:
         tr = t_expl
 
@@ -686,7 +703,8 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
 def setup_pi_model(mesh_path: str = "/root/reference/test/meshes/pi",
                    forcing_path: str = "/root/reference/test/input/global",
                    dtype=jnp.float64, step_per_day: int = 96,
-                   pad_to: int = 1, cavity_depth=None, n_refine: int = 0):
+                   pad_to: int = 1, cavity_depth=None, n_refine: int = 0,
+                   parity: str = "ci", cfg: ModelConfig = None):
     """Global pi-mesh ocean+ice configuration (CI test_pi analog,
     ``setups/test_pi/setup.yml``).  Returns (Model, AtmData).
 
@@ -694,28 +712,76 @@ def setup_pi_model(mesh_path: str = "/root/reference/test/meshes/pi",
     scaling runs: n=2 -> ~49k surface nodes, n=3 -> ~195k; CORE2 itself
     is ~127k).
 
-    Round-1 deviations from the reference CI config (tracked): PP mixing
-    instead of KPP.
+    parity:
+      "ci"   — the reference CI configuration (``config/namelist.config:32``
+               zstar ALE; ``namelist.oce:42`` KPP; Fer_GM + Redi on;
+               gamma/diffusivity/relaxation values of ``config/namelist.oce``
+               with the ``setups/test_pi/setup.yml`` overrides).  Remaining
+               tracked deviation: use_partial_cell=False (full bottom cells).
+      "fast" — the round-1 light configuration (linfs + PP, no GM/Redi):
+               materially cheaper per step; kept for benchmarking the
+               config-cost delta.
     """
     from .forcing.atmos import load_core_forcing
 
+    if cfg is not None:
+        # externally-built config (mkrun path: reference namelists + yaml
+        # overrides port verbatim); skip the in-code CI parity block
+        return _finish_pi_setup(cfg, mesh_path, forcing_path, dtype, pad_to,
+                                cavity_depth, n_refine)
     cfg = ModelConfig()
     cfg.timestep.step_per_day = step_per_day
     cfg.run.use_ice = True
     cfg.run.use_sw_pene = True
     cfg.geometry.force_rotation = True
-    cfg.ale.which_ALE = "linfs"
     cfg.dyn.state_equation = 1
     cfg.dyn.visc_option = 5
     cfg.dyn.w_split = True
     cfg.dyn.w_max_cfl = 1.0
-    cfg.dyn.mix_scheme = "PP"
     cfg.ice.whichEVP = 1
     cfg.ice.evp_rheol_steps = 120
     cfg.ice.evp_subdomain_lat = 40.0
     cfg.tra.tra_adv_hor = "MFCT"
     cfg.tra.tra_adv_ver = "QR4C"
     cfg.tra.tra_adv_lim = "FCT"
+    if parity == "ci":
+        # reference namelist.oce + namelist.config values (CI defaults)
+        cfg.ale.which_ALE = "zstar"          # namelist.config:32
+        cfg.dyn.mix_scheme = "KPP"           # namelist.oce:42
+        cfg.dyn.gamma0 = 0.003               # namelist.oce:5-7
+        cfg.dyn.gamma1 = 0.1
+        cfg.dyn.gamma2 = 0.285
+        cfg.dyn.easy_bs_return = 1.5         # namelist.oce:18
+        cfg.dyn.Div_c = 0.5                  # setup.yml overrides
+        cfg.dyn.Leith_c = 0.05
+        cfg.dyn.Fer_GM = True                # namelist.oce:27-40
+        cfg.dyn.Redi = True
+        cfg.dyn.K_GM_max = 2000.0
+        cfg.dyn.K_GM_min = 2.0
+        cfg.dyn.K_GM_bvref = 2
+        cfg.dyn.K_GM_rampmax = -1.0
+        cfg.dyn.K_GM_rampmin = -1.0
+        cfg.dyn.scaling_Ferreira = False
+        cfg.dyn.scaling_Rossby = False
+        cfg.dyn.scaling_resolution = True
+        cfg.tra.K_ver = 1.0e-5               # namelist.oce:65-72
+        cfg.tra.K_hor = 3000.0
+        cfg.tra.surf_relax_T = 0.0
+        cfg.tra.surf_relax_S = 1.929e-06
+        cfg.tra.clim_relax = 0.0
+        cfg.tra.ref_sss_local = True
+        cfg.tra.ref_sss = 34.0
+    else:
+        cfg.ale.which_ALE = "linfs"
+        cfg.dyn.mix_scheme = "PP"
+
+    return _finish_pi_setup(cfg, mesh_path, forcing_path, dtype, pad_to,
+                            cavity_depth, n_refine)
+
+
+def _finish_pi_setup(cfg, mesh_path, forcing_path, dtype, pad_to,
+                     cavity_depth, n_refine):
+    from .forcing.atmos import load_core_forcing
 
     if n_refine > 0:
         from .mesh.refine import refined_mesh
@@ -789,7 +855,7 @@ def pi_initial_state(model: Model, forcing_path: str =
     return state, ice
 
 
-def pi_coupled_parts(model: Model, atm):
+def pi_coupled_parts(model: Model, atm, ice_update: bool = True):
     """The coupled-pi step implementation + raw statics, shared between the
     single-device driver (pi_coupled_step_fn) and the distributed driver
     (parallel/dist.py): impl(state, ice, step_idx, SP[, ipk]) -> outputs,
@@ -800,7 +866,7 @@ def pi_coupled_parts(model: Model, atm):
 
     cfg = model.cfg
     dtype = model.density_ref.dtype
-    coupled = coupled_step_impl(model)
+    coupled = coupled_step_impl(model, ice_update=ice_update)
 
     tide_offset = None
     use_tides = cfg.run.use_global_tides
@@ -849,29 +915,49 @@ def pi_coupled_step_fn(model: Model, atm, jit: bool = True):
     cfg = model.cfg
     step_impl, SP_raw = pi_coupled_parts(model, atm)
     bind = _statics_binder(SP_raw)
+    # sequential ice stepping (ice_ave_steps > 1, fvom_main.F90:231-239):
+    # a second jitted variant holds the ice state on non-update steps; the
+    # update cadence is resolved at the Python level from the step index
+    # (ice updates when (k+1) % ice_ave_steps == 0, matching the
+    # ice_steps_since_upd counter starting at 0)
+    ave = max(1, int(cfg.ice.ice_ave_steps))
+    step_impl_hold = pi_coupled_parts(model, atm, ice_update=False)[0] \
+        if ave > 1 else None
 
     if not cfg.run.use_icepack:
         def step3_impl(state, ice, step_idx, SP):
             return step_impl(state, ice, step_idx, SP)
         core3 = jax.jit(step3_impl) if jit else step3_impl
+        if ave > 1:
+            def step3h_impl(state, ice, step_idx, SP):
+                return step_impl_hold(state, ice, step_idx, SP)
+            core3h = jax.jit(step3h_impl) if jit else step3h_impl
 
         def step3(state, ice, step_idx):
-            return core3(state, ice, step_idx,
-                         bind(jax.tree.leaves(state)[0]))
+            c = core3 if ave == 1 or (int(step_idx) + 1) % ave == 0 \
+                else core3h
+            return c(state, ice, step_idx,
+                     bind(jax.tree.leaves(state)[0]))
         return step3
 
     core = jax.jit(step_impl) if jit else step_impl
+    coreh = (jax.jit(step_impl_hold) if jit else step_impl_hold) \
+        if ave > 1 else None
 
     def step(state, ice, step_idx, ipk=None):
-        return core(state, ice, step_idx,
-                    bind(jax.tree.leaves(state)[0]), ipk)
+        c = core if ave == 1 or (int(step_idx) + 1) % ave == 0 else coreh
+        return c(state, ice, step_idx,
+                 bind(jax.tree.leaves(state)[0]), ipk)
     return step
 
 
 def setup_soufflet_model(mesh_path: str = "/root/reference/test/meshes/soufflet",
                          dtype=jnp.float64, step_per_day: int = 72,
-                         pad_to: int = 1, which_ale: str = "linfs") -> Model:
+                         pad_to: int = 1, which_ale: str = "linfs",
+                         cfg: ModelConfig = None) -> Model:
     """Build the soufflet toy-channel model (ref namelist.config.toy_soufflet)."""
+    if cfg is not None:
+        return _finish_soufflet_setup(cfg, mesh_path, dtype, pad_to)
     cfg = ModelConfig()
     cfg.timestep.step_per_day = step_per_day
     cfg.run.toy_ocean = True
@@ -898,9 +984,13 @@ def setup_soufflet_model(mesh_path: str = "/root/reference/test/meshes/soufflet"
     cfg.tra.tra_adv_ver = "QR4C"
     cfg.tra.tra_adv_lim = "FCT"
     cfg.dyn.mix_scheme = "PP"
+    return _finish_soufflet_setup(cfg, mesh_path, dtype, pad_to)
 
-    mesh = build_mesh(mesh_path, cyclic_length_deg=4.5, force_rotation=False,
-                      dtype=dtype)
+
+def _finish_soufflet_setup(cfg, mesh_path, dtype, pad_to):
+    mesh = build_mesh(mesh_path,
+                      cyclic_length_deg=cfg.geometry.cyclic_length,
+                      force_rotation=False, dtype=dtype)
     if pad_to > 1:
         from .parallel.padding import pad_mesh
         mesh = pad_mesh(mesh, pad_to)

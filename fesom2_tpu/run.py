@@ -48,12 +48,14 @@ class RunTimers:
 def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
            dtype=jnp.float64, logfile_outfreq: int = 10,
            restart_every: Optional[int] = None, verbose: bool = True,
-           use_icepack: bool = False):
+           use_icepack: bool = False, model_atm=None):
     """Run the coupled global pi configuration for n_steps (CI analog).
 
     use_icepack: multi-category column physics (the test_pi_icepack CI
-    setup analog)."""
-    model, atm = setup_pi_model(dtype=dtype)
+    setup analog).  model_atm: optional prebuilt (Model, AtmData) — the
+    mkrun path builds these from a reference setup.yml."""
+    model, atm = model_atm if model_atm is not None \
+        else setup_pi_model(dtype=dtype)
     state, ice = pi_initial_state(model, dtype=dtype)
     ipk = None
     stream_defs = default_ocean_streams(model.mesh) + default_ice_streams()
@@ -100,7 +102,9 @@ def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
                 print(" total integral of salinity at timestep : %d %.10e"
                       % (k + 1, float(salt3d_integral(state, model.mesh))),
                       flush=True)
-            if int(check_blowup(state, model.mesh, ice)) != 0:
+            if int(check_blowup(state, model.mesh, ice,
+                                ice_sub=getattr(model, "ice_submesh",
+                                                None))) != 0:
                 blow_path = os.path.join(result_path, "blowup.nc")
                 write_restart(blow_path, state, ice, step=k)
                 raise RuntimeError(f"blowup detected at step {k + 1}; "
@@ -122,9 +126,9 @@ def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
 
 def run_soufflet(n_steps: int = 72, result_path: str = "./result_souf",
                  dtype=jnp.float64, logfile_outfreq: int = 10,
-                 verbose: bool = True):
+                 verbose: bool = True, model=None):
     """Run the soufflet channel (toy ocean, no ice, no external forcing)."""
-    model = setup_soufflet_model(dtype=dtype)
+    model = model if model is not None else setup_soufflet_model(dtype=dtype)
     state = model.initial_state(dtype=dtype)
     forcing = zero_forcing(model.mesh, dtype)
     step = model.step_fn()

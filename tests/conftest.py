@@ -38,3 +38,8 @@ def pi_mesh():
 def souf_mesh():
     from fesom2_tpu.mesh import build_mesh
     return build_mesh(SOUF_MESH, cartesian=False, cyclic_length_deg=4.5)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers",
+                            "slow: long end-to-end golden-validation runs")

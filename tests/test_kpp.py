@@ -119,3 +119,74 @@ def test_momix_tb04(pi_mesh):
     ml2 = np.asarray(_mo_length(f2, 900.0, deep))
     rtc = 900.0 / (10.0 * 86400.0)
     assert np.allclose(ml2, 500.0 + (10.0 - 500.0) * rtc)
+
+
+def test_kpp_double_diffusion():
+    """ddmix (oce_ale_mixing_kpp.F90:857-934): double diffusion splits the
+    T/S diffusivities; salt-fingering adds <= dsfmax to Kv_s and 0.7x to
+    Kv; salinity evolution differs from the no-dd run."""
+    import dataclasses
+    import jax.numpy as jnp
+    import numpy as np
+    from fesom2_tpu.model import setup_pi_model, pi_initial_state
+    from fesom2_tpu.core.state import zero_forcing
+    from fesom2_tpu.core.mixing import kpp as kpp_mixing
+    from fesom2_tpu.core import eos, dynamics
+
+    model, atm = setup_pi_model(dtype=jnp.float64)
+    state, _ = pi_initial_state(model, dtype=jnp.float64)
+    mesh, cfg = model.mesh, model.cfg
+    forcing = zero_forcing(mesh, jnp.float64)
+    state = dynamics.compute_vel_nodes(state, mesh)
+    state = eos.pressure_bv(state, mesh, cfg, model.density_ref)
+
+    cfg.tra.double_diffusion = False
+    s_no = kpp_mixing.oce_mixing_kpp(state, mesh, cfg, forcing)
+    cfg.tra.double_diffusion = True
+    try:
+        s_dd = kpp_mixing.oce_mixing_kpp(state, mesh, cfg, forcing)
+    finally:
+        cfg.tra.double_diffusion = False
+
+    Kv, Kv_s, Kv_t = np.asarray(s_no.Kv), np.asarray(s_dd.Kv_s), \
+        np.asarray(s_dd.Kv)
+    assert np.isfinite(Kv_s).all() and np.isfinite(Kv_t).all()
+    # dd is additive: never reduces the interior diffusivity
+    assert (Kv_t - Kv).min() > -1e-14
+    # the WOA January state has salt-fingering regions: S diffusivity must
+    # exceed the T diffusivity somewhere, and nowhere by more than dsfmax
+    # + diffusive-convection prandtl corrections
+    diff = Kv_s - Kv_t
+    assert diff.max() > 1e-6, "no salt fingering found (suspicious)"
+    assert diff.max() < 2e-4
+
+
+def test_pgf_easypgf_variant():
+    """which_pgf='easypgf' (oce_ale_pressure_bv.F90:2116-2546) agrees with
+    the Shchepetkin density-Jacobian PGF to leading order on a smooth
+    stratified state (both are consistent discretizations of the same
+    integral) and is exactly masked."""
+    import jax.numpy as jnp
+    import numpy as np
+    from fesom2_tpu.model import setup_pi_model, pi_initial_state
+    from fesom2_tpu.core import eos, dynamics
+
+    model, atm = setup_pi_model(dtype=jnp.float64)
+    state, _ = pi_initial_state(model, dtype=jnp.float64)
+    mesh, cfg = model.mesh, model.cfg
+    state = eos.pressure_bv(state, mesh, cfg, model.density_ref)
+
+    s_shch = dynamics.pressure_force_zxxxx_shchepetkin(state, mesh)
+    s_easy = dynamics.pressure_force_easypgf(state, mesh, cfg)
+    for s in (s_shch, s_easy):
+        assert np.isfinite(np.asarray(s.pgf_x)).all()
+        assert np.abs(np.asarray(s.pgf_x))[~np.asarray(
+            mesh.elem_layer_mask)].max() == 0.0
+    a = np.asarray(s_shch.pgf_x)
+    b = np.asarray(s_easy.pgf_x)
+    scale = np.abs(a).max()
+    # same field to ~15% of the max PGF (different discretizations of the
+    # same integral on a coarse mesh)
+    assert np.abs(a - b).max() / scale < 0.15
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.99

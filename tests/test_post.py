@@ -20,7 +20,9 @@ def run_outputs(tmp_path_factory, pi_mesh):
     from fesom2_tpu.io.mesh_info import write_mesh_info
     from fesom2_tpu.utils.clock import Clock
     out = str(tmp_path_factory.mktemp("result"))
-    model, atm = setup_pi_model()
+    # linfs ('fast' parity): moc_z closure (psi -> 0 at the
+    # last latitude) holds exactly only for fixed coordinates
+    model, atm = setup_pi_model(parity="fast")
     state, ice = pi_initial_state(model)
     write_mesh_info(out, model.mesh)
     step = pi_coupled_step_fn(model, atm)

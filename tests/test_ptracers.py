@@ -13,7 +13,10 @@ from fesom2_tpu.core.state import zero_forcing
 @pytest.fixture(scope="module")
 def ptr_model(pi_mesh):
     from fesom2_tpu.model import setup_pi_model, pi_initial_state
-    model, atm = setup_pi_model()
+    # the light (linfs+PP) config: these tests probe passive-tracer
+    # plumbing with tight locality bounds that KPP's deep boundary-layer
+    # mixing would legitimately violate
+    model, atm = setup_pi_model(parity="fast")
     model.cfg.tra.num_tracers = 4
     model.cfg.tra.tracer_ID = [0, 1, 101, 301]
     state, ice = pi_initial_state(model)
@@ -65,7 +68,7 @@ def test_ptracer_step_rain_and_restore(ptr_model):
 
 def test_relax_to_clim():
     from fesom2_tpu.model import setup_pi_model, pi_initial_state
-    model, atm = setup_pi_model()
+    model, atm = setup_pi_model(parity="fast")
     model.cfg.tra.clim_relax = 1.0 / (10 * 86400.0)
     state, ice = pi_initial_state(model)
     # sponge everywhere at the namelist rate
@@ -74,12 +77,23 @@ def test_relax_to_clim():
     mesh = model.mesh
     tr = state.tr.at[0].add(jnp.where(mesh.node_layer_mask, 1.0, 0.0))
     state = dataclasses.replace(state, tr=tr, tr_old=tr)
-    step = model.step_fn()
     forcing = zero_forcing(mesh)
-    d0 = float(jnp.abs(jnp.where(mesh.node_layer_mask,
-                                 state.tr[0] - model.Tclim, 0.0)).mean())
-    for _ in range(3):
-        state = step(state, forcing)
-    d1 = float(jnp.abs(jnp.where(mesh.node_layer_mask,
-                                 state.tr[0] - model.Tclim, 0.0)).mean())
-    assert d1 < d0          # relaxation pulls towards Tclim
+
+    def drift(n_steps, clim_relax):
+        model.cfg.tra.clim_relax = clim_relax
+        st = state
+        step = model.step_fn()
+        for _ in range(n_steps):
+            st = step(st, forcing)
+        return float(jnp.abs(jnp.where(mesh.node_layer_mask,
+                                       st.tr[0] - model.Tclim, 0.0)).mean())
+
+    # relaxation pulls towards Tclim relative to a no-relaxation control
+    # (dynamic drift over 3 steps can exceed the small relaxation tendency,
+    # so the control comparison is the robust assertion)
+    rate = 1.0 / (10 * 86400.0)
+    d_relax = drift(3, rate)
+    d_free = drift(3, 0.0)
+    expected_factor = (1.0 - rate * model.cfg.dt) ** 3
+    assert d_relax < d_free
+    assert abs(d_relax / d_free - expected_factor) < 5e-3
