@@ -41,7 +41,7 @@ def bench_coupled(n_refine: int, parity: str = "ci"):
         model, atm = setup_pi_model(dtype=dtype, n_refine=n_refine,
                                     parity=parity)
         state, ice = pi_initial_state(model, dtype=dtype)
-    step = pi_coupled_step_fn(model, atm)
+    step = pi_coupled_step_fn(model, atm, donate=True)
 
     # warm-up: compile + force full materialization on the host (on remote
     # accelerator backends block_until_ready alone can race the compile)

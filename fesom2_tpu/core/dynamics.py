@@ -36,6 +36,27 @@ def pressure_force_linfs(state: OceanState, mesh: MeshTables) -> OceanState:
     return replace(state, pgf_x=jnp.where(m, gx, 0.0), pgf_y=jnp.where(m, gy, 0.0))
 
 
+def _pgf_vertex_stencil(mesh: MeshTables):
+    """Per-vertex 3-point vertical stencil base indices for the moving-
+    coordinate PGFs (ref oce_ale_pressure_bv.F90:2209-2296): for each
+    element vertex v, returns (env [E] node ids, b [nl-1, E] stencil base):
+    (k-1,k,k+1) interior, (k,k+1,k+2) at the surface, (k-2,k-1,k) where
+    the vertex column ends with the element's."""
+    nl = mesh.nl
+    k = jnp.arange(nl - 1)[:, None]                        # [nl-1, 1]
+    nle = (mesh.nlevels_elem - 1)[None, :]                 # [1, E]
+    out = []
+    for v in range(3):
+        env = mesh.elem_nodes[:, v]
+        nln = (mesh.nlevels_node[env] - 1)[None, :]        # [1, E]
+        b = jnp.where(k == 0, 0, k - 1)
+        bot_eq = jnp.logical_and(k == nle - 1, nln - 1 == k)
+        b = jnp.where(bot_eq, k - 2, b)
+        b = jnp.clip(b, 0, jnp.maximum(nln - 3, 0))
+        out.append((env, b))
+    return out
+
+
 def pressure_force_zxxxx_shchepetkin(state: OceanState,
                                      mesh: MeshTables) -> OceanState:
     """Density-Jacobian PGF for moving coordinates (zlevel/zstar), after
@@ -62,45 +83,39 @@ def pressure_force_zxxxx_shchepetkin(state: OceanState,
     S = cumsum_bottom_up(h)                                # [nl-1, E]
     Z_e = zbot[None] + S - 0.5 * h                         # [nl-1, E]
 
-    # stencil base index per (layer, element, vertex)
-    k = jnp.arange(nl - 1)[:, None, None]                  # [nl-1, 1, 1]
-    nle = (mesh.nlevels_elem - 1)[None, :, None]           # element layer count
-    nln = (mesh.nlevels_node[en] - 1)[None]                # node layer count
-    b = k - 1
-    b = jnp.where(k == 0, 0, b)                            # surface shift
-    bot_eq = jnp.logical_and(k == nle - 1, nln - 1 == k)   # node ends with elem
-    b = jnp.where(bot_eq, k - 2, b)
-    # keep the whole stencil inside the node's active column
-    b = jnp.clip(b, 0, jnp.maximum(nln - 3, 0))
-
-    def at(arr, off):
-        # arr [nl-1, N] gathered at (b+off, en) -> [nl-1, E, 3]
-        lev = jnp.clip(b + off, 0, nl - 2)
-        return jnp.take_along_axis(arr[:, en], lev, axis=0)
-
-    x0, x1, x2 = at(Z3, 0), at(Z3, 1), at(Z3, 2)
-    f0, f1, f2 = at(rho, 0), at(rho, 1), at(rho, 2)
-    dx10 = x1 - x0
-    dx21 = x2 - x1
-    dx20 = x2 - x0
     safe = lambda d: jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
-    df10 = f1 - f0
-    df21 = f2 - f1
-    ze = Z_e[:, :, None]
-    drho_dz = df10 / safe(dx10) \
-        + (dx10 * df21 - dx21 * df10) / safe(dx20 * dx21 * dx10) \
-        * ((ze - x1) + (ze - x0))                          # [nl-1, E, 3]
-    drho_dz = jnp.where(lmask[:, :, None], drho_dz, 0.0).mean(-1)
-
-    # along-layer gradients of density and of the layer depth itself
     gx = mesh.gradient_sca[:, 0:3]
     gy = mesh.gradient_sca[:, 3:6]
-    rho_e = rho[:, en]                                     # [nl-1, E, 3]
-    z_e = Z3[:, en]
-    drho_dx = (rho_e * gx).sum(-1)
-    drho_dy = (rho_e * gy).sum(-1)
-    dz_dx = (z_e * gx).sum(-1)
-    dz_dy = (z_e * gy).sum(-1)
+
+    # Per-vertex unrolled stencil: every temp stays [nl-1, E].  (A fused
+    # [nl-1, E, 3] take_along_axis puts the 3-vertex axis minor, which the
+    # TPU (8,128) tiling pads 3->128 — 42x HBM expansion, OOM at 47k
+    # nodes; three planar gathers cost nothing extra.)
+    drho_dz = jnp.zeros_like(Z_e)
+    drho_dx = jnp.zeros_like(Z_e)
+    drho_dy = jnp.zeros_like(Z_e)
+    dz_dx = jnp.zeros_like(Z_e)
+    dz_dy = jnp.zeros_like(Z_e)
+    for v, (env, b) in enumerate(_pgf_vertex_stencil(mesh)):
+        def at(arr, off, _env=env, _b=b):
+            lev = jnp.clip(_b + off, 0, nl - 2)
+            return jnp.take_along_axis(arr[:, _env], lev, axis=0)
+
+        x0, x1, x2 = at(Z3, 0), at(Z3, 1), at(Z3, 2)
+        f0, f1, f2 = at(rho, 0), at(rho, 1), at(rho, 2)
+        dx10, dx21, dx20 = x1 - x0, x2 - x1, x2 - x0
+        df10, df21 = f1 - f0, f2 - f1
+        drho_dz = drho_dz + df10 / safe(dx10) \
+            + (dx10 * df21 - dx21 * df10) / safe(dx20 * dx21 * dx10) \
+            * ((Z_e - x1) + (Z_e - x0))
+        # along-layer gradients of density and of the layer depth itself
+        rho_v = rho[:, env]
+        z_v = Z3[:, env]
+        drho_dx = drho_dx + rho_v * gx[None, :, v]
+        drho_dy = drho_dy + rho_v * gy[None, :, v]
+        dz_dx = dz_dx + z_v * gx[None, :, v]
+        dz_dy = dz_dy + z_v * gy[None, :, v]
+    drho_dz = jnp.where(lmask, drho_dz / 3.0, 0.0)
 
     aux_x = jnp.where(lmask, (drho_dx - drho_dz * dz_dx) * h * g / density_0,
                       0.0)
@@ -136,42 +151,41 @@ def pressure_force_easypgf(state: OceanState, mesh: MeshTables,
     Scum = cumsum_bottom_up(h)
     Z_e = zbot[None] + Scum - 0.5 * h                      # [nl-1, E]
 
-    # same per-(layer, element, vertex) stencil base as shchepetkin
-    k = jnp.arange(nl - 1)[:, None, None]
-    nle = (mesh.nlevels_elem - 1)[None, :, None]
-    nln = (mesh.nlevels_node[en] - 1)[None]
-    b = k - 1
-    b = jnp.where(k == 0, 0, b)
-    bot_eq = jnp.logical_and(k == nle - 1, nln - 1 == k)
-    b = jnp.where(bot_eq, k - 2, b)
-    b = jnp.clip(b, 0, jnp.maximum(nln - 3, 0))
-
-    def at(arr, off):
-        lev = jnp.clip(b + off, 0, nl - 2)
-        return jnp.take_along_axis(arr[:, en], lev, axis=0)
-
-    x0, x1, x2 = at(Z3, 0), at(Z3, 1), at(Z3, 2)
-    dx10, dx21, dx20 = x1 - x0, x2 - x1, x2 - x0
     safe = lambda d: jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
-    ze = Z_e[:, :, None]
-
-    def newton_at_ze(arr):
-        f0, f1, f2 = at(arr, 0), at(arr, 1), at(arr, 2)
-        df10, df21 = f1 - f0, f2 - f1
-        return f0 + df10 / safe(dx10) * (ze - x0) \
-            + (dx10 * df21 - dx21 * df10) / safe(dx20 * dx21 * dx10) \
-            * (ze - x1) * (ze - x0)
-
-    t_at = newton_at_ze(T)
-    s_at = newton_at_ze(S_)
-    bulk_0, bulk_pz, bulk_pz2, rhopot = eos.eos_components(t_at, s_at, seq)
-    rho = bulk_0 + ze * (bulk_pz + ze * bulk_pz2)
-    rho_at = rho * rhopot / (rho + 0.1 * ze * float(seq)) - density_0
-
     gx = mesh.gradient_sca[:, 0:3]
     gy = mesh.gradient_sca[:, 3:6]
-    aux_x = jnp.where(lmask, (rho_at * gx).sum(-1) * h * g / density_0, 0.0)
-    aux_y = jnp.where(lmask, (rho_at * gy).sum(-1) * h * g / density_0, 0.0)
+
+    # per-vertex unrolled stencil: [nl-1, E] temps (see the shchepetkin
+    # form for why the [nl-1, E, 3] layout is fatal on TPU)
+    sum_x = jnp.zeros_like(Z_e)
+    sum_y = jnp.zeros_like(Z_e)
+    for v, (env, b) in enumerate(_pgf_vertex_stencil(mesh)):
+        def at(arr, off, _env=env, _b=b):
+            lev = jnp.clip(_b + off, 0, nl - 2)
+            return jnp.take_along_axis(arr[:, _env], lev, axis=0)
+
+        x0, x1, x2 = at(Z3, 0), at(Z3, 1), at(Z3, 2)
+        dx10, dx21, dx20 = x1 - x0, x2 - x1, x2 - x0
+
+        def newton_at_ze(arr, _at=at, _x0=x0, _x1=x1,
+                         _d10=dx10, _d21=dx21, _d20=dx20):
+            f0, f1, f2 = _at(arr, 0), _at(arr, 1), _at(arr, 2)
+            df10, df21 = f1 - f0, f2 - f1
+            return f0 + df10 / safe(_d10) * (Z_e - _x0) \
+                + (_d10 * df21 - _d21 * df10) / safe(_d20 * _d21 * _d10) \
+                * (Z_e - _x1) * (Z_e - _x0)
+
+        t_at = newton_at_ze(T)
+        s_at = newton_at_ze(S_)
+        bulk_0, bulk_pz, bulk_pz2, rhopot = eos.eos_components(t_at, s_at,
+                                                               seq)
+        rho = bulk_0 + Z_e * (bulk_pz + Z_e * bulk_pz2)
+        rho_at = rho * rhopot / (rho + 0.1 * Z_e * float(seq)) - density_0
+        sum_x = sum_x + rho_at * gx[None, :, v]
+        sum_y = sum_y + rho_at * gy[None, :, v]
+
+    aux_x = jnp.where(lmask, sum_x * h * g / density_0, 0.0)
+    aux_y = jnp.where(lmask, sum_y * h * g / density_0, 0.0)
     pgf_x = jnp.cumsum(aux_x, 0) - 0.5 * aux_x
     pgf_y = jnp.cumsum(aux_y, 0) - 0.5 * aux_y
     return replace(state, pgf_x=jnp.where(lmask, pgf_x, 0.0),

@@ -36,19 +36,27 @@ h_ml = 2.5          # mixed-layer depth for the freezing/melting potential
 def _pack_tracers(ipk: IcepackState, ipc: IcepackConfig):
     """[F, N] advection work array (state_to_work,
     icedrv_advection.F90:719-767): per category aicen, vicen, vsnon,
-    aicen*Tsfc, per-layer ice/snow energies."""
+    aicen*Tsfc, per-layer ice/snow energies, then (if enabled) the
+    area-weighted and ice-volume-weighted aux tracers."""
     ncat, ni, ns = ipc.ncat, ipc.nilyr, ipc.nslyr
     ei = ipk.qin * (ipk.vicen / ni)[:, None, :]       # [ncat, ni, N]
     es = ipk.qsn * (ipk.vsnon / ns)[:, None, :]
     rows = [ipk.aicen, ipk.vicen, ipk.vsnon, ipk.aicen * ipk.Tsfcn]
-    stack = jnp.concatenate([jnp.stack(rows, 1),      # [ncat, 4, N]
-                             ei, es], axis=1)         # [ncat, 4+ni+ns, N]
-    return stack.reshape(ncat * (4 + ni + ns), -1)
+    blocks = [jnp.stack(rows, 1), ei, es]             # [ncat, 4+ni+ns, N]
+    nrow = 4 + ni + ns
+    if ipc.has_aux:
+        blocks.append(ipk.ta * ipk.aicen[:, None, :])
+        blocks.append(ipk.tv * ipk.vicen[:, None, :])
+        nrow += len(ipc.area_tracers) + len(ipc.vol_tracers)
+    stack = jnp.concatenate(blocks, axis=1)
+    return stack.reshape(ncat * nrow, -1)
 
 
 def _unpack_tracers(work, ipc: IcepackConfig) -> IcepackState:
     ncat, ni, ns = ipc.ncat, ipc.nilyr, ipc.nslyr
-    w = work.reshape(ncat, 4 + ni + ns, -1)
+    ka = len(ipc.area_tracers) if ipc.has_aux else 0
+    kv = len(ipc.vol_tracers) if ipc.has_aux else 0
+    w = work.reshape(ncat, 4 + ni + ns + ka + kv, -1)
     aicen = jnp.clip(w[:, 0], 0.0, 1.0)
     vicen = jnp.maximum(w[:, 1], 0.0)
     vsnon = jnp.maximum(w[:, 2], 0.0)
@@ -56,25 +64,54 @@ def _unpack_tracers(work, ipc: IcepackConfig) -> IcepackState:
     Tsfcn = jnp.where(has, w[:, 3] / jnp.maximum(aicen, c.puny), 0.0)
     Tsfcn = jnp.clip(Tsfcn, -100.0, 0.0)
     ei = w[:, 4:4 + ni]
-    es = w[:, 4 + ni:]
+    es = w[:, 4 + ni:4 + ni + ns]
     qin = jnp.where(has[:, None, :],
                     jnp.minimum(ei / jnp.maximum(
                         (vicen / ni)[:, None, :], c.puny), 0.0), 0.0)
     qsn = jnp.where((vsnon > c.puny)[:, None, :],
                     jnp.minimum(es / jnp.maximum(
                         (vsnon / ns)[:, None, :], c.puny), 0.0), 0.0)
+    ta = tv = None
+    if ipc.has_aux:
+        wa = w[:, 4 + ni + ns:4 + ni + ns + ka]
+        wv = w[:, 4 + ni + ns + ka:]
+        # FCT keeps each weighted field bounded but the ratio of two
+        # advected fields can over/undershoot by rounding: clamp to the
+        # per-tracer physical range (fractions to [0,1], depths/age >= 0)
+        frac_a = jnp.asarray(
+            [1.0 if n in ("apnd", "FY", "alvl") else jnp.inf
+             for n in ipc.area_tracers], w.dtype)[None, :, None]
+        frac_v = jnp.asarray(
+            [1.0 if n in ("vlvl",) else jnp.inf
+             for n in ipc.vol_tracers], w.dtype)[None, :, None]
+        ta = jnp.clip(jnp.where(
+            has[:, None, :],
+            wa / jnp.maximum(aicen[:, None, :], c.puny), 0.0), 0.0, frac_a)
+        tv = jnp.clip(jnp.where(
+            has[:, None, :],
+            wv / jnp.maximum(vicen[:, None, :], c.puny), 0.0), 0.0, frac_v)
     return IcepackState(aicen=aicen, vicen=vicen, vsnon=vsnon,
-                        Tsfcn=Tsfcn, qin=qin, qsn=qsn)
+                        Tsfcn=Tsfcn, qin=qin, qsn=qsn, ta=ta, tv=tv)
 
 
 def icepack_timestep(ipk: IcepackState, ice: IceState, mesh,
                      forcing: IceForcing, ocean: OceanSurface, cfg,
                      ipc: IcepackConfig, use_virt_salt: bool,
-                     ref_sss: float = 34.0, ref_sss_local: bool = False):
+                     ref_sss: float = 34.0, ref_sss_local: bool = False,
+                     yday=None):
     """One coupled icepack step.  Returns (IcepackState, IceState) — the
-    IceState carries aggregate fields, velocities and the ocean fluxes."""
+    IceState carries aggregate fields, velocities and the ocean fluxes.
+
+    yday: optional scalar day-of-year (traced) — enables the annual
+    first-year-ice reset when tr_FY is on."""
     dt = cfg.dt * cfg.ice.ice_ave_steps
     ncat, ni, ns = ipc.ncat, ipc.nilyr, ipc.nslyr
+    aux = ipc.has_aux
+    N = ipk.aicen.shape[1]
+    ta0 = ipk.ta if ipk.ta is not None \
+        else jnp.zeros((ncat, 0, N), ipk.aicen.dtype)
+    tv0 = ipk.tv if ipk.tv is not None \
+        else jnp.zeros((ncat, 0, N), ipk.aicen.dtype)
     sal = salinity_profile(ni)
     Tmlt = melt_temps(ni)
 
@@ -101,6 +138,13 @@ def icepack_timestep(ipk: IcepackState, ice: IceState, mesh,
 
     albedo, fswsfc, iabs, fswthru = ccsm3_shortwave(
         ipc, hi, hs, Tsf0, forcing.shortwave)
+    if ipc.tr_pond_cesm:
+        # pond-darkened surface albedo (the role dEdd plays for ponds)
+        from .ponds import pond_albedo_adjust
+        ia, ih = ipc.ta_index("apnd"), ipc.ta_index("hpnd")
+        albedo, fswsfc = pond_albedo_adjust(
+            ipc, albedo, fswsfc, ta0[:, ia], ta0[:, ih], hs,
+            forcing.shortwave)
 
     sol = temperature_solve(ipc, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
                             forcing.longwave, Ta, forcing.shum, ug, tf, dt,
@@ -125,6 +169,26 @@ def icepack_timestep(ipk: IcepackState, ice: IceState, mesh,
     qin = jnp.where(has[:, None, :], tc["qin"], ipk.qin)
     qsn = jnp.where(has[:, None, :], tc["qsn"], ipk.qsn)
 
+    # aux tracer point processes: pond evolution, aging, FY reset
+    if aux:
+        from . import ponds
+        if ipc.tr_pond_cesm:
+            apnd, hpnd = ponds.compute_ponds_cesm(
+                ipc, aicen, vicen, Tsfcn,
+                jnp.where(has, tc["meltt"], 0.0),
+                jnp.where(has, tc["melts"], 0.0),
+                ta0[:, ia], ta0[:, ih])
+            ta0 = ta0.at[:, ia].set(apnd).at[:, ih].set(hpnd)
+        if ipc.tr_iage:
+            iv = ipc.tv_index("iage")
+            tv0 = tv0.at[:, iv].set(
+                ponds.advance_age(tv0[:, iv], aicen, dt))
+        if ipc.tr_FY and yday is not None:
+            jf = ipc.ta_index("FY")
+            ta0 = ta0.at[:, jf].set(
+                ponds.reset_first_year(ta0[:, jf], mesh.geo_coords[:, 1],
+                                       yday))
+
     aw = jnp.where(has, a0, 0.0)                          # weights
     fresh_kg = (aw * tc["fresh"]).sum(0)                  # kg/m^2/s grid mean
     fsalt_kg = (aw * tc["fsalt"]).sum(0)
@@ -138,9 +202,14 @@ def icepack_timestep(ipk: IcepackState, ice: IceState, mesh,
     aice_mid = aicen.sum(0)
     pot = (tf - T_oc) * cc_ocean * h_ml / dt              # [W/m^2] +freezing
     frzmlt = jnp.maximum(pot, 0.0)
+    a_pre, v_pre = aicen, vicen
     (aicen, vicen, vsnon, Tsfcn, qin, qsn, dvfraz,
      fhocn_fraz) = add_new_ice(ipc, aicen, vicen, vsnon, Tsfcn, qin, qsn,
                                frzmlt, tf, dt)
+    if aux:
+        from . import ponds
+        ta0, tv0 = ponds.dilute_on_new_ice(ipc, ta0, tv0, a_pre, aicen,
+                                           v_pre, vicen)
     fresh_kg = fresh_kg - c.rhoi * dvfraz
     fsalt_kg = fsalt_kg - c.rhoi * dvfraz * c.ice_ref_salinity * 1e-3
     fhocn = fhocn + fhocn_fraz
@@ -154,12 +223,14 @@ def icepack_timestep(ipk: IcepackState, ice: IceState, mesh,
     fhocn = fhocn + dfh
 
     if ipc.kitd == 1:
-        aicen, vicen, vsnon, Tsfcn, qin, qsn = linear_itd(
-            a0, v0, aicen, vicen, vsnon, Tsfcn, qin, qsn, ipc.hin_max)
-    aicen, vicen, vsnon, Tsfcn, qin, qsn = rebin(
-        aicen, vicen, vsnon, Tsfcn, qin, qsn, ipc.hin_max)
-    (aicen, vicen, vsnon, Tsfcn, qin, qsn, dfr, dfs,
-     dfh) = cleanup_itd(aicen, vicen, vsnon, Tsfcn, qin, qsn, dt)
+        (aicen, vicen, vsnon, Tsfcn, qin, qsn, ta0, tv0) = linear_itd(
+            a0, v0, aicen, vicen, vsnon, Tsfcn, qin, qsn, ipc.hin_max,
+            ta=ta0, tv=tv0)
+    aicen, vicen, vsnon, Tsfcn, qin, qsn, ta0, tv0 = rebin(
+        aicen, vicen, vsnon, Tsfcn, qin, qsn, ipc.hin_max, ta=ta0, tv=tv0)
+    (aicen, vicen, vsnon, Tsfcn, qin, qsn, ta0, tv0, dfr, dfs,
+     dfh) = cleanup_itd(aicen, vicen, vsnon, Tsfcn, qin, qsn, dt,
+                        ta=ta0, tv=tv0)
     fresh_kg = fresh_kg + dfr
     fsalt_kg = fsalt_kg + dfs
     fhocn = fhocn + dfh
@@ -174,25 +245,34 @@ def icepack_timestep(ipk: IcepackState, ice: IceState, mesh,
 
     # ---------------- advection of category tracers -----------------------
     ipk2 = IcepackState(aicen=aicen, vicen=vicen, vsnon=vsnon, Tsfcn=Tsfcn,
-                        qin=qin, qsn=qsn)
+                        qin=qin, qsn=qsn,
+                        ta=ta0 if aux else None, tv=tv0 if aux else None)
     work = _pack_tracers(ipk2, ipc)
     work = fct_advect_fields(ice.u_ice, ice.v_ice, work, mesh,
                              cfg.ice.ice_gamma_fct, dt)
     ipk2 = _unpack_tracers(work, ipc)
     aicen, vicen, vsnon = ipk2.aicen, ipk2.vicen, ipk2.vsnon
     Tsfcn, qin, qsn = ipk2.Tsfcn, ipk2.qin, ipk2.qsn
+    if aux:
+        # conservative advection cannot create intensive values outside
+        # the donor range, but the ratio of two separately-FCT-advected
+        # fields can when the denominator is near puny: bound by the
+        # pre-advection global extremes per tracer
+        ta0 = jnp.minimum(ipk2.ta, ta0.max(axis=(0, 2))[None, :, None])
+        tv0 = jnp.minimum(ipk2.tv, tv0.max(axis=(0, 2))[None, :, None])
 
     # ---------------- ridging ---------------------------------------------
-    (aicen, vicen, vsnon, Tsfcn, qin, qsn, dfr,
+    (aicen, vicen, vsnon, Tsfcn, qin, qsn, ta0, tv0, dfr,
      dfh) = ridge_ice(ipc, aicen, vicen, vsnon, Tsfcn, qin, qsn,
-                      rdg_conv, rdg_shear, dt, ipc.hin_max)
+                      rdg_conv, rdg_shear, dt, ipc.hin_max, ta=ta0, tv=tv0)
     fresh_kg = fresh_kg + dfr
     fhocn = fhocn + dfh
 
-    aicen, vicen, vsnon, Tsfcn, qin, qsn = rebin(
-        aicen, vicen, vsnon, Tsfcn, qin, qsn, ipc.hin_max)
-    (aicen, vicen, vsnon, Tsfcn, qin, qsn, dfr, dfs,
-     dfh) = cleanup_itd(aicen, vicen, vsnon, Tsfcn, qin, qsn, dt)
+    aicen, vicen, vsnon, Tsfcn, qin, qsn, ta0, tv0 = rebin(
+        aicen, vicen, vsnon, Tsfcn, qin, qsn, ipc.hin_max, ta=ta0, tv=tv0)
+    (aicen, vicen, vsnon, Tsfcn, qin, qsn, ta0, tv0, dfr, dfs,
+     dfh) = cleanup_itd(aicen, vicen, vsnon, Tsfcn, qin, qsn, dt,
+                        ta=ta0, tv=tv0)
     fresh_kg = fresh_kg + dfr
     fsalt_kg = fsalt_kg + dfs
     fhocn = fhocn + dfh
@@ -240,5 +320,7 @@ def icepack_timestep(ipk: IcepackState, ice: IceState, mesh,
                   flice=(aw * tc["snoice"]).sum(0) / dt,
                   a_ice_old=a0.sum(0))
     ipk_out = IcepackState(aicen=aicen, vicen=vicen, vsnon=vsnon,
-                           Tsfcn=Tsfcn, qin=qin, qsn=qsn)
+                           Tsfcn=Tsfcn, qin=qin, qsn=qsn,
+                           ta=ta0 if aux else None,
+                           tv=tv0 if aux else None)
     return ipk_out, ice

@@ -76,12 +76,14 @@ def _mix(dst, w_dst, src, dw):
 
 def _transfer(state_n, state_m, da, dv):
     """Move (da area, dv ice volume) from category tuple state_n into
-    state_m.  Area-based tracers (Tsfc, snow volume+energy) move with
-    fa=da/a; ice energy moves with fv=dv/v.  Returns updated tuples.
+    state_m.  Area-based tracers (Tsfc, snow volume+energy, ta) move with
+    fa=da/a; ice-volume tracers (ice energy, tv) move with fv=dv/v.
+    Returns updated tuples.
 
-    state_* = (a, v, vs, Tsf, qin[nilyr,N], qsn[nslyr,N])."""
-    a_n, v_n, vs_n, t_n, qi_n, qs_n = state_n
-    a_m, v_m, vs_m, t_m, qi_m, qs_m = state_m
+    state_* = (a, v, vs, Tsf, qin[nilyr,N], qsn[nslyr,N],
+               ta[Ka,N], tv[Kv,N]) — ta/tv may be zero-size."""
+    a_n, v_n, vs_n, t_n, qi_n, qs_n, ta_n, tv_n = state_n
+    a_m, v_m, vs_m, t_m, qi_m, qs_m, ta_m, tv_m = state_m
 
     da = jnp.clip(da, 0.0, a_n * (1.0 - puny))
     dv = jnp.clip(dv, 0.0, v_n * (1.0 - puny))
@@ -96,20 +98,34 @@ def _transfer(state_n, state_m, da, dv):
     t_m2 = _mix(t_m, a_m, t_n, da)
     qi_m2 = _mix(qi_m, v_m[None], qi_n, dv[None])
     qs_m2 = _mix(qs_m, vs_m[None], qs_n, dvs[None])
+    ta_m2 = _mix(ta_m, a_m[None], ta_n, da[None])
+    tv_m2 = _mix(tv_m, v_m[None], tv_n, dv[None])
 
-    new_n = (a_n - da, v_n - dv, vs_n - dvs, t_n, qi_n, qs_n)
-    new_m = (a_m + da, v_m + dv, vs_m + dvs, t_m2, qi_m2, qs_m2)
+    new_n = (a_n - da, v_n - dv, vs_n - dvs, t_n, qi_n, qs_n, ta_n, tv_n)
+    new_m = (a_m + da, v_m + dv, vs_m + dvs, t_m2, qi_m2, qs_m2,
+             ta_m2, tv_m2)
     return new_n, new_m
 
 
-def _unpack(aicen, vicen, vsnon, Tsfcn, qin, qsn, n):
-    return (aicen[n], vicen[n], vsnon[n], Tsfcn[n], qin[n], qsn[n])
+def _aux_or_empty(ta, tv, like):
+    """Default zero-size aux stacks shaped [ncat, 0, N]."""
+    ncat, N = like.shape
+    if ta is None:
+        ta = jnp.zeros((ncat, 0, N), like.dtype)
+    if tv is None:
+        tv = jnp.zeros((ncat, 0, N), like.dtype)
+    return ta, tv
+
+
+def _unpack(aicen, vicen, vsnon, Tsfcn, qin, qsn, ta, tv, n):
+    return (aicen[n], vicen[n], vsnon[n], Tsfcn[n], qin[n], qsn[n],
+            ta[n], tv[n])
 
 
 def _pack(cats):
     """cats: list of per-category tuples -> stacked arrays."""
     outs = []
-    for k in range(6):
+    for k in range(8):
         outs.append(jnp.stack([c[k] for c in cats]))
     return tuple(outs)
 
@@ -149,12 +165,15 @@ def _integrate_g(g0, g1, hL, hR, x0, x1):
 
 
 def linear_itd(aicen_init, vicen_init, aicen, vicen, vsnon, Tsfcn, qin, qsn,
-               hin_max):
+               hin_max, ta=None, tv=None):
     """Linear remapping of the thickness distribution after thermodynamic
     growth/melt (kitd=1).  *_init are pre-thermo values; the remap moves
     ice across category boundaries displaced with the growth field.
 
-    Returns updated (aicen, vicen, vsnon, Tsfcn, qin, qsn)."""
+    Returns updated (aicen, vicen, vsnon, Tsfcn, qin, qsn[, ta, tv]) —
+    the aux stacks are returned iff one was passed."""
+    had_aux = ta is not None or tv is not None
+    ta, tv = _aux_or_empty(ta, tv, aicen)
     ncat = aicen.shape[0]
     hb = [jnp.asarray(hin_max[n], aicen.dtype) for n in range(ncat + 1)]
 
@@ -194,7 +213,7 @@ def linear_itd(aicen_init, vicen_init, aicen, vicen, vsnon, Tsfcn, qin, qsn,
         fits.append((g0, g1, hL, hR))
 
     # --- transfer across each fixed boundary -------------------------------
-    cats = [_unpack(aicen, vicen, vsnon, Tsfcn, qin, qsn, n)
+    cats = [_unpack(aicen, vicen, vsnon, Tsfcn, qin, qsn, ta, tv, n)
             for n in range(ncat)]
     for n in range(1, ncat):
         bnd = hb[n]
@@ -214,18 +233,21 @@ def linear_itd(aicen_init, vicen_init, aicen, vicen, vsnon, Tsfcn, qin, qsn,
         cats[n - 1], cats[n] = _transfer(cats[n - 1], cats[n], da_up, dv_up)
         cats[n], cats[n - 1] = _transfer(cats[n], cats[n - 1], da_dn, dv_dn)
 
-    return _pack(cats)
+    out = _pack(cats)
+    return out if had_aux else out[:6]
 
 
 # --------------------------------------------------------------------------
 # rebin — shift whole categories whose mean thickness escaped their bounds
 # --------------------------------------------------------------------------
-def rebin(aicen, vicen, vsnon, Tsfcn, qin, qsn, hin_max):
+def rebin(aicen, vicen, vsnon, Tsfcn, qin, qsn, hin_max, ta=None, tv=None):
     """Restore hin_max(n-1) <= vicen/aicen <= hin_max(n) by moving entire
     category contents to the neighbor (used after ridging and as the
     kitd=0 'delta-function' ITD)."""
+    had_aux = ta is not None or tv is not None
+    ta, tv = _aux_or_empty(ta, tv, aicen)
     ncat = aicen.shape[0]
-    cats = [_unpack(aicen, vicen, vsnon, Tsfcn, qin, qsn, n)
+    cats = [_unpack(aicen, vicen, vsnon, Tsfcn, qin, qsn, ta, tv, n)
             for n in range(ncat)]
 
     def hicen(c):
@@ -241,19 +263,22 @@ def rebin(aicen, vicen, vsnon, Tsfcn, qin, qsn, hin_max):
         da = jnp.where(move, cats[n][0], 0.0)
         dv = jnp.where(move, cats[n][1], 0.0)
         cats[n], cats[n - 1] = _transfer(cats[n], cats[n - 1], da, dv)
-    return _pack(cats)
+    out = _pack(cats)
+    return out if had_aux else out[:6]
 
 
 # --------------------------------------------------------------------------
 # cleanup: zap tiny categories, bound total area
 # --------------------------------------------------------------------------
-def cleanup_itd(aicen, vicen, vsnon, Tsfcn, qin, qsn, dt, sss=None):
+def cleanup_itd(aicen, vicen, vsnon, Tsfcn, qin, qsn, dt, sss=None,
+                ta=None, tv=None):
     """Zero categories with negligible area/volume, returning their water,
     salt and (negative) heat to the ocean flux accumulators; rescale area
     if the total exceeds 1 (cleanup_itd of icepack_itd).
 
-    Returns (arrays..., dfresh [kg/m^2/s], dfsalt [kg/m^2/s],
-    dfhocn [W/m^2])."""
+    Returns (arrays..., [ta, tv,] dfresh [kg/m^2/s], dfsalt [kg/m^2/s],
+    dfhocn [W/m^2]) — aux stacks appear iff one was passed."""
+    had_aux = ta is not None or tv is not None
     nilyr = qin.shape[1]
     nslyr = qsn.shape[1]
     zap = (aicen <= puny) | (vicen <= puny)
@@ -273,6 +298,10 @@ def cleanup_itd(aicen, vicen, vsnon, Tsfcn, qin, qsn, dt, sss=None):
     Tsfcn = jnp.where(keep, Tsfcn, 0.0)
     qin = jnp.where(keep[:, None, :], qin, 0.0)
     qsn = jnp.where(keep[:, None, :], qsn, 0.0)
+    if had_aux:
+        ta, tv = _aux_or_empty(ta, tv, aicen)
+        ta = jnp.where(keep[:, None, :], ta, 0.0)
+        tv = jnp.where(keep[:, None, :], tv, 0.0)
 
     # bound the total area at 1 by proportional reduction (thickness kept:
     # volume reduced with area, meltwater returned to the ocean)
@@ -286,4 +315,9 @@ def cleanup_itd(aicen, vicen, vsnon, Tsfcn, qin, qsn, dt, sss=None):
     aicen = aicen * scale
     vicen = vicen * scale
     vsnon = vsnon * scale
+    # aux tracers are intensive (per area / per volume): unchanged by the
+    # proportional area rescale
+    if had_aux:
+        return (aicen, vicen, vsnon, Tsfcn, qin, qsn, ta, tv,
+                dfresh, dfsalt, dfhocn)
     return aicen, vicen, vsnon, Tsfcn, qin, qsn, dfresh, dfsalt, dfhocn

@@ -70,11 +70,18 @@ def ice_strength(cfg, aicen, vicen):
 
 
 def ridge_ice(cfg, aicen, vicen, vsnon, Tsfcn, qin, qsn,
-              rdg_conv, rdg_shear, dt, hin_max):
+              rdg_conv, rdg_shear, dt, hin_max, ta=None, tv=None):
     """One ridging pass.  rdg_conv = -min(div,0), rdg_shear =
     0.5*(Delta-|div|), both [N, 1/s] from the rheology.
 
-    Returns (arrays..., dfresh, dfhocn) — snow crushed into the ocean."""
+    Aux tracers: ta [ncat,Ka,N] / tv [ncat,Kv,N] follow the donor losses;
+    on the ridged (receiving) portion each tracer is either conserved
+    (cfg.ta_ridge_keep / tv_ridge_keep True: FY, iage) or destroyed
+    (ponds drain, level ice becomes deformed ice).
+
+    Returns (arrays..., [ta, tv,] dfresh, dfhocn) — snow crushed into the
+    ocean; aux stacks appear iff one was passed."""
+    had_aux = ta is not None or tv is not None
     ncat = aicen.shape[0]
     nilyr, nslyr = qin.shape[1], qsn.shape[1]
     dtype = aicen.dtype
@@ -162,4 +169,28 @@ def ridge_ice(cfg, aicen, vicen, vsnon, Tsfcn, qin, qsn,
                * (1.0 - fsnowrdg) * fa).sum(0)
     dfresh = c.rhos * vs_lost / dt
     dfhocn = es_lost / dt
-    return a_new, v_new, vs_new, Tsf_new, qin_new, qsn_new, dfresh, dfhocn
+
+    if not had_aux:
+        return (a_new, v_new, vs_new, Tsf_new, qin_new, qsn_new,
+                dfresh, dfhocn)
+
+    if ta is None:
+        ta = jnp.zeros((ncat, 0, aicen.shape[1]), dtype)
+    if tv is None:
+        tv = jnp.zeros((ncat, 0, aicen.shape[1]), dtype)
+    keep_a = jnp.asarray([1.0 if k else 0.0 for k in cfg.ta_ridge_keep],
+                         dtype)[None, :, None] if ta.shape[1] else None
+    keep_v = jnp.asarray([1.0 if k else 0.0 for k in cfg.tv_ridge_keep],
+                         dtype)[None, :, None] if tv.shape[1] else None
+    if ta.shape[1]:
+        ta_gain = jnp.einsum("dkn,drn->rkn", ta, dA) * keep_a
+        ta = jnp.where(a_new[:, None, :] > c.puny,
+                       (ta * (aicen * keep)[:, None, :] + ta_gain)
+                       / jnp.maximum(a_new[:, None, :], c.puny), ta)
+    if tv.shape[1]:
+        tv_gain = jnp.einsum("dkn,drn->rkn", tv, dV) * keep_v
+        tv = jnp.where(v_new[:, None, :] > c.puny,
+                       (tv * (vicen * keep)[:, None, :] + tv_gain)
+                       / jnp.maximum(v_new[:, None, :], c.puny), tv)
+    return (a_new, v_new, vs_new, Tsf_new, qin_new, qsn_new, ta, tv,
+            dfresh, dfhocn)

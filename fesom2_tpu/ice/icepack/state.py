@@ -60,9 +60,53 @@ class IcepackConfig:
     # numerics
     niter_therm: int = 12         # outer Newton iterations of the BL99 solve
     ndtd: int = 1
+    # optional tracers (tracer_nml; reference ships the pond variant as
+    # config/namelist.icepack.cesm.ponds: trpnd=1, tr_pond_cesm)
+    tr_pond_cesm: bool = False    # CESM melt ponds (Holland et al. 2012)
+    tr_iage: bool = False         # ice age
+    tr_FY: bool = False           # first-year ice area
+    tr_lvl: bool = False          # level/deformed ice partition
+    # ponds_nml (namelist.icepack:71-79)
+    pndaspect: float = 0.8        # pond depth/area aspect delta_p
+    rfracmin: float = 0.15        # min meltwater retention fraction
+    rfracmax: float = 1.0         # max meltwater retention fraction
+    hi_min_pond: float = 0.1      # ponds removed on thinner ice [m]
+    dpthhi: float = 0.9           # max pond depth / ice thickness
+    Td_pond: float = 2.0          # refreeze onset below Timelt - Td [C]
+    rexp_pond: float = 0.01       # refreeze exponential rate
 
     def __post_init__(self):
         self.hin_max = category_bounds(self.ncat, self.kcatbound)
+        # stacked aux-tracer layouts: area-weighted ('ta') and ice-volume-
+        # weighted ('tv') names, in storage order
+        ta = []
+        tv = []
+        if self.tr_pond_cesm:
+            ta += ["apnd", "hpnd"]
+        if self.tr_FY:
+            ta += ["FY"]
+        if self.tr_lvl:
+            ta += ["alvl"]
+            tv += ["vlvl"]
+        if self.tr_iage:
+            tv += ["iage"]
+        self.area_tracers = tuple(ta)
+        self.vol_tracers = tuple(tv)
+        # ridging behavior: True = conserved into the ridged receiver,
+        # False = destroyed on the ridged portion (ponds drain, level ice
+        # becomes deformed; FY/age survive deformation)
+        self.ta_ridge_keep = tuple(n in ("FY",) for n in ta)
+        self.tv_ridge_keep = tuple(n in ("iage",) for n in tv)
+
+    def ta_index(self, name: str) -> int:
+        return self.area_tracers.index(name)
+
+    def tv_index(self, name: str) -> int:
+        return self.vol_tracers.index(name)
+
+    @property
+    def has_aux(self) -> bool:
+        return bool(self.area_tracers or self.vol_tracers)
 
 
 @jax.tree_util.register_dataclass
@@ -75,6 +119,11 @@ class IcepackState:
     Tsfcn: jnp.ndarray    # [ncat, N] surface temperature [C]
     qin: jnp.ndarray      # [ncat, nilyr, N] ice enthalpy density [J/m^3] (<0)
     qsn: jnp.ndarray      # [ncat, nslyr, N] snow enthalpy density [J/m^3] (<0)
+    # optional aux tracers (tracer_nml), stacked by IcepackConfig layout:
+    # ta [ncat, Ka, N] intensive per category AREA (apnd, hpnd, FY, alvl);
+    # tv [ncat, Kv, N] intensive per category ICE VOLUME (vlvl, iage)
+    ta: jnp.ndarray = None
+    tv: jnp.ndarray = None
 
 
 def salinity_profile(nilyr: int) -> np.ndarray:
@@ -144,6 +193,22 @@ def init_icepack_state(cfg: IcepackConfig, a_ice, m_ice, m_snow, Tsf,
     vicen = frac * m_ice[None]
     vsnon = frac * m_snow[None]
     has = aicen > c.puny
+    ta = tv = None
+    if cfg.has_aux:
+        # initial ice: no ponds, age 0, not first-year (climatological pack
+        # treated as multiyear), entirely level (undeformed)
+        init_a = {"apnd": 0.0, "hpnd": 0.0, "FY": 0.0, "alvl": 1.0}
+        init_v = {"vlvl": 1.0, "iage": 0.0}
+        if cfg.area_tracers:
+            ta = jnp.stack([jnp.where(has, init_a[n], 0.0).astype(dtype)
+                            for n in cfg.area_tracers], axis=1)
+        else:
+            ta = jnp.zeros((ncat, 0, N), dtype)
+        if cfg.vol_tracers:
+            tv = jnp.stack([jnp.where(has, init_v[n], 0.0).astype(dtype)
+                            for n in cfg.vol_tracers], axis=1)
+        else:
+            tv = jnp.zeros((ncat, 0, N), dtype)
     return IcepackState(
         aicen=aicen.astype(dtype),
         vicen=vicen.astype(dtype),
@@ -151,4 +216,5 @@ def init_icepack_state(cfg: IcepackConfig, a_ice, m_ice, m_snow, Tsf,
         Tsfcn=jnp.where(has, jnp.minimum(Tsf, 0.0)[None], 0.0).astype(dtype),
         qin=jnp.where(has[:, None, :], qi0[None], 0.0).astype(dtype),
         qsn=jnp.where(has[:, None, :], qs0[None], 0.0).astype(dtype),
+        ta=ta, tv=tv,
     )

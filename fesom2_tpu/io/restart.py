@@ -56,6 +56,10 @@ def write_restart(path: str, state: OceanState, ice=None, step: int = 0,
     if ipk is not None:
         for f in IPK_FIELDS:
             add("ipk_" + f, getattr(ipk, f))
+        for f in ("ta", "tv"):        # optional aux-tracer stacks
+            v = getattr(ipk, f, None)
+            if v is not None and v.shape[1] > 0:
+                add("ipk_" + f, v)
     write_dataset(path, dims, variables)
 
 
@@ -72,6 +76,9 @@ def read_restart(path: str, state: OceanState, ice=None, dtype=jnp.float64,
         names += ["ice_" + f for f in ICE_FIELDS]
     if ipk is not None:
         names += ["ipk_" + f for f in IPK_FIELDS]
+        names += ["ipk_" + f for f in ("ta", "tv")
+                  if getattr(ipk, f, None) is not None
+                  and getattr(ipk, f).shape[1] > 0]
     data = read_vars(path, names)
     up = {f: jnp.asarray(data[f], dtype) for f in OCE_FIELDS}
     up["step"] = jnp.asarray(int(data["step"][0]), jnp.int32)
@@ -91,8 +98,10 @@ def read_restart(path: str, state: OceanState, ice=None, dtype=jnp.float64,
             ice, **{f: jnp.asarray(data["ice_" + f], dtype)
                     for f in ICE_FIELDS})
     if ipk is not None:
-        ipk = dataclasses.replace(
-            ipk, **{f: jnp.asarray(data["ipk_" + f], dtype)
-                    for f in IPK_FIELDS})
+        up = {f: jnp.asarray(data["ipk_" + f], dtype) for f in IPK_FIELDS}
+        for f in ("ta", "tv"):
+            if "ipk_" + f in data:
+                up[f] = jnp.asarray(data["ipk_" + f], dtype)
+        ipk = dataclasses.replace(ipk, **up)
         return state, ice, ipk
     return state, ice

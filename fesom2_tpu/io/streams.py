@@ -53,18 +53,34 @@ class OutputStreams:
         self.bufs: Dict[str, _StreamBuf] = {d.name: _StreamBuf() for d in defs}
         self._acc = None             # device pytree of sums
         self._counts = [0] * len(defs)
+        self._init_fn = None         # jitted extract+copy / extract+add
+        self._add_fn = None
         self.async_write = async_write
         self._threads: List[threading.Thread] = []
         os.makedirs(result_path, exist_ok=True)
 
     # -- accumulate (device side) -----------------------------------------
-    def update_means(self, state, ice=None, extra=None):
-        vals = [d.extract(state, ice, extra) if d.wants_extra
+    def _extract_all(self, state, ice, extra):
+        return [d.extract(state, ice, extra) if d.wants_extra
                 else d.extract(state, ice) for d in self.defs]
+
+    def update_means(self, state, ice=None, extra=None):
+        # ONE jitted dispatch per step: extraction (slices/wheres) and the
+        # running sums fuse into a single device program.  The jit outputs
+        # are fresh buffers, so the accumulator never aliases state arrays
+        # (required: the run loop donates state buffers into the next step).
+        import jax
+        if self._init_fn is None:
+            self._init_fn = jax.jit(
+                lambda st, ic, ex: [jnp.asarray(v) for v in
+                                    self._extract_all(st, ic, ex)])
+            self._add_fn = jax.jit(
+                lambda acc, st, ic, ex: [a + v for a, v in
+                                         zip(acc, self._extract_all(st, ic, ex))])
         if self._acc is None:
-            self._acc = vals
+            self._acc = self._init_fn(state, ice, extra)
         else:
-            self._acc = [a + v for a, v in zip(self._acc, vals)]
+            self._acc = self._add_fn(self._acc, state, ice, extra)
         self._counts = [c + 1 for c in self._counts]
 
     # -- event-driven flush ------------------------------------------------
@@ -157,10 +173,14 @@ def default_ice_streams() -> List[StreamDef]:
     ]
 
 
-def default_icepack_streams() -> List[StreamDef]:
+def default_icepack_streams(ipc=None) -> List[StreamDef]:
     """Category fields of the icepack path (the enabled entries of
-    &nml_list_icepack, config/namelist.icepack:110-113)."""
-    return [
+    &nml_list_icepack, config/namelist.icepack:110-113); with an
+    IcepackConfig whose aux tracers are on, the pond/age/FY/level fields
+    (the commented 'pond_cesmn'/'iagen'/'FYn'... entries :121-136)."""
+    import jax.numpy as jnp
+
+    defs = [
         StreamDef("aicen", lambda s, i, p: p.aicen, wants_extra=True,
                   comment="category ice concentration"),
         StreamDef("vicen", lambda s, i, p: p.vicen, wants_extra=True,
@@ -170,3 +190,35 @@ def default_icepack_streams() -> List[StreamDef]:
         StreamDef("Tsfcn", lambda s, i, p: p.Tsfcn, wants_extra=True,
                   comment="category surface temperature"),
     ]
+    if ipc is None or not getattr(ipc, "has_aux", False):
+        return defs
+
+    def area_mean(idx):
+        def f(s, i, p, _k=idx):
+            a = p.aicen.sum(0)
+            return jnp.where(a > 1e-11,
+                             (p.aicen * p.ta[:, _k]).sum(0)
+                             / jnp.maximum(a, 1e-11), 0.0)
+        return f
+
+    def vol_mean(idx):
+        def f(s, i, p, _k=idx):
+            v = p.vicen.sum(0)
+            return jnp.where(v > 1e-11,
+                             (p.vicen * p.tv[:, _k]).sum(0)
+                             / jnp.maximum(v, 1e-11), 0.0)
+        return f
+
+    comments = {"apnd": "melt pond area fraction (of ice)",
+                "hpnd": "melt pond depth",
+                "FY": "first-year ice area fraction",
+                "alvl": "level ice area fraction",
+                "vlvl": "level ice volume fraction",
+                "iage": "ice age [s]"}
+    for k, name in enumerate(ipc.area_tracers):
+        defs.append(StreamDef(name, area_mean(k), wants_extra=True,
+                              comment=comments[name]))
+    for k, name in enumerate(ipc.vol_tracers):
+        defs.append(StreamDef(name, vol_mean(k), wants_extra=True,
+                              comment=comments[name]))
+    return defs

@@ -318,7 +318,8 @@ def coupled_step_impl(model: "Model", ice_update: bool = True):
     ocean_impl = model.step_impl()
     use_icepack = cfg.run.use_icepack
 
-    def step_impl(state, ice, ocean_forcing, ice_forcing, S, ipk=None):
+    def step_impl(state, ice, ocean_forcing, ice_forcing, S, ipk=None,
+                  yday=None):
         mesh = S["mesh"]
         surf = ice_cpl.ocean2ice(state, mesh)
         if not ice_update:
@@ -328,7 +329,7 @@ def coupled_step_impl(model: "Model", ice_update: bool = True):
             ipk, ice = icepack_timestep(
                 ipk, ice, mesh, ice_forcing, surf, cfg, cfg.icepack,
                 use_virt_salt, ref_sss=cfg.tra.ref_sss,
-                ref_sss_local=cfg.tra.ref_sss_local)
+                ref_sss_local=cfg.tra.ref_sss_local, yday=yday)
         else:
             ice = ice_step_mod.ice_timestep(
                 ice, mesh, ice_forcing, surf, cfg, use_virt_salt,
@@ -895,7 +896,11 @@ def pi_coupled_parts(model: Model, atm, ice_update: bool = True):
                                            mesh.geo_coords[:, 1])
             oce_forcing = replace(oce_forcing, ssh_gp=ssh_gp)
         if cfg.run.use_icepack:
-            return coupled(state, ice, oce_forcing, ice_forcing, S, ipk)
+            # fractional day-of-year for the icepack FY-tracer reset
+            yday = jnp.mod(cfg.clock.daynew - 1.0 + t_sec / 86400.0,
+                           365.0) + 1.0
+            return coupled(state, ice, oce_forcing, ice_forcing, S, ipk,
+                           yday=yday)
         return coupled(state, ice, oce_forcing, ice_forcing, S)
 
     SP_raw = dict(
@@ -906,13 +911,37 @@ def pi_coupled_parts(model: Model, atm, ice_update: bool = True):
     return step_impl, SP_raw
 
 
-def pi_coupled_step_fn(model: Model, atm, jit: bool = True):
+def pi_coupled_step_fn(model: Model, atm, jit: bool = True,
+                       donate: bool = False):
     """Full coupled step with on-device atmospheric forcing update.
 
     (state, ice, step_idx) -> (state, ice, ocean_forcing); model time =
     step_idx*dt measured from year start (clock offset of the CI run).
+
+    donate=True aliases the input state/ice buffers to the outputs
+    (jit donate_argnums) — halves state HBM and skips the output copy.
+    Only for drivers that never reuse a pre-step state (run loop, bench);
+    profiling/tests that re-call with the same state must keep False.
     """
     cfg = model.cfg
+    jkw = dict(donate_argnums=(0, 1)) if donate else {}
+
+    def dedup(state, ice):
+        # donation forbids the same buffer appearing twice in the donated
+        # args; the initial state aliases (tr_old=tr etc.), so copy any
+        # repeated leaf.  After the first step outputs are distinct, so
+        # this is a no-op in the hot loop.
+        if not donate:
+            return state, ice
+        seen = set()
+
+        def f(x):
+            if hasattr(x, "dtype"):
+                if id(x) in seen:
+                    return x.copy()
+                seen.add(id(x))
+            return x
+        return jax.tree.map(f, state), jax.tree.map(f, ice)
     step_impl, SP_raw = pi_coupled_parts(model, atm)
     bind = _statics_binder(SP_raw)
     # sequential ice stepping (ice_ave_steps > 1, fvom_main.F90:231-239):
@@ -927,25 +956,27 @@ def pi_coupled_step_fn(model: Model, atm, jit: bool = True):
     if not cfg.run.use_icepack:
         def step3_impl(state, ice, step_idx, SP):
             return step_impl(state, ice, step_idx, SP)
-        core3 = jax.jit(step3_impl) if jit else step3_impl
+        core3 = jax.jit(step3_impl, **jkw) if jit else step3_impl
         if ave > 1:
             def step3h_impl(state, ice, step_idx, SP):
                 return step_impl_hold(state, ice, step_idx, SP)
-            core3h = jax.jit(step3h_impl) if jit else step3h_impl
+            core3h = jax.jit(step3h_impl, **jkw) if jit else step3h_impl
 
         def step3(state, ice, step_idx):
             c = core3 if ave == 1 or (int(step_idx) + 1) % ave == 0 \
                 else core3h
+            state, ice = dedup(state, ice)
             return c(state, ice, step_idx,
                      bind(jax.tree.leaves(state)[0]))
         return step3
 
-    core = jax.jit(step_impl) if jit else step_impl
-    coreh = (jax.jit(step_impl_hold) if jit else step_impl_hold) \
+    core = jax.jit(step_impl, **jkw) if jit else step_impl
+    coreh = (jax.jit(step_impl_hold, **jkw) if jit else step_impl_hold) \
         if ave > 1 else None
 
     def step(state, ice, step_idx, ipk=None):
         c = core if ave == 1 or (int(step_idx) + 1) % ave == 0 else coreh
+        state, ice = dedup(state, ice)
         return c(state, ice, step_idx,
                  bind(jax.tree.leaves(state)[0]), ipk)
     return step

@@ -48,12 +48,15 @@ class RunTimers:
 def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
            dtype=jnp.float64, logfile_outfreq: int = 10,
            restart_every: Optional[int] = None, verbose: bool = True,
-           use_icepack: bool = False, model_atm=None):
+           use_icepack: bool = False, model_atm=None,
+           icepack_opts: Optional[dict] = None):
     """Run the coupled global pi configuration for n_steps (CI analog).
 
     use_icepack: multi-category column physics (the test_pi_icepack CI
-    setup analog).  model_atm: optional prebuilt (Model, AtmData) — the
-    mkrun path builds these from a reference setup.yml."""
+    setup analog).  icepack_opts: IcepackConfig overrides, e.g.
+    {'tr_pond_cesm': True} for the namelist.icepack.cesm.ponds variant.
+    model_atm: optional prebuilt (Model, AtmData) — the mkrun path builds
+    these from a reference setup.yml."""
     model, atm = model_atm if model_atm is not None \
         else setup_pi_model(dtype=dtype)
     state, ice = pi_initial_state(model, dtype=dtype)
@@ -63,14 +66,16 @@ def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
         from .ice.icepack import IcepackConfig, init_icepack_state
         from .io.streams import default_icepack_streams
         model.cfg.run.use_icepack = True
-        model.cfg.icepack = IcepackConfig()
+        model.cfg.icepack = IcepackConfig(**(icepack_opts or {}))
         ipk = init_icepack_state(model.cfg.icepack, ice.a_ice, ice.m_ice,
                                  ice.m_snow, ice.t_skin, dtype=dtype)
-        stream_defs += default_icepack_streams()
+        stream_defs += default_icepack_streams(model.cfg.icepack)
     os.makedirs(result_path, exist_ok=True)
     from .io.mesh_info import write_mesh_info
     write_mesh_info(result_path, model.mesh)   # ref fvom_main.F90 fresh runs
-    step = pi_coupled_step_fn(model, atm)
+    # the loop never reuses a pre-step state -> donate buffers (halves
+    # state HBM, skips output copies)
+    step = pi_coupled_step_fn(model, atm, donate=True)
     clock = Clock(0.0, 1, 1948)
     streams = OutputStreams(stream_defs, result_path)
     timers = RunTimers()

@@ -20,15 +20,26 @@ import jax
 import jax.numpy as jnp
 
 
+def _barrier(out):
+    """Hard completion barrier: a host transfer of a reduction of one
+    output leaf.  On the remote (axon) TPU backend block_until_ready can
+    return before execution finishes (see bench.py); device execution is
+    in-order, so draining one post-queued scalar read drains everything."""
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype"):
+            float(jnp.asarray(leaf).astype(jnp.float32).sum())
+            return
+
+
 def _time_fn(fn, args, n=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _barrier(out)
     out = fn(*args)                    # second call: caches warm
-    jax.block_until_ready(out)
+    _barrier(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _barrier(out)
     return (time.perf_counter() - t0) / n
 
 

@@ -291,3 +291,170 @@ def test_icepack_step_pi(pi_mesh, pi_icepack):
     ipk2, ice2 = step(ipk1, ice1)
     assert bool(jnp.isfinite(ipk2.vicen).all())
     assert bool(jnp.isfinite(ice2.net_heat_flux).all())
+
+
+# ---------------------------------------------------------------------------
+# aux tracers: CESM melt ponds, age, first-year, level-ice
+# (namelist.icepack.cesm.ponds variant; tracer_nml :31-38)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def ipc_aux():
+    return IcepackConfig(tr_pond_cesm=True, tr_iage=True, tr_FY=True,
+                         tr_lvl=True)
+
+
+def test_aux_layout(ipc_aux):
+    assert ipc_aux.area_tracers == ("apnd", "hpnd", "FY", "alvl")
+    assert ipc_aux.vol_tracers == ("vlvl", "iage")
+    assert ipc_aux.ta_ridge_keep == (False, False, True, False)
+    assert ipc_aux.tv_ridge_keep == (False, True)
+
+
+def test_ponds_grow_melt_and_refreeze(ipc_aux):
+    from fesom2_tpu.ice.icepack.ponds import compute_ponds_cesm
+    ncat, N = 5, 4
+    aicen = jnp.full((ncat, N), 0.15)
+    vicen = aicen * 1.5                       # 1.5 m ice everywhere
+    apnd = jnp.zeros((ncat, N))
+    hpnd = jnp.zeros((ncat, N))
+    meltt = jnp.full((ncat, N), 0.02)         # 2 cm top melt
+    melts = jnp.full((ncat, N), 0.01)
+    warm = jnp.zeros((ncat, N))               # Tsfc = 0: no refreeze
+    a1, h1 = compute_ponds_cesm(ipc_aux, aicen, vicen, warm, meltt, melts,
+                                apnd, hpnd)
+    assert float(a1.min()) > 0.0
+    # geometry: h = pndaspect * a  and V = a*h matches retained melt water
+    assert np.allclose(np.asarray(h1), ipc_aux.pndaspect * np.asarray(a1))
+    aice = float(aicen.sum(0)[0])
+    r = ipc_aux.rfracmin + (ipc_aux.rfracmax - ipc_aux.rfracmin) * aice
+    vol_exp = r * (0.02 * c.rhoi + 0.01 * c.rhos) / c.rhow
+    assert np.allclose(np.asarray(a1 * h1)[0], vol_exp, rtol=1e-6)
+
+    # cold surface shrinks the pond (exponential refreeze)
+    cold = jnp.full((ncat, N), -20.0)
+    a2, h2 = compute_ponds_cesm(ipc_aux, aicen, vicen, cold,
+                                jnp.zeros_like(meltt),
+                                jnp.zeros_like(melts), a1, h1)
+    assert float((a2 * h2).max()) < float((a1 * h1).min())
+
+    # thin ice carries no ponds
+    thin_v = aicen * 0.05
+    a3, h3 = compute_ponds_cesm(ipc_aux, aicen, thin_v, warm, meltt, melts,
+                                apnd, hpnd)
+    assert float(jnp.abs(a3).max()) == 0.0 and float(jnp.abs(h3).max()) == 0.0
+
+
+def test_pond_albedo_darkens(ipc_aux):
+    from fesom2_tpu.ice.icepack.ponds import pond_albedo_adjust
+    ncat, N = 5, 3
+    alb = jnp.full((ncat, N), 0.7)
+    fsw = jnp.full((ncat, N), 30.0)
+    sw = jnp.full(N, 100.0)
+    apnd = jnp.full((ncat, N), 0.4)
+    hpnd = jnp.full((ncat, N), 0.25)
+    hs = jnp.zeros((ncat, N))                 # snow-free
+    alb2, fsw2 = pond_albedo_adjust(ipc_aux, alb, fsw, apnd, hpnd, hs, sw)
+    assert float(alb2.max()) < 0.7            # ponds darken
+    # the albedo drop reappears exactly as absorbed shortwave
+    assert np.allclose(np.asarray(fsw2 - fsw),
+                       np.asarray((alb - alb2) * sw), rtol=1e-12)
+    # deep snow hides the ponds
+    alb3, _ = pond_albedo_adjust(ipc_aux, alb, fsw, apnd, hpnd,
+                                 jnp.full((ncat, N), 0.5), sw)
+    assert float(alb3.min()) > float(alb2.min())
+
+
+def test_aux_conserved_through_itd(ipc_aux, random_state):
+    st, a, hi = random_state
+    ncat = ipc_aux.ncat
+    N = st.aicen.shape[1]
+    rng = np.random.RandomState(7)
+    ta = jnp.asarray(rng.rand(ncat, len(ipc_aux.area_tracers), N))
+    tv = jnp.asarray(rng.rand(ncat, len(ipc_aux.vol_tracers), N))
+    ta = ta * (st.aicen > c.puny)[:, None, :]
+    tv = tv * (st.vicen > c.puny)[:, None, :]
+
+    # grow the ice a bit, then remap: area- and volume-weighted aux totals
+    # must be conserved by the boundary transfers
+    vic2 = st.vicen * 1.12
+    out = linear_itd(st.aicen, st.vicen, st.aicen, vic2, st.vsnon,
+                     st.Tsfcn, st.qin, st.qsn, ipc_aux.hin_max,
+                     ta=ta, tv=tv)
+    a2, v2, ta2, tv2 = out[0], out[1], out[6], out[7]
+    tot_a = np.asarray((ta * st.aicen[:, None, :]).sum(0))
+    tot_a2 = np.asarray((ta2 * a2[:, None, :]).sum(0))
+    assert np.allclose(tot_a, tot_a2, atol=1e-10)
+    tot_v = np.asarray((tv * vic2[:, None, :]).sum(0))
+    tot_v2 = np.asarray((tv2 * v2[:, None, :]).sum(0))
+    assert np.allclose(tot_v, tot_v2, atol=1e-10)
+
+    out = rebin(st.aicen, vic2, st.vsnon, st.Tsfcn, st.qin, st.qsn,
+                ipc_aux.hin_max, ta=ta, tv=tv)
+    a3, v3, ta3, tv3 = out[0], out[1], out[6], out[7]
+    assert np.allclose(np.asarray((ta3 * a3[:, None, :]).sum(0)), tot_a,
+                       atol=1e-10)
+    assert np.allclose(np.asarray((tv3 * v3[:, None, :]).sum(0)), tot_v,
+                       atol=1e-10)
+
+
+def test_ridging_destroys_ponds_keeps_fy(ipc_aux, random_state):
+    st, a, hi = random_state
+    ncat = ipc_aux.ncat
+    N = st.aicen.shape[1]
+    ta = jnp.zeros((ncat, len(ipc_aux.area_tracers), N))
+    ia = ipc_aux.ta_index("apnd")
+    jf = ipc_aux.ta_index("FY")
+    ta = ta.at[:, ia].set(0.3 * (st.aicen > c.puny))
+    ta = ta.at[:, jf].set(1.0 * (st.aicen > c.puny))
+    tv = jnp.zeros((ncat, len(ipc_aux.vol_tracers), N))
+    conv = jnp.full(N, 1e-6)
+    out = ridge_ice(ipc_aux, st.aicen, st.vicen, st.vsnon, st.Tsfcn,
+                    st.qin, st.qsn, conv, jnp.zeros(N), 3600.0,
+                    ipc_aux.hin_max, ta=ta, tv=tv)
+    a2, ta2 = out[0], out[6]
+    # pond area mass strictly decreases where ridging acted; FY area mass
+    # is conserved up to the (conserving) receiver mixing
+    pond0 = np.asarray((ta[:, ia] * st.aicen).sum(0))
+    pond2 = np.asarray((ta2[:, ia] * a2).sum(0))
+    assert (pond2 <= pond0 + 1e-12).all()
+    assert pond2.sum() < pond0.sum()
+    # FY area mass moves with the ridged area, which is compressed by
+    # 1/krdg: it may only shrink (never appear from nowhere)
+    fy0 = np.asarray((ta[:, jf] * st.aicen).sum(0))
+    fy2 = np.asarray((ta2[:, jf] * a2).sum(0))
+    assert (fy2 <= fy0 + 1e-10).all()
+    assert np.allclose(fy0, fy2, rtol=5e-3)   # compression loss is small
+
+
+def test_icepack_step_pi_with_aux(pi_mesh, pi_icepack):
+    cfg, _, _, ice, f, ocean = pi_icepack
+    ipc = IcepackConfig(tr_pond_cesm=True, tr_iage=True, tr_FY=True,
+                        tr_lvl=True)
+    glat = np.asarray(pi_mesh.geo_coords)[:, 1]
+    cold = np.abs(glat) > np.deg2rad(60.0)
+    north = glat > 0
+    m_ice = jnp.asarray(np.where(cold, np.where(north, 1.0, 2.0), 0.0))
+    m_snow = jnp.asarray(np.where(cold, np.where(north, 0.1, 0.5), 0.0))
+    a_ice = jnp.asarray(np.where(cold, 0.9, 0.0))
+    ipk = init_icepack_state(ipc, a_ice, m_ice, m_snow,
+                             jnp.asarray(np.where(cold, -10.0, 0.0)))
+    assert ipk.ta.shape[1] == 4 and ipk.tv.shape[1] == 2
+    step = jax.jit(lambda s, i: icepack_timestep(
+        s, i, pi_mesh, f, ocean, cfg, ipc, use_virt_salt=False,
+        yday=jnp.asarray(180.0)))
+    ipk1, ice1 = step(ipk, ice)
+    ipk2, ice2 = step(ipk1, ice1)
+    assert bool(jnp.isfinite(ipk2.ta).all())
+    assert bool(jnp.isfinite(ipk2.tv).all())
+    iv = ipc.tv_index("iage")
+    has = np.asarray(ipk2.aicen) > c.puny
+    # ice that persisted two steps aged by 2*dt
+    age = np.asarray(ipk2.tv[:, iv])
+    assert age[has].max() >= 2 * cfg.dt - 1e-6
+    ia, ih = ipc.ta_index("apnd"), ipc.ta_index("hpnd")
+    assert float(ipk2.ta[:, ia].min()) >= 0.0
+    assert float(ipk2.ta[:, ia].max()) <= 1.0 + 1e-9
+    assert float(ipk2.ta[:, ih].min()) >= 0.0
+    # level-ice fractions stay in [0, 1]
+    il = ipc.ta_index("alvl")
+    assert float(ipk2.ta[:, il].max()) <= 1.0 + 1e-9
