@@ -476,8 +476,9 @@ def calc_cvmix_kpp(state: OceanState, mesh: MeshTables, cfg, forcing,
 
     # ---- interior shear mixing + background (ref :262-296) ---------------
     s2 = _shear2(state)
+    from .kpp import guard_eps
     shearRi = jnp.where(interior, jnp.maximum(state.bvfreq, 0.0)
-                        / (s2 + 1e-40), 0.0)
+                        / (s2 + guard_eps(dtype)), 0.0)
     aux = (1.0 - jnp.minimum(shearRi / cv.kpp_Ri0, 1.0) ** 2) ** cv.kpp_loc_exp
     Av_i = jnp.where(interior, cv.kpp_Av0 * aux + cv.kpp_Avbckg, 0.0)
     Kv_i = jnp.where(interior, cv.kpp_Kv0 * aux, 0.0)
@@ -522,7 +523,7 @@ def calc_cvmix_kpp(state: OceanState, mesh: MeshTables, cfg, forcing,
     scaling = 1.0 - 0.5 * sle
     Rib = jnp.where(lmask,
                     -scaling * Zt * dbsurf
-                    / jnp.maximum(dvsurf2 + Vt2, 1e-40), 0.0)
+                    / jnp.maximum(dvsurf2 + Vt2, guard_eps(dtype)), 0.0)
 
     # ---- OBL depth: linear interpolation of Rib across Ri_crit -----------
     exceed = (Rib > cv.kpp_Rib_crit) & lmask

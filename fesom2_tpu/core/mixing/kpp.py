@@ -22,7 +22,6 @@ from ..state import OceanState, Forcing
 from .. import eos
 
 # constants (ref :48-74, :97-169)
-epsln = 1.0e-40
 epsilon_kpp = 0.1
 vonk = 0.4
 conc1 = 5.0
@@ -34,8 +33,22 @@ Riinfty = 0.8
 minmix = 3.0e-3
 
 
+def guard_eps(dtype):
+    """Division-guard epsilon for the KPP formulas.
+
+    The reference uses ``epsln = 1.0e-40`` (``oce_ale_mixing_kpp.F90:48``),
+    valid for its REAL*8.  In f32 that constant is SUBNORMAL — flushed to
+    zero on TPU — so every ``x/(y+epsln)`` guard becomes a divide-by-zero
+    (this NaN'd the round-2 benchmark in one step).  Keep the reference
+    value in f64 for numerical parity; use 1e-30 (comfortably normal, and
+    small enough that guarded quotients stay finite in f32) otherwise.
+    """
+    return 1.0e-40 if jnp.finfo(dtype).bits >= 64 else 1.0e-30
+
+
 def _wscale(zehat, us):
     """Turbulent velocity scales (wm, ws) — LMD94 eq. B1, analytic."""
+    epsln = guard_eps(jnp.result_type(zehat, us))
     u3 = us ** 3
     zeta = zehat / (u3 + epsln)
     stable_wm = vonk * us / (1.0 + conc1 * zeta)
@@ -52,6 +65,7 @@ def _wscale(zehat, us):
 
 def _ri_iwmix(state: OceanState, mesh: MeshTables, cfg):
     """Interior mixing from local shear instability (ref :732-844)."""
+    epsln = guard_eps(state.unode.dtype)
     Z3 = state.Z_3d
     dz = Z3[:-1] - Z3[1:]
     dz_inv = 1.0 / jnp.where(dz == 0, 1.0, dz)
@@ -143,6 +157,7 @@ def _ddmix(diffK, alpha, beta, state: OceanState, mesh: MeshTables):
 def oce_mixing_kpp(state: OceanState, mesh: MeshTables, cfg,
                    forcing: Forcing) -> OceanState:
     """Full KPP: interior Ri mixing + boundary-layer profile + enhancement."""
+    epsln = guard_eps(state.unode.dtype)
     nl, N = mesh.nl, mesh.n_nodes
     nln = mesh.nlevels_node
     lev = jnp.arange(nl)[:, None]

@@ -87,7 +87,11 @@ def mo_convect(state: OceanState, mesh: MeshTables, cfg,
                               state.mixlength)
         imask = (lev >= 1) & (lev <= (mesh.nlevels_node - 2)[None, :])
         in_ml = jnp.abs(state.zbar_3d) <= mixlength[None, :]
-        mo = jnp.where(imask & in_ml & apply_n[None, :], t.momix_kv, 0.0)
+        # build at the state dtype: a scalar-only where() is weak f64 under
+        # x64 and its element mean would silently promote Av to f64
+        mo = jnp.where(imask & in_ml & apply_n[None, :],
+                       jnp.asarray(t.momix_kv, Kv.dtype),
+                       jnp.asarray(0.0, Kv.dtype))
         Kv = Kv + mo
         # Av += elementwise mean of mo where mean element latitude qualifies
         mo_e = jnp.take(mo, mesh.elem_nodes, axis=-1).mean(-1)   # [nl, E]

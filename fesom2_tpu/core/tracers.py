@@ -649,7 +649,10 @@ def shortwave_penetration(shortwave, a_ice, zbar_3d, mesh: MeshTables,
     dheat [N] to ADD to heat_flux — the visible fraction is removed from the
     surface flux and deposited in depth instead). No penetration under ice.
     """
-    c = jnp.log10(jnp.maximum(chl_const, 0.02))
+    # compile-time Python constants (a jnp scalar chain here materializes
+    # as strong f64 under x64 and silently promotes the whole sw_3d field)
+    import math
+    c = math.log10(max(chl_const, 0.02))
     c2, c3, c4, c5 = c * c, c ** 3, c ** 4, c ** 5
     v1 = 0.008 * c + 0.132 * c2 + 0.038 * c3 - 0.017 * c4 - 0.007 * c5
     v2 = 0.679 - v1
