@@ -37,11 +37,18 @@ def pressure_force_linfs(state: OceanState, mesh: MeshTables) -> OceanState:
 
 
 def _pgf_vertex_stencil(mesh: MeshTables):
-    """Per-vertex 3-point vertical stencil base indices for the moving-
-    coordinate PGFs (ref oce_ale_pressure_bv.F90:2209-2296): for each
-    element vertex v, returns (env [E] node ids, b [nl-1, E] stencil base):
-    (k-1,k,k+1) interior, (k,k+1,k+2) at the surface, (k-2,k-1,k) where
-    the vertex column ends with the element's."""
+    """Per-vertex 3-point vertical stencil for the moving-coordinate PGFs
+    (ref oce_ale_pressure_bv.F90:2209-2296): stencil base b = k-1 in the
+    interior, k at the surface, k-2 where the vertex column ends with the
+    element's (then clipped into the column).
+
+    Returns, per element vertex v, ``(env [E] node ids, dm2, dm1)`` where
+    dm2/dm1 are [nl-1, E] masks selecting base offset d = b - k of -2 / -1
+    (else 0).  On every ACTIVE element layer d is exactly one of {-2,-1,0},
+    so the vertical stencil reads reduce to STATIC shifts of the gathered
+    column selected elementwise — no take_along_axis with per-element level
+    indices (a dynamic axis-0 gather on [nl-1, E] operands that dominated
+    the TPU step profile at 62%)."""
     nl = mesh.nl
     k = jnp.arange(nl - 1)[:, None]                        # [nl-1, 1]
     nle = (mesh.nlevels_elem - 1)[None, :]                 # [1, E]
@@ -53,8 +60,33 @@ def _pgf_vertex_stencil(mesh: MeshTables):
         bot_eq = jnp.logical_and(k == nle - 1, nln - 1 == k)
         b = jnp.where(bot_eq, k - 2, b)
         b = jnp.clip(b, 0, jnp.maximum(nln - 3, 0))
-        out.append((env, b))
+        # active layers (k <= nle-2 <= nln-2) give d in {-2,-1,0} exactly;
+        # deeper (masked) layers are clamped to keep the select total
+        d = jnp.clip(b - k, -2, 0)
+        out.append((env, d == -2, d == -1))
     return out
+
+
+def _shift_clamp(arr_e, j: int):
+    """[nl-1, E] -> the array vertically shifted by static offset j with
+    edge clamping: row k becomes row clip(k+j, 0, nl-2)."""
+    if j == 0:
+        return arr_e
+    if j > 0:
+        tail = jnp.broadcast_to(arr_e[-1:], (j,) + arr_e.shape[1:])
+        return jnp.concatenate([arr_e[j:], tail], 0)
+    head = jnp.broadcast_to(arr_e[:1], (-j,) + arr_e.shape[1:])
+    return jnp.concatenate([head, arr_e[:j]], 0)
+
+
+def _stencil_reads(arr_e, dm2, dm1):
+    """The 3 stencil values (base+0, base+1, base+2) of a gathered vertex
+    column, via 5 static shifts + 2-level selects (see _pgf_vertex_stencil)."""
+    s = {j: _shift_clamp(arr_e, j) for j in (-2, -1, 0, 1, 2)}
+    pick = lambda a, b, c: jnp.where(dm2, a, jnp.where(dm1, b, c))
+    return (pick(s[-2], s[-1], s[0]),
+            pick(s[-1], s[0], s[1]),
+            pick(s[0], s[1], s[2]))
 
 
 def pressure_force_zxxxx_shchepetkin(state: OceanState,
@@ -96,21 +128,19 @@ def pressure_force_zxxxx_shchepetkin(state: OceanState,
     drho_dy = jnp.zeros_like(Z_e)
     dz_dx = jnp.zeros_like(Z_e)
     dz_dy = jnp.zeros_like(Z_e)
-    for v, (env, b) in enumerate(_pgf_vertex_stencil(mesh)):
-        def at(arr, off, _env=env, _b=b):
-            lev = jnp.clip(_b + off, 0, nl - 2)
-            return jnp.take_along_axis(arr[:, _env], lev, axis=0)
-
-        x0, x1, x2 = at(Z3, 0), at(Z3, 1), at(Z3, 2)
-        f0, f1, f2 = at(rho, 0), at(rho, 1), at(rho, 2)
+    for v, (env, dm2, dm1) in enumerate(_pgf_vertex_stencil(mesh)):
+        # ONE planar gather per field per vertex; the vertical stencil is
+        # static shifts + selects (no dynamic axis-0 gather)
+        rho_v = rho[:, env]
+        z_v = Z3[:, env]
+        x0, x1, x2 = _stencil_reads(z_v, dm2, dm1)
+        f0, f1, f2 = _stencil_reads(rho_v, dm2, dm1)
         dx10, dx21, dx20 = x1 - x0, x2 - x1, x2 - x0
         df10, df21 = f1 - f0, f2 - f1
         drho_dz = drho_dz + df10 / safe(dx10) \
             + (dx10 * df21 - dx21 * df10) / safe(dx20 * dx21 * dx10) \
             * ((Z_e - x1) + (Z_e - x0))
         # along-layer gradients of density and of the layer depth itself
-        rho_v = rho[:, env]
-        z_v = Z3[:, env]
         drho_dx = drho_dx + rho_v * gx[None, :, v]
         drho_dy = drho_dy + rho_v * gy[None, :, v]
         dz_dx = dz_dx + z_v * gx[None, :, v]
@@ -159,17 +189,13 @@ def pressure_force_easypgf(state: OceanState, mesh: MeshTables,
     # form for why the [nl-1, E, 3] layout is fatal on TPU)
     sum_x = jnp.zeros_like(Z_e)
     sum_y = jnp.zeros_like(Z_e)
-    for v, (env, b) in enumerate(_pgf_vertex_stencil(mesh)):
-        def at(arr, off, _env=env, _b=b):
-            lev = jnp.clip(_b + off, 0, nl - 2)
-            return jnp.take_along_axis(arr[:, _env], lev, axis=0)
-
-        x0, x1, x2 = at(Z3, 0), at(Z3, 1), at(Z3, 2)
+    for v, (env, dm2, dm1) in enumerate(_pgf_vertex_stencil(mesh)):
+        x0, x1, x2 = _stencil_reads(Z3[:, env], dm2, dm1)
         dx10, dx21, dx20 = x1 - x0, x2 - x1, x2 - x0
 
-        def newton_at_ze(arr, _at=at, _x0=x0, _x1=x1,
+        def newton_at_ze(arr, _env=env, _dm2=dm2, _dm1=dm1, _x0=x0, _x1=x1,
                          _d10=dx10, _d21=dx21, _d20=dx20):
-            f0, f1, f2 = _at(arr, 0), _at(arr, 1), _at(arr, 2)
+            f0, f1, f2 = _stencil_reads(arr[:, _env], _dm2, _dm1)
             df10, df21 = f1 - f0, f2 - f1
             return f0 + df10 / safe(_d10) * (Z_e - _x0) \
                 + (_d10 * df21 - _d21 * df10) / safe(_d20 * _d21 * _d10) \

@@ -103,10 +103,15 @@ def pressure_bv(state: OceanState, mesh: MeshTables, cfg, density_ref) -> OceanS
     rho = rho * rhopot / (rho + 0.1 * Z3 * sef) - density_ref   # [nl-1, N]
     rho = jnp.where(mesh.node_layer_mask, rho, 0.0)
 
-    # surface row per column: 0 in open ocean, ulevels-1 under a cavity
+    # surface row per column: 0 in open ocean, ulevels-1 under a cavity;
+    # without cavities ulevels==1 everywhere, so the dynamic row gather
+    # reduces to a static slice (cfg.run.use_cavity is a compile-time flag)
     uln0 = (mesh.ulevels_node - 1).astype(jnp.int32)
     lay3 = jnp.arange(mesh.nl - 1)[:, None]
-    top = lambda a: jnp.take_along_axis(a, uln0[None, :], 0)[0]
+    if cfg.run.use_cavity:
+        top = lambda a: jnp.take_along_axis(a, uln0[None, :], 0)[0]
+    else:
+        top = lambda a: a[0]
 
     # buoyancy difference vs surface (for KPP bldepth, ref :222-231):
     # surface water brought adiabatically to the local depth
@@ -148,7 +153,8 @@ def pressure_bv(state: OceanState, mesh: MeshTables, cfg, density_ref) -> OceanS
     # first interior, bottom interface nzmax <- nzmax-1 (per column)
     nln = mesh.nlevels_node
     lev = jnp.arange(mesh.nl)[:, None]
-    srf_val = jnp.take_along_axis(bvfreq, (uln0 + 1)[None, :], axis=0)
+    srf_val = bvfreq[1:2] if not cfg.run.use_cavity else \
+        jnp.take_along_axis(bvfreq, (uln0 + 1)[None, :], axis=0)
     bvfreq = jnp.where(lev == uln0[None, :], srf_val, bvfreq)
     bot_val = jnp.take_along_axis(bvfreq, (nln - 2)[None, :].astype(jnp.int32), axis=0)
     bvfreq = jnp.where(lev == (nln - 1)[None, :], bot_val, bvfreq)
