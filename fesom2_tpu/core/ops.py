@@ -63,6 +63,16 @@ def halo_fix_elems(x: jnp.ndarray) -> jnp.ndarray:
     return _DIST_CTX.exchange_elems(x)
 
 
+def halo_accumulate_nodes(x: jnp.ndarray) -> jnp.ndarray:
+    """ADD halo-slot contributions of x [..., n_loc] into their owners and
+    refresh halos (identity outside a dist context).  The reverse direction
+    of halo_fix_nodes — for operators (block-Schwarz combine) whose local
+    application writes partial sums at halo slots."""
+    if _DIST_CTX is None:
+        return x
+    return _DIST_CTX.accumulate_nodes(x)
+
+
 def node_sum(v: jnp.ndarray):
     """Global sum of a node field: plain sum single-device; owned-masked
     psum over the device mesh under a dist context (halo copies and padding

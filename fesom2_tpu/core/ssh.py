@@ -24,6 +24,7 @@ import numpy as np
 
 from ..constants import g
 from ..mesh import MeshTables
+from . import ops
 from .ops import scalar_gradient, edge_divergence, pcg, elem_mean_node
 from .state import OceanState, Forcing
 
@@ -288,7 +289,9 @@ class BlockSchwarz:
         contrib = jnp.where(self.node_slot_valid,
                             jnp.take(flat2, self.node_slots, axis=-1)[0],
                             0.0)                                   # [N, S]
-        return contrib.sum(-1)
+        # distributed: boundary blocks write partial sums at halo slots;
+        # accumulate them into the owners (identity single-device)
+        return ops.halo_accumulate_nodes(contrib.sum(-1))
 
 
 def build_block_schwarz(mesh: MeshTables, cfg, block_size: int = 256,
@@ -367,6 +370,100 @@ def build_block_schwarz(mesh: MeshTables, cfg, block_size: int = 256,
 
     return BlockSchwarz(jnp.asarray(block_ids, jnp.int32),
                         jnp.asarray(inv_blocks, dtype),
+                        jnp.asarray(node_slots, jnp.int32),
+                        jnp.asarray(node_valid))
+
+
+def build_block_schwarz_local(mesh: MeshTables, cfg, S: int,
+                              node_l2g: np.ndarray, node_g2l: np.ndarray,
+                              n_own: int, n_loc: int,
+                              block_size: int = 256,
+                              dtype=None) -> BlockSchwarz:
+    """Stacked [S, ...] per-shard BlockSchwarz on the [owned | halo] local
+    numbering — the distributed counterpart of :func:`build_block_schwarz`
+    and the pARMS-RAS role for the PARALLEL solve (the reference solves the
+    SSH system with a restricted-additive-Schwarz-preconditioned Krylov
+    method across ranks, ``psolve.c:16-115``, ``lib/parms/src/parms_pc_ras.c``).
+
+    Each shard's owned nodes are geometrically sub-partitioned into blocks
+    of ~block_size; each block is extended by its matrix 1-ring (contained
+    in owned+halo by the layout closure) and inverted densely.  Blocks are
+    combined with GLOBAL partition-of-unity weights (overlap counts over
+    ALL shards' blocks), so the summed operator is a symmetric additive
+    Schwarz preconditioner and CG remains valid.  Boundary blocks write
+    contributions at halo slots; BlockSchwarz.__call__ routes them to the
+    owners through ops.halo_accumulate_nodes.
+    """
+    import scipy.sparse as sp
+    from ..parallel.partition import _partition_numpy, _sphere_xyz
+
+    if dtype is None:
+        dtype = mesh.zbar.dtype
+    rows, cols, vals, N = ssh_sparse_coo(mesh, cfg)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(N, N)).tocsr()
+    A.sum_duplicates()
+    A.eliminate_zeros()
+    dead = np.asarray(np.abs(A).sum(1)).ravel() == 0
+    if dead.any():
+        A = (A + sp.diags(dead.astype(float))).tocsr()
+    indptr, indices = A.indptr, A.indices
+    xyz = np.asarray(_sphere_xyz(mesh))
+
+    shard_blocks = []
+    for s in range(S):
+        own = node_l2g[s, :n_own]
+        own = own[own >= 0]
+        nparts = max(1, int(round(len(own) / block_size)))
+        p = np.asarray(_partition_numpy(xyz[own], np.ones(len(own)), nparts))
+        blocks = []
+        for b in range(int(p.max()) + 1):
+            ids = own[p == b]
+            if ids.size == 0:
+                continue
+            ring = np.unique(indices[np.concatenate(
+                [np.arange(indptr[i], indptr[i + 1]) for i in ids])])
+            blocks.append(np.unique(np.concatenate([ids, ring])))
+        shard_blocks.append(blocks)
+
+    counts = np.zeros(N)
+    for blocks in shard_blocks:
+        for ids in blocks:
+            counts[ids] += 1
+    wsqrt = 1.0 / np.sqrt(np.maximum(counts, 1.0))
+
+    nb = max(len(b) for b in shard_blocks)
+    K = max(1, max((len(ids) for blocks in shard_blocks for ids in blocks),
+                   default=1))
+    bi = np.full((S, nb, K), -1, np.int64)
+    inv = np.zeros((S, nb, K, K))
+    memb = [[[] for _ in range(n_loc)] for _ in range(S)]
+    for s in range(S):
+        g2l = node_g2l[s]
+        for b, ids in enumerate(shard_blocks[s]):
+            loc = g2l[ids]
+            if (loc < 0).any():
+                raise AssertionError(
+                    "block 1-ring escaped the shard halo closure")
+            n = len(ids)
+            bi[s, b, :n] = loc
+            w = wsqrt[ids]
+            Abinv = np.linalg.inv(A[np.ix_(ids, ids)].toarray())
+            inv[s, b, :n, :n] = w[:, None] * Abinv * w[None, :]
+            if n < K:
+                inv[s, b, n:, n:] = np.eye(K - n)
+            for pth, l in enumerate(loc):
+                memb[s][l].append(b * K + pth)
+        for b in range(len(shard_blocks[s]), nb):
+            inv[s, b] = np.eye(K)
+    R = max(1, max(len(m) for sm in memb for m in sm))
+    node_slots = np.zeros((S, n_loc, R), np.int64)
+    node_valid = np.zeros((S, n_loc, R), bool)
+    for s in range(S):
+        for nid, m in enumerate(memb[s]):
+            node_slots[s, nid, :len(m)] = m
+            node_valid[s, nid, :len(m)] = True
+    return BlockSchwarz(jnp.asarray(bi, jnp.int32),
+                        jnp.asarray(inv, dtype),
                         jnp.asarray(node_slots, jnp.int32),
                         jnp.asarray(node_valid))
 

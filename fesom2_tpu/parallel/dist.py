@@ -69,6 +69,14 @@ class HaloSchedule:
     elem_send: jnp.ndarray    # [S, S, Me] i32
     elem_src: jnp.ndarray     # [S, He] i32
     own_node_f: jnp.ndarray   # [S, n_loc] 1.0 at real owned node slots
+    # reverse (halo -> owner accumulation) tables, the exchange_nod
+    # "sum-into-owner" direction used by the distributed block-Schwarz
+    # preconditioner combine (pARMS-RAS role):
+    node_rev_pack: jnp.ndarray    # [S, S*Mn] i32: halo-slot index (into the
+    #                               halo sub-array) to place at each flat
+    #                               send position, or -1
+    node_rev_gather: jnp.ndarray  # [S, n_own, R] i32: flat recv positions
+    #                               (d*Mn+m) contributing to each owned slot
     n_own_node: int = dataclasses.field(metadata=dict(static=True))
     n_own_elem: int = dataclasses.field(metadata=dict(static=True))
 
@@ -84,6 +92,8 @@ class DistContext:
         self.elem_send = sched.elem_send
         self.elem_src = sched.elem_src
         self.own_node_f = sched.own_node_f    # [n_loc]
+        self.node_rev_pack = sched.node_rev_pack      # [S*Mn]
+        self.node_rev_gather = sched.node_rev_gather  # [n_own, R]
         self.n_own_node = sched.n_own_node
         self.n_own_elem = sched.n_own_elem
 
@@ -109,6 +119,33 @@ class DistContext:
     def exchange_elems(self, x):
         return self._exchange(x, self.elem_send, self.elem_src,
                               self.n_own_elem)
+
+    def accumulate_nodes(self, x):
+        """Reverse exchange: ADD halo-slot contributions of x [..., n_loc]
+        into their owners' slots, then refresh halos owner-consistent.
+
+        This is the 'sum into owner' direction of exchange_nod (the
+        reference accumulates remote assembly contributions through the
+        same channel); used by the distributed block-Schwarz combine whose
+        boundary blocks write contributions at halo slots."""
+        n_own = self.n_own_node
+        halo = x[..., n_own:]
+        pv = self.node_rev_pack >= 0                       # [S*M]
+        buf = jnp.take(halo, jnp.where(pv, self.node_rev_pack, 0), axis=-1)
+        zero = jnp.zeros((), x.dtype)
+        buf = jnp.where(pv, buf, zero)
+        S = self.node_send.shape[0]
+        buf = buf.reshape(buf.shape[:-1] + (S, -1))        # [..., S, M]
+        recv = jax.lax.all_to_all(buf, self.axis,
+                                  split_axis=buf.ndim - 2,
+                                  concat_axis=buf.ndim - 2)
+        rf = recv.reshape(recv.shape[:-2] + (-1,))         # [..., S*M]
+        gv = self.node_rev_gather >= 0                     # [n_own, R]
+        add = jnp.take(rf, jnp.where(gv, self.node_rev_gather, 0), axis=-1)
+        add = jnp.where(gv, add, zero).sum(-1)             # [..., n_own]
+        owned = x[..., :n_own] + add
+        full = jnp.concatenate([owned, halo], axis=-1)
+        return self.exchange_nodes(full)
 
     def gsum_nodes(self, v):
         """Owned-masked global sum of a [..., n_loc] node field.
@@ -142,6 +179,7 @@ class DistLayout:
     mesh_local: MeshTables        # stacked [S, ...] local meshes
     st_local: TracerStatics       # stacked localized tracer statics (or None)
     diag_inv_local: jnp.ndarray   # stacked Jacobi preconditioner [S, n_loc]
+    block_pc_local: object = None  # stacked per-shard BlockSchwarz (or None)
 
 
 def _pad_rows(rows, width, fill=-1, dtype=np.int64):
@@ -307,12 +345,36 @@ def build_layout(mesh: MeshTables, S: int, st: TracerStatics = None,
     for s in range(S):
         own_node_f[s, :len(own_nodes[s])] = 1.0
 
+    # reverse-exchange tables (halo -> owner accumulation; see
+    # DistContext.accumulate_nodes): invert src for packing and transpose
+    # send for the per-owned-slot receive gather
+    Mn = node_send.shape[2]
+    rev_pack = np.full((S, S * Mn), -1, np.int64)
+    for d in range(S):
+        for h in range(node_src.shape[1]):
+            if node_src[d, h] >= 0:
+                rev_pack[d, node_src[d, h]] = h
+    ref_lists = [[[] for _ in range(n_own)] for _ in range(S)]
+    for s in range(S):
+        for d in range(S):
+            for m in range(Mn):
+                i = node_send[s, d, m]
+                if i >= 0:
+                    ref_lists[s][i].append(d * Mn + m)
+    R = max(1, max(len(r) for rl in ref_lists for r in rl))
+    rev_gather = np.full((S, n_own, R), -1, np.int64)
+    for s in range(S):
+        for i, r in enumerate(ref_lists[s]):
+            rev_gather[s, i, :len(r)] = r
+
     sched = HaloSchedule(
         node_send=jnp.asarray(node_send, jnp.int32),
         node_src=jnp.asarray(node_src, jnp.int32),
         elem_send=jnp.asarray(elem_send, jnp.int32),
         elem_src=jnp.asarray(elem_src, jnp.int32),
         own_node_f=jnp.asarray(own_node_f, mesh.zbar.dtype),
+        node_rev_pack=jnp.asarray(rev_pack, jnp.int32),
+        node_rev_gather=jnp.asarray(rev_gather, jnp.int32),
         n_own_node=n_own, n_own_elem=e_own)
 
     # ---- local meshes ------------------------------------------------------
@@ -418,15 +480,19 @@ def build_layout(mesh: MeshTables, S: int, st: TracerStatics = None,
             nboundary_lay=jnp.asarray(np.stack(nb_rows), jnp.int32),
             Ki=jnp.asarray(np.stack(ki_rows), st.Ki.dtype))
 
-    # ---- Jacobi preconditioner on the local numbering ----------------------
+    # ---- SSH preconditioners on the local numbering ------------------------
     diag_local = None
+    block_pc_local = None
     if cfg is not None:
-        from ..core.ssh import ssh_matrix_diagonal
+        from ..core.ssh import ssh_matrix_diagonal, build_block_schwarz_local
         diag = np.asarray(ssh_matrix_diagonal(mesh, cfg))
         dinv = np.where(diag > 0, 1.0 / np.where(diag > 0, diag, 1.0), 0.0)
         diag_local = jnp.asarray(
             np.stack([slice_rows(dinv, node_l2g[s], 0.0) for s in range(S)]),
             mesh.zbar.dtype)
+        block_pc_local = build_block_schwarz_local(
+            mesh, cfg, S, node_l2g, node_g2l, n_own, n_loc,
+            dtype=mesh.zbar.dtype)
 
     return DistLayout(
         S=S, part=part, n_own=n_own, n_loc=n_loc, e_own=e_own, e_loc=e_loc,
@@ -434,7 +500,7 @@ def build_layout(mesh: MeshTables, S: int, st: TracerStatics = None,
         node_l2g=node_l2g, elem_l2g=elem_l2g, edge_l2g=edge_l2g,
         node_from=node_from, elem_from=elem_from, sched=sched,
         mesh_local=mesh_local, st_local=st_local,
-        diag_inv_local=diag_local)
+        diag_inv_local=diag_local, block_pc_local=block_pc_local)
 
 
 # --------------------------------------------------------------------------
@@ -536,9 +602,10 @@ def dist_shard_map(fn, dev_mesh: Mesh):
 def _dist_statics(model, SP_raw, layout: DistLayout):
     """Localize a statics pytree, replacing the global mesh / tracer
     statics / SSH preconditioning with their per-shard forms.  The dense
-    inverse, block-Schwarz and ring operators are single-device
-    formulations; distributed SSH runs matrix-free CG with the local
-    Jacobi diagonal (pARMS-role solve over the device mesh)."""
+    inverse and ring operators are single-device formulations; distributed
+    SSH runs matrix-free CG preconditioned by the per-shard block-Schwarz
+    (pARMS-RAS role, built on the [owned|halo] numbering) with the Jacobi
+    diagonal as fallback."""
     S_dict = dict(SP_raw["S"])
     S_dict["mesh"] = None
     S_dict["st"] = None
@@ -553,15 +620,17 @@ def _dist_statics(model, SP_raw, layout: DistLayout):
     SP_loc["S"]["mesh"] = layout.mesh_local
     SP_loc["S"]["st"] = layout.st_local
     SP_loc["S"]["diag_inv"] = layout.diag_inv_local
+    SP_loc["S"]["block_pc"] = layout.block_pc_local
     return SP_loc
 
 
-def prepare_dist_model(model):
-    """Switch a Model's solver choices to the distributed formulation
-    (matrix-free CG; no EVP subdomain restriction).  Must run BEFORE
-    building step functions — the impl closes over these flags."""
+def prepare_dist_model(model, layout: DistLayout = None):
+    """Switch a Model's solver choices to the distributed formulation.
+    Must run BEFORE building step functions — the impl closes over these
+    flags.  The SSH preconditioner becomes the layout's per-shard
+    block-Schwarz (plain Jacobi CG if the layout carries none)."""
     model.ssh_dense_inv = None
-    model.ssh_block_pc = None
+    model.ssh_block_pc = layout.block_pc_local if layout is not None else None
     model.ssh_ring = None
     model.ice_submesh = None
     return model
@@ -575,9 +644,12 @@ def dist_layout_for_model(model, S: int, part=None) -> DistLayout:
 def dist_step_fn(model, layout: DistLayout, jit_compile: bool = True):
     """Distributed ocean-only step: (state_d, forcing_d) -> state_d, all
     arguments stacked per-shard [S, ...] (see localize_tree)."""
-    prepare_dist_model(model)
-    impl = model.step_impl()
+    prepare_dist_model(model, layout)
+    impl = model.step_impl()        # closes over use_block=True
     SP_loc = _dist_statics(model, {"S": model.statics()}, layout)["S"]
+    # restore single-device usability: the stacked PC must not leak into a
+    # later model.statics() / step_fn() built from the same Model
+    model.ssh_block_pc = None
     dev = device_mesh(layout.S)
 
     def wrapped(state, forcing, S):
@@ -602,9 +674,10 @@ def dist_pi_coupled_step_fn(model, atm, layout: DistLayout,
     runs per-shard under shard_map with explicit packed halo exchanges,
     replacing round 1's naive GSPMD full-field collectives."""
     from ..model import pi_coupled_parts
-    prepare_dist_model(model)
+    prepare_dist_model(model, layout)
     step_impl, SP_raw = pi_coupled_parts(model, atm)
     SP_loc = _dist_statics(model, SP_raw, layout)
+    model.ssh_block_pc = None       # see dist_step_fn
     dev = device_mesh(layout.S)
     smapped = dist_shard_map(step_impl, dev)
     core = jax.jit(smapped) if jit_compile else smapped
