@@ -190,8 +190,17 @@ def _pad_rows(rows, width, fill=-1, dtype=np.int64):
 
 
 def build_layout(mesh: MeshTables, S: int, st: TracerStatics = None,
-                 part: np.ndarray = None, cfg=None) -> DistLayout:
-    """Partition + renumber + build local meshes and exchange schedules."""
+                 part: np.ndarray = None, cfg=None,
+                 n_part=None) -> DistLayout:
+    """Partition + renumber + build local meshes and exchange schedules.
+
+    ``n_part=(hosts, chips)`` selects the TOPOLOGY-AWARE two-level
+    partition (ICI/DCN analog of the reference's &machine n_levels/n_part,
+    ``gen_modules_config.F90:96-98``, ``fort_part.c:137-300``): nodes are
+    first split into ``hosts`` coarse groups, each group into ``chips``
+    shards; shard id = host*chips + chip, so consecutive shard ranges map
+    onto consecutive devices (ICI domains) and only coarse-group halo
+    traffic crosses DCN.  Requires hosts*chips == S."""
     en = np.asarray(mesh.elem_nodes).astype(np.int64)
     edges = np.asarray(mesh.edges).astype(np.int64)
     etri = np.asarray(mesh.edge_tri).astype(np.int64)
@@ -207,8 +216,17 @@ def build_layout(mesh: MeshTables, S: int, st: TracerStatics = None,
     N, E, Ed = mesh.n_nodes, mesh.n_elems, mesh.n_edges
     n_in = mesh.n_edges_in
 
+    host_of_node = None
     if part is None:
-        part = partition_nodes(mesh, S)
+        if n_part is not None:
+            hosts, chips = (1, n_part) if isinstance(n_part, int) \
+                else (int(n_part[0]), int(n_part[1]))
+            if hosts * chips != S:
+                raise ValueError(f"n_part {n_part} != S={S}")
+            from .partition import partition_nodes_hierarchical
+            part, host_of_node = partition_nodes_hierarchical(mesh, n_part)
+        else:
+            part = partition_nodes(mesh, S)
     part = np.asarray(part, np.int64)
     elem_owner = part[en[:, 0]]
 
@@ -636,9 +654,12 @@ def prepare_dist_model(model, layout: DistLayout = None):
     return model
 
 
-def dist_layout_for_model(model, S: int, part=None) -> DistLayout:
+def dist_layout_for_model(model, S: int, part=None,
+                          n_part=None) -> DistLayout:
+    """n_part=(hosts, chips): topology-aware hierarchical partition so
+    heavy halo pairs stay inside each host's ICI domain (see build_layout)."""
     return build_layout(model.mesh, S, st=model.tracer_statics, part=part,
-                        cfg=model.cfg)
+                        cfg=model.cfg, n_part=n_part)
 
 
 def dist_step_fn(model, layout: DistLayout, jit_compile: bool = True):

@@ -186,6 +186,54 @@ def test_dist_coupled_matches(pi_model, layout):
             f"ice {name}: {np.abs(a - b).max() / scale:.2e}"
 
 
+def test_hierarchical_layout(pi_model, layout):
+    """Topology-aware (hosts, chips) partition (&machine n_levels/n_part
+    analog, gen_modules_config.F90:96-98): the inter-GROUP edge cut — the
+    traffic that would cross DCN — must be smaller than grouping the flat
+    partition's shards arbitrarily, and the layout must run the dist ocean
+    step to single-device agreement."""
+    from fesom2_tpu.parallel.partition import edge_cut
+    model, _ = pi_model
+    mesh = model.mesh
+    hosts, chips = 2, 4
+    lay_h = dist.dist_layout_for_model(model, S, n_part=(hosts, chips))
+    edges = np.asarray(mesh.edges)
+
+    def group_cut(part, host_of_shard):
+        ga = host_of_shard[part[edges[:, 0]]]
+        gb = host_of_shard[part[edges[:, 1]]]
+        return int((ga != gb).sum())
+
+    nested = np.arange(S) // chips
+    interleaved = np.arange(S) % hosts
+    cut_h = group_cut(lay_h.part, nested)
+    # vs an arbitrary (interleaved) shard->host placement of the flat
+    # partition: the topology-aware layout must keep far more halo pairs
+    # intra-host.  (The flat RCB ids are already recursion-nested, so the
+    # nested grouping of the flat partition is the fair lower baseline.)
+    cut_bad = group_cut(layout.part, interleaved)
+    cut_flat_nested = group_cut(layout.part, nested)
+    total_cut = int((lay_h.part[edges[:, 0]] != lay_h.part[edges[:, 1]]).sum())
+    assert cut_h < cut_bad, f"hierarchical {cut_h} vs arbitrary {cut_bad}"
+    assert cut_h <= cut_flat_nested
+    assert cut_h < total_cut / 2, "most halo traffic must stay intra-host"
+    # each shard nonempty
+    assert len(np.unique(lay_h.part)) == S
+
+    state, _ = pi_initial_state(model)
+    forcing = zero_forcing(model.mesh, jnp.float64)
+    ref = model.step_fn()(state, forcing)
+    dstep = dist.dist_step_fn(model, lay_h)
+    out = dist.gather_tree(
+        dstep(dist.localize_tree(state, lay_h),
+              dist.localize_tree(forcing, lay_h)), lay_h)
+    for name in ("eta", "tr", "u"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        scale = max(np.abs(a).max(), 1e-12)
+        assert np.abs(a - b).max() / scale < 5e-8, name
+
+
 def test_dist_block_schwarz_pc(pi_model, layout):
     """The distributed SSH preconditioner (pARMS-RAS role, psolve.c:16-115):
     per-shard block-Schwarz on the [owned|halo] numbering must (a) converge
