@@ -77,8 +77,17 @@ class HaloSchedule:
     #                               send position, or -1
     node_rev_gather: jnp.ndarray  # [S, n_own, R] i32: flat recv positions
     #                               (d*Mn+m) contributing to each owned slot
-    n_own_node: int = dataclasses.field(metadata=dict(static=True))
-    n_own_elem: int = dataclasses.field(metadata=dict(static=True))
+    # OPTIONAL ice-subdomain node exchange (EVP polar-cap restriction under
+    # dist): same structure on the subdomain numbering.  exchange_nodes
+    # dispatches on the trailing-axis size (sub_total != n_loc by padding).
+    sub_send: jnp.ndarray = None  # [S, S, Ms] i32
+    sub_src: jnp.ndarray = None   # [S, Hs] i32
+    n_own_node: int = dataclasses.field(default=0,
+                                        metadata=dict(static=True))
+    n_own_elem: int = dataclasses.field(default=0,
+                                        metadata=dict(static=True))
+    n_own_sub: int = dataclasses.field(default=0,
+                                       metadata=dict(static=True))
 
 
 class DistContext:
@@ -96,6 +105,12 @@ class DistContext:
         self.node_rev_gather = sched.node_rev_gather  # [n_own, R]
         self.n_own_node = sched.n_own_node
         self.n_own_elem = sched.n_own_elem
+        self.n_loc = sched.own_node_f.shape[-1]
+        self.sub_send = sched.sub_send
+        self.sub_src = sched.sub_src
+        self.n_own_sub = sched.n_own_sub
+        self.sub_total = (sched.n_own_sub + sched.sub_src.shape[-1]
+                          if sched.sub_src is not None else -1)
 
     def _exchange(self, x, send, src, n_own):
         """x [..., n_own + H]: one packed all_to_all halo refresh."""
@@ -113,6 +128,12 @@ class DistContext:
         return jnp.concatenate([x[..., :n_own], halo], axis=-1)
 
     def exchange_nodes(self, x):
+        # EVP on the per-shard ice subdomain assembles on sub-sized arrays;
+        # route those through the subdomain schedule (sizes are kept
+        # distinct by construction, see _build_ice_sub_local)
+        if x.shape[-1] == self.sub_total:
+            return self._exchange(x, self.sub_send, self.sub_src,
+                                  self.n_own_sub)
         return self._exchange(x, self.node_send, self.node_src,
                               self.n_own_node)
 
@@ -180,6 +201,7 @@ class DistLayout:
     st_local: TracerStatics       # stacked localized tracer statics (or None)
     diag_inv_local: jnp.ndarray   # stacked Jacobi preconditioner [S, n_loc]
     block_pc_local: object = None  # stacked per-shard BlockSchwarz (or None)
+    ice_sub_local: object = None   # stacked per-shard IceSubdomain (or None)
 
 
 def _pad_rows(rows, width, fill=-1, dtype=np.int64):
@@ -187,6 +209,136 @@ def _pad_rows(rows, width, fill=-1, dtype=np.int64):
     for i, r in enumerate(rows):
         out[i, :len(r)] = r
     return out
+
+
+def _build_ice_sub_local(mesh, lat_deg, S, part, node_l2g, elem_l2g,
+                         n_own, n_loc, e_loc, ed_loc, locals_, build_sched):
+    """Per-shard EVP polar-cap subdomain (ice/subdomain.py restricted to
+    each shard's local numbering) + its halo-exchange schedule.
+
+    Membership is decided on the GLOBAL subdomain (|lat| > lat_deg cap
+    elements + their node closure) so every shard agrees on which nodes
+    are in the cap; the per-shard tables are the local [owned|halo] slots
+    of those entities, padded to uniform static sizes.  Sub-sized arrays
+    are kept size-distinct from n_loc/e_loc/ed_loc so the DistContext can
+    dispatch halo exchanges on the trailing-axis size."""
+    from ..constants import rad
+    from ..ice.subdomain import IceSubdomain
+
+    N = mesh.n_nodes
+    glat = np.abs(np.asarray(mesh.geo_coords)[:, 1]) / rad
+    seed = glat > lat_deg
+    en_g = np.asarray(mesh.elem_nodes)
+    emask_g = seed[en_g].any(1)
+    node_in_sub = np.zeros(N, bool)
+    node_in_sub[np.unique(en_g[emask_g])] = True
+
+    own_subs, halo_subs, esubs = [], [], []
+    for s in range(S):
+        nl2g = node_l2g[s]
+        ins = (nl2g >= 0) & node_in_sub[np.clip(nl2g, 0, None)]
+        own_subs.append(np.nonzero(ins[:n_own])[0])
+        halo_subs.append(np.nonzero(ins[n_own:])[0] + n_own)
+        el2g = elem_l2g[s]
+        ine = (el2g >= 0) & emask_g[np.clip(el2g, 0, None)]
+        esubs.append(np.nonzero(ine)[0])
+
+    n_own_sub = max(len(x) for x in own_subs)
+    n_halo_sub = max(len(x) for x in halo_subs) + 1   # >=1 pad slot
+    Ns = n_own_sub + n_halo_sub
+    while Ns in (n_loc, e_loc, ed_loc):
+        Ns += 1
+        n_halo_sub += 1
+    Es = max(len(x) for x in esubs) + 1
+    while Es in (n_loc, e_loc, ed_loc, Ns):
+        Es += 1
+
+    dummy_node, dummy_elem = n_loc - 1, e_loc - 1
+    sub_nodes = np.full((S, Ns), dummy_node, np.int64)   # local slot ids
+    sub_l2g = np.full((S, Ns), -1, np.int64)             # global node ids
+    sub_g2l = np.full((S, N), -1, np.int64)
+    sub_elems = np.full((S, Es), dummy_elem, np.int64)
+    node_mask = np.zeros((S, n_loc), bool)
+    en_sub = np.full((S, Es, 3), Ns - 1, np.int64)       # pad -> pad slot
+    nie_rows, slot_rows = [], []
+    stat = {k: np.zeros((S, Es), locals_[0][k].dtype)
+            for k in ("metric_factor", "elem_area")}
+    stat["gradient_sca"] = np.zeros((S, Es, 6),
+                                    locals_[0]["gradient_sca"].dtype)
+    nstat = {k: np.zeros((S, Ns), locals_[0][k].dtype)
+             for k in ("coriolis_node", "bc_index_node")}
+    area = np.zeros((S, 1, Ns), locals_[0]["area"].dtype)
+
+    for s in range(S):
+        o, h, e = own_subs[s], halo_subs[s], esubs[s]
+        sub_nodes[s, :len(o)] = o
+        sub_nodes[s, n_own_sub:n_own_sub + len(h)] = h
+        sub_l2g[s, :len(o)] = node_l2g[s][o]
+        sub_l2g[s, n_own_sub:n_own_sub + len(h)] = node_l2g[s][h]
+        v = sub_l2g[s] >= 0
+        sub_g2l[s, sub_l2g[s, v]] = np.nonzero(v)[0]
+        sub_elems[s, :len(e)] = e
+        node_mask[s, o] = True
+        node_mask[s, h] = True
+        # local slot -> sub slot
+        m = np.full(n_loc, -1, np.int64)
+        m[o] = np.arange(len(o))
+        m[h] = n_own_sub + np.arange(len(h))
+        ens = m[locals_[s]["elem_nodes"][e]]
+        if (ens < 0).any():
+            raise AssertionError("sub element vertex outside sub node set")
+        en_sub[s, :len(e)] = ens
+        for k in ("metric_factor", "elem_area"):
+            stat[k][s, :len(e)] = locals_[s][k][e]
+        stat["gradient_sca"][s, :len(e)] = locals_[s]["gradient_sca"][e]
+        for k in ("coriolis_node", "bc_index_node"):
+            nstat[k][s] = np.where(sub_l2g[s] >= 0,
+                                   locals_[s][k][sub_nodes[s]], 0.0)
+        area[s, 0] = np.where(sub_l2g[s] >= 0,
+                              locals_[s]["area"][0][sub_nodes[s]], 0.0)
+        # node->element incidence on the sub numbering (tables.py pattern)
+        num = np.zeros(Ns, np.int64)
+        for j in range(3):
+            np.add.at(num, ens[:, j], 1)
+        Ks = max(1, int(num.max()))
+        nie = np.full((Ns, Ks), -1, np.int64)
+        inodes = ens.T.ravel()
+        ielems = np.tile(np.arange(len(e)), 3)
+        order = np.argsort(inodes, kind="stable")
+        offs = np.zeros(Ns + 1, np.int64)
+        np.cumsum(num, out=offs[1:])
+        pos = np.arange(3 * len(e)) - offs[inodes[order]]
+        nie[inodes[order], pos] = ielems[order]
+        safe = np.where(nie >= 0, nie, 0)
+        slot = np.argmax(ens[safe] == np.arange(Ns)[:, None, None], axis=-1)
+        nie_rows.append(nie)
+        slot_rows.append(slot)
+
+    K = max(r.shape[1] for r in nie_rows)
+    nie_all = np.full((S, Ns, K), -1, np.int64)
+    slot_all = np.zeros((S, Ns, K), np.int64)
+    for s in range(S):
+        nie_all[s, :, :nie_rows[s].shape[1]] = nie_rows[s]
+        slot_all[s, :, :slot_rows[s].shape[1]] = slot_rows[s]
+
+    sub_send, sub_src = build_sched(part, sub_l2g, sub_g2l, n_own_sub, Ns)
+
+    f32 = mesh.gradient_sca.dtype
+    ice_sub = IceSubdomain(
+        sub_nodes=jnp.asarray(sub_nodes, jnp.int32),
+        sub_elems=jnp.asarray(sub_elems, jnp.int32),
+        node_mask=jnp.asarray(node_mask),
+        elem_nodes=jnp.asarray(en_sub, jnp.int32),
+        nod_in_elem=jnp.asarray(nie_all, jnp.int32),
+        nod_in_elem_slot=jnp.asarray(slot_all, jnp.int32),
+        gradient_sca=jnp.asarray(stat["gradient_sca"], f32),
+        metric_factor=jnp.asarray(stat["metric_factor"], f32),
+        elem_area=jnp.asarray(stat["elem_area"], f32),
+        area=jnp.asarray(area, f32),
+        coriolis_node=jnp.asarray(nstat["coriolis_node"], f32),
+        bc_index_node=jnp.asarray(nstat["bc_index_node"], f32),
+        n_elems=int(Es), n_nodes=int(Ns))
+    return ice_sub, sub_send, sub_src, n_own_sub
 
 
 def build_layout(mesh: MeshTables, S: int, st: TracerStatics = None,
@@ -512,13 +664,26 @@ def build_layout(mesh: MeshTables, S: int, st: TracerStatics = None,
             mesh, cfg, S, node_l2g, node_g2l, n_own, n_loc,
             dtype=mesh.zbar.dtype)
 
+    # ---- per-shard ice subdomain (EVP polar-cap restriction) ---------------
+    ice_sub_local = None
+    sub_lat = getattr(cfg.ice, "evp_subdomain_lat", None) \
+        if cfg is not None else None
+    if sub_lat is not None:
+        ice_sub_local, sub_send, sub_src, n_own_sub = _build_ice_sub_local(
+            mesh, sub_lat, S, part, node_l2g, elem_l2g, n_own, n_loc,
+            e_loc, ed_loc, locals_, build_sched)
+        sched = dataclasses.replace(
+            sched, sub_send=jnp.asarray(sub_send, jnp.int32),
+            sub_src=jnp.asarray(sub_src, jnp.int32), n_own_sub=n_own_sub)
+
     return DistLayout(
         S=S, part=part, n_own=n_own, n_loc=n_loc, e_own=e_own, e_loc=e_loc,
         ed_loc=ed_loc, sizes=(N, E, Ed),
         node_l2g=node_l2g, elem_l2g=elem_l2g, edge_l2g=edge_l2g,
         node_from=node_from, elem_from=elem_from, sched=sched,
         mesh_local=mesh_local, st_local=st_local,
-        diag_inv_local=diag_local, block_pc_local=block_pc_local)
+        diag_inv_local=diag_local, block_pc_local=block_pc_local,
+        ice_sub_local=ice_sub_local)
 
 
 # --------------------------------------------------------------------------
@@ -639,6 +804,7 @@ def _dist_statics(model, SP_raw, layout: DistLayout):
     SP_loc["S"]["st"] = layout.st_local
     SP_loc["S"]["diag_inv"] = layout.diag_inv_local
     SP_loc["S"]["block_pc"] = layout.block_pc_local
+    SP_loc["S"]["ice_sub"] = layout.ice_sub_local
     return SP_loc
 
 
@@ -686,14 +852,19 @@ def dist_step_fn(model, layout: DistLayout, jit_compile: bool = True):
 
 
 def dist_pi_coupled_step_fn(model, atm, layout: DistLayout,
-                            jit_compile: bool = True):
+                            jit_compile: bool = True,
+                            donate: bool = False):
     """Distributed coupled ocean+ice step on the pi configuration:
     (state_d, ice_d, step_idx) -> (state_d, ice_d, forcing_d).
 
     This is the real multi-device execution path: the coupled model —
-    EVP subcycling (120 exchanges), ice FCT, tracer FCT, CG SSH solve —
-    runs per-shard under shard_map with explicit packed halo exchanges,
-    replacing round 1's naive GSPMD full-field collectives."""
+    EVP subcycling (120 exchanges) on the per-shard polar-cap subdomain,
+    ice FCT, tracer FCT, block-Schwarz CG SSH solve — runs per-shard
+    under shard_map with explicit packed halo exchanges, replacing
+    round 1's naive GSPMD full-field collectives.
+
+    donate=True aliases the per-shard state/ice buffers to the outputs
+    (same contract as pi_coupled_step_fn donate)."""
     from ..model import pi_coupled_parts
     prepare_dist_model(model, layout)
     step_impl, SP_raw = pi_coupled_parts(model, atm)
@@ -701,11 +872,26 @@ def dist_pi_coupled_step_fn(model, atm, layout: DistLayout,
     model.ssh_block_pc = None       # see dist_step_fn
     dev = device_mesh(layout.S)
     smapped = dist_shard_map(step_impl, dev)
-    core = jax.jit(smapped) if jit_compile else smapped
+    jkw = dict(donate_argnums=(1, 2)) if donate else {}
+    core = jax.jit(smapped, **jkw) if jit_compile else smapped
+
+    def dedup(tree):
+        if not donate:
+            return tree
+        seen = set()
+
+        def f(x):
+            if hasattr(x, "dtype"):
+                if id(x) in seen:
+                    return x.copy()
+                seen.add(id(x))
+            return x
+        return jax.tree.map(f, tree)
 
     def step(state_d, ice_d, step_idx):
         ks = jnp.broadcast_to(jnp.asarray(step_idx, jnp.int32),
                               (layout.S,))
+        state_d, ice_d = dedup((state_d, ice_d))
         return core(layout.sched, state_d, ice_d, ks, SP_loc)
 
     return step
