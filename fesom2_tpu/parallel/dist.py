@@ -82,12 +82,33 @@ class HaloSchedule:
     # dispatches on the trailing-axis size (sub_total != n_loc by padding).
     sub_send: jnp.ndarray = None  # [S, S, Ms] i32
     sub_src: jnp.ndarray = None   # [S, Hs] i32
+    # neighbor-wise exchange (replaces the dense S x S all_to_all on the
+    # forward path): edge-colored ppermute rounds with PER-PAIR-sized
+    # buffers.  round r: [S, M_r] send-index table; received buffers are
+    # concatenated and one gather (halo_src) scatters them to halo slots.
+    # The payload per shard is its actual boundary size (O(sqrt(S)) pairs)
+    # instead of S*M (gen_halo_exchange.F90's per-neighbor datatypes are
+    # the reference precedent).
+    node_round_send: tuple = ()   # tuple of [S, M_r] i32
+    node_halo_src: jnp.ndarray = None   # [S, Hn] i32 into concat'd recv
+    elem_round_send: tuple = ()
+    elem_halo_src: jnp.ndarray = None
+    sub_round_send: tuple = ()
+    sub_halo_src: jnp.ndarray = None
     n_own_node: int = dataclasses.field(default=0,
                                         metadata=dict(static=True))
     n_own_elem: int = dataclasses.field(default=0,
                                         metadata=dict(static=True))
     n_own_sub: int = dataclasses.field(default=0,
                                        metadata=dict(static=True))
+    # static per-round ppermute permutations: tuple (per entity kind) of
+    # tuples of ((src, dst), ...) pairs
+    node_perms: tuple = dataclasses.field(default=(),
+                                          metadata=dict(static=True))
+    elem_perms: tuple = dataclasses.field(default=(),
+                                          metadata=dict(static=True))
+    sub_perms: tuple = dataclasses.field(default=(),
+                                         metadata=dict(static=True))
 
 
 class DistContext:
@@ -111,6 +132,12 @@ class DistContext:
         self.n_own_sub = sched.n_own_sub
         self.sub_total = (sched.n_own_sub + sched.sub_src.shape[-1]
                           if sched.sub_src is not None else -1)
+        self.node_rounds = (sched.node_perms, sched.node_round_send,
+                            sched.node_halo_src)
+        self.elem_rounds = (sched.elem_perms, sched.elem_round_send,
+                            sched.elem_halo_src)
+        self.sub_rounds = (sched.sub_perms, sched.sub_round_send,
+                           sched.sub_halo_src)
 
     def _exchange(self, x, send, src, n_own):
         """x [..., n_own + H]: one packed all_to_all halo refresh."""
@@ -127,19 +154,43 @@ class DistContext:
         halo = jnp.where(hvalid, halo, zero)
         return jnp.concatenate([x[..., :n_own], halo], axis=-1)
 
+    def _exchange_rounds(self, x, rounds, n_own, H):
+        """Neighbor-wise halo refresh: one ppermute per edge-colored round
+        with a per-pair-sized buffer, then ONE gather from the concatenated
+        receive buffers into the halo block.  Payload = the shard's actual
+        boundary, not S*M; independent rounds let the XLA latency-hiding
+        scheduler overlap them with surrounding compute (collective-
+        permute-start/done)."""
+        perms, sends, halo_src = rounds
+        zero = jnp.zeros((), x.dtype)
+        recs = []
+        for perm, sidx in zip(perms, sends):
+            v = sidx >= 0
+            buf = jnp.where(v, jnp.take(x, jnp.where(v, sidx, 0), axis=-1),
+                            zero)
+            recs.append(jax.lax.ppermute(buf, self.axis, list(perm)))
+        if not recs:
+            halo = jnp.zeros(x.shape[:-1] + (H,), x.dtype)
+            return jnp.concatenate([x[..., :n_own], halo], axis=-1)
+        cat = jnp.concatenate(recs, axis=-1)
+        hv = halo_src >= 0
+        halo = jnp.where(hv, jnp.take(cat, jnp.where(hv, halo_src, 0),
+                                      axis=-1), zero)
+        return jnp.concatenate([x[..., :n_own], halo], axis=-1)
+
     def exchange_nodes(self, x):
         # EVP on the per-shard ice subdomain assembles on sub-sized arrays;
         # route those through the subdomain schedule (sizes are kept
         # distinct by construction, see _build_ice_sub_local)
         if x.shape[-1] == self.sub_total:
-            return self._exchange(x, self.sub_send, self.sub_src,
-                                  self.n_own_sub)
-        return self._exchange(x, self.node_send, self.node_src,
-                              self.n_own_node)
+            return self._exchange_rounds(x, self.sub_rounds, self.n_own_sub,
+                                         self.sub_total - self.n_own_sub)
+        return self._exchange_rounds(x, self.node_rounds, self.n_own_node,
+                                     self.n_loc - self.n_own_node)
 
     def exchange_elems(self, x):
-        return self._exchange(x, self.elem_send, self.elem_src,
-                              self.n_own_elem)
+        return self._exchange_rounds(x, self.elem_rounds, self.n_own_elem,
+                                     self.elem_src.shape[-1])
 
     def accumulate_nodes(self, x):
         """Reverse exchange: ADD halo-slot contributions of x [..., n_loc]
@@ -321,7 +372,8 @@ def _build_ice_sub_local(mesh, lat_deg, S, part, node_l2g, elem_l2g,
         nie_all[s, :, :nie_rows[s].shape[1]] = nie_rows[s]
         slot_all[s, :, :slot_rows[s].shape[1]] = slot_rows[s]
 
-    sub_send, sub_src = build_sched(part, sub_l2g, sub_g2l, n_own_sub, Ns)
+    sub_send, sub_src, sub_perms, sub_round_send, sub_halo_src = \
+        build_sched(part, sub_l2g, sub_g2l, n_own_sub, Ns)
 
     f32 = mesh.gradient_sca.dtype
     ice_sub = IceSubdomain(
@@ -338,7 +390,8 @@ def _build_ice_sub_local(mesh, lat_deg, S, part, node_l2g, elem_l2g,
         coriolis_node=jnp.asarray(nstat["coriolis_node"], f32),
         bc_index_node=jnp.asarray(nstat["bc_index_node"], f32),
         n_elems=int(Es), n_nodes=int(Ns))
-    return ice_sub, sub_send, sub_src, n_own_sub
+    return (ice_sub, sub_send, sub_src, n_own_sub, sub_perms,
+            sub_round_send, sub_halo_src)
 
 
 def build_layout(mesh: MeshTables, S: int, st: TracerStatics = None,
@@ -506,11 +559,54 @@ def build_layout(mesh: MeshTables, S: int, st: TracerStatics = None,
             for h, g in enumerate(halo_g):
                 if g >= 0:
                     src[d, h] = pos_of[g]
-        return send, src
 
-    node_send, node_src = build_sched(part, node_l2g, node_g2l, n_own, n_loc)
-    elem_send, elem_src = build_sched(elem_owner, elem_l2g, elem_g2l,
-                                      e_own, e_loc)
+        # neighbor-wise ppermute rounds: greedily edge-color the directed
+        # neighbor graph (largest pair first); each round is a partial
+        # permutation with a buffer sized to ITS largest pair
+        pairs = [(s, d) for s in range(S) for d in range(S)
+                 if send_lists[s][d] and s != d]
+        pairs.sort(key=lambda p: -len(send_lists[p[0]][p[1]]))
+        rounds = []
+        for s, d in pairs:
+            for r in rounds:
+                if s not in r["src"] and d not in r["dst"]:
+                    r["pairs"].append((s, d))
+                    r["src"].add(s)
+                    r["dst"].add(d)
+                    break
+            else:
+                rounds.append({"pairs": [(s, d)], "src": {s}, "dst": {d}})
+        perms, round_send = [], []
+        pair_off = {}
+        off = 0
+        for r in rounds:
+            Mr = max(len(send_lists[s][d]) for s, d in r["pairs"])
+            tbl = np.full((S, Mr), -1, np.int64)
+            for s, d in r["pairs"]:
+                gl = send_lists[s][d]
+                tbl[s, :len(gl)] = g2l[s, gl]
+                pair_off[(s, d)] = off
+            perms.append(tuple(sorted(r["pairs"])))
+            round_send.append(jnp.asarray(tbl, jnp.int32))
+            off += Mr
+        halo_src = np.full((S, H), -1, np.int64)
+        for d in range(S):
+            posmap = {}
+            for s in range(S):
+                if (s, d) in pair_off:
+                    for m, g in enumerate(send_lists[s][d]):
+                        posmap[g] = pair_off[(s, d)] + m
+            halo_g = l2g[d, n_own_blk:]
+            for h, g in enumerate(halo_g):
+                if g >= 0:
+                    halo_src[d, h] = posmap[g]
+        return send, src, tuple(perms), tuple(round_send), \
+            jnp.asarray(halo_src, jnp.int32)
+
+    node_send, node_src, node_perms, node_round_send, node_halo_src = \
+        build_sched(part, node_l2g, node_g2l, n_own, n_loc)
+    elem_send, elem_src, elem_perms, elem_round_send, elem_halo_src = \
+        build_sched(elem_owner, elem_l2g, elem_g2l, e_own, e_loc)
     own_node_f = np.zeros((S, n_loc))
     for s in range(S):
         own_node_f[s, :len(own_nodes[s])] = 1.0
@@ -545,6 +641,9 @@ def build_layout(mesh: MeshTables, S: int, st: TracerStatics = None,
         own_node_f=jnp.asarray(own_node_f, mesh.zbar.dtype),
         node_rev_pack=jnp.asarray(rev_pack, jnp.int32),
         node_rev_gather=jnp.asarray(rev_gather, jnp.int32),
+        node_round_send=node_round_send, node_halo_src=node_halo_src,
+        elem_round_send=elem_round_send, elem_halo_src=elem_halo_src,
+        node_perms=node_perms, elem_perms=elem_perms,
         n_own_node=n_own, n_own_elem=e_own)
 
     # ---- local meshes ------------------------------------------------------
@@ -669,12 +768,15 @@ def build_layout(mesh: MeshTables, S: int, st: TracerStatics = None,
     sub_lat = getattr(cfg.ice, "evp_subdomain_lat", None) \
         if cfg is not None else None
     if sub_lat is not None:
-        ice_sub_local, sub_send, sub_src, n_own_sub = _build_ice_sub_local(
+        (ice_sub_local, sub_send, sub_src, n_own_sub, sub_perms,
+         sub_round_send, sub_halo_src) = _build_ice_sub_local(
             mesh, sub_lat, S, part, node_l2g, elem_l2g, n_own, n_loc,
             e_loc, ed_loc, locals_, build_sched)
         sched = dataclasses.replace(
             sched, sub_send=jnp.asarray(sub_send, jnp.int32),
-            sub_src=jnp.asarray(sub_src, jnp.int32), n_own_sub=n_own_sub)
+            sub_src=jnp.asarray(sub_src, jnp.int32), n_own_sub=n_own_sub,
+            sub_perms=sub_perms, sub_round_send=sub_round_send,
+            sub_halo_src=sub_halo_src)
 
     return DistLayout(
         S=S, part=part, n_own=n_own, n_loc=n_loc, e_own=e_own, e_loc=e_loc,

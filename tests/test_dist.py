@@ -302,14 +302,23 @@ def test_no_full_field_collectives(pi_model, layout):
     N = model.mesh.n_nodes
     bad = []
     n_coll = 0
+    n_perm = 0
     for line in txt.splitlines():
-        if (" all-to-all(" not in line and " all-gather(" not in line):
+        is_perm = " collective-permute(" in line \
+            or " collective-permute-start(" in line
+        if (" all-to-all(" not in line and " all-gather(" not in line
+                and not is_perm):
             continue
         n_coll += 1
+        n_perm += int(is_perm)
         for m in re.finditer(r"\[([0-9,]+)\]", line):
             dims = [int(d) for d in m.group(1).split(",") if d]
             if any(d >= N for d in dims):
                 bad.append(line.strip()[:140])
                 break
     assert n_coll > 0, "no collectives compiled — test would be vacuous"
+    # the forward halo path must compile to neighbor-wise collective
+    # permutes (per-pair-sized buffers), not dense all_to_all
+    assert n_perm > 0, "no collective-permute compiled; neighbor-wise " \
+        "exchange not in effect"
     assert not bad, f"full-field collectives found: {bad[:5]}"
