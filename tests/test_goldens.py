@@ -12,11 +12,15 @@ Tolerances and their justification:
   where discretization-detail differences (vector-gradient least squares,
   edge geometry roundoff) surface, so 5e-2 relative there.
 - pi (global ocean+ice, WOA ICs, NCEP forcing): after 1 day the means are
-  IC-dominated; our gen_ic3d-equivalent interpolation differs in detail
-  (trilinear vs the reference's scheme), so scalar means carry an O(1e-3)
-  relative offset.  a_ice is dynamically generated (thermo + EVP + FCT) and
-  gets 5e-2; the domain-mean velocities are O(1e-4..1e-3 m/s) residuals of
-  near-balanced flow — sign and magnitude are checked (0.5 relative).
+  IC-dominated.  The 4% temp offset is PROVEN IC-era, not physics
+  (tests/test_ic_parity.py): our IC chain matches a line-faithful
+  transcription of the current gen_ic3d.F90 to 1e-14, our day-0 mean
+  equals our day-1 mean to 1e-3, and bridging the gap dynamically in one
+  day would need ~12 kW/m2 — the recorded golden stems from an older
+  source/input revision.  salt (100x weaker vertical gradient) matches to
+  2.3e-4, pinning mask/convention/extrapolation.  a_ice is dynamically
+  generated (thermo + EVP + FCT) and gets 2e-2; the domain-mean
+  velocities are O(1e-4..1e-3 m/s) residuals of near-balanced flow.
 
 A second layer compares against OWN recorded goldens (goldens_own.yml,
 tight tolerance) so any physics regression is visible regardless of the
