@@ -218,20 +218,296 @@ def pressure_force_easypgf(state: OceanState, mesh: MeshTables,
                    pgf_y=jnp.where(lmask, pgf_y, 0.0))
 
 
+def _monotone_cubic(s1z, s2z, s3z, s4z, s1d, s2d, s3d, s4d, surf, bot, Z_e):
+    """Monotone cubic-Hermite (FESOM1.4 spline) on the [s2, s3] interval
+    evaluated at Z_e, with the reference's harmonic-mean derivative
+    limiting and one-sided surface/bottom closures
+    (ref pressure_force_4_zxxxx_cubicspline oce_ale_pressure_bv.F90:
+    1786-1846; the surface branch wins where both apply, :1782)."""
+    safe = lambda d: jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+    s_H = safe(s3z - s2z)
+    aux1 = (s3d - s2d) / s_H
+
+    def harm(a, b):
+        v = 2.0 * a * b / safe(a + b)
+        return jnp.where(a * b > 0.0, v, 0.0)
+
+    aux_up = (s2d - s1d) / safe(s2z - s1z)     # slope above the interval
+    aux_lo = (s4d - s3d) / safe(s4z - s3z)     # slope below
+    # interior
+    dup_i, dlo_i = harm(aux1, aux_up), harm(aux1, aux_lo)
+    # surface: dlo from below, dup one-sided
+    dlo_s = harm(aux1, aux_lo)
+    dup_s = 1.5 * aux1 - 0.5 * dlo_s
+    # bottom: dup from above, dlo one-sided
+    dup_b = harm(aux1, aux_up)
+    dlo_b = 1.5 * aux1 - 0.5 * dup_b
+    s_dup = jnp.where(surf, dup_s, jnp.where(bot, dup_b, dup_i))
+    s_dlo = jnp.where(surf, dlo_s, jnp.where(bot, dlo_b, dlo_i))
+
+    c_ = -(2.0 * s_dup + s_dlo) / s_H + 3.0 * (s3d - s2d) / s_H ** 2
+    d_ = (s_dup + s_dlo) / s_H ** 2 - 2.0 * (s3d - s2d) / s_H ** 3
+    dz = Z_e - s2z
+    return s2d + s_dup * dz + c_ * dz ** 2 + d_ * dz ** 3
+
+
+def pressure_force_zxxxx_cubicspline(state: OceanState,
+                                     mesh: MeshTables) -> OceanState:
+    """Cubic-spline PGF for moving coordinates (zlevel/zstar): per layer,
+    each vertex column's density is monotone-cubic-spline interpolated to
+    the common element mid-depth Z_e, then the along-layer gradient is
+    midpoint-integrated down (ref pressure_force_4_zxxxx_cubicspline,
+    ``oce_ale_pressure_bv.F90:1697-1866``; Q. Wang's FESOM1.4 spline).
+
+    TPU-native deviation (documented): the reference finds the bracketing
+    node level nlc by scanning the whole column per (elem, layer, vertex)
+    (:1760-1768); here the count of node levels above Z_e is computed as
+    k+1 plus corrections from a +-3-level window — exact whenever the node
+    and element mid-depth stacks interleave within three levels, which
+    holds for full-cell zstar/zlevel geometry (the stacks differ only by
+    the eta perturbation and bottom truncation)."""
+    from . import eos  # noqa: F401  (parity with easypgf imports)
+    nl, E = mesh.nl, mesh.n_elems
+    lmask = mesh.elem_layer_mask
+    rho = state.density_m_rho0
+    Z3 = state.Z_3d
+    h = jnp.where(lmask, state.helem, 0.0)
+    zbot = jnp.take(mesh.zbar, mesh.nlevels_elem - 1)
+    Scum = cumsum_bottom_up(h)
+    Z_e = zbot[None] + Scum - 0.5 * h                       # [nl-1, E]
+    gx = mesh.gradient_sca[:, 0:3]
+    gy = mesh.gradient_sca[:, 3:6]
+    k0 = jnp.arange(nl - 1)[:, None]
+
+    sum_x = jnp.zeros_like(Z_e)
+    sum_y = jnp.zeros_like(Z_e)
+    for v in range(3):
+        env = mesh.elem_nodes[:, v]
+        z_v = Z3[:, env]
+        r_v = rho[:, env]
+        nln0 = (mesh.nlevels_node[env] - 1)[None, :]        # #layers
+        ul0 = (mesh.ulevels_node[env] - 1)[None, :]
+
+        # c = #(valid node levels with z_v > Z_e), window-corrected
+        c = k0 + 1 - ul0
+        for j in (1, 2, 3):
+            valid = (k0 + j <= nln0 - 1) & (k0 + j >= ul0)
+            c = c + jnp.where(valid & (_shift_clamp(z_v, j) > Z_e), 1, 0)
+        for j in (0, -1, -2):
+            valid = (k0 + j <= nln0 - 1) & (k0 + j >= ul0)
+            c = c - jnp.where(valid & (_shift_clamp(z_v, j) <= Z_e), 1, 0)
+        nlc0 = jnp.clip(c - 1, ul0, nln0 - 2)               # [nl-1, E]
+        surf = nlc0 == ul0
+        bot = (nlc0 == nln0 - 2) & ~surf
+
+        def at(arr, idx):
+            return jnp.take_along_axis(arr, jnp.clip(idx, 0, nl - 2), 0)
+
+        i1 = jnp.where(surf, nlc0, nlc0 - 1)
+        i4 = jnp.where(bot, nlc0 + 1, nlc0 + 2)
+        rho_n = _monotone_cubic(
+            at(z_v, i1), at(z_v, nlc0), at(z_v, nlc0 + 1), at(z_v, i4),
+            at(r_v, i1), at(r_v, nlc0), at(r_v, nlc0 + 1), at(r_v, i4),
+            surf, bot, Z_e)
+        sum_x = sum_x + rho_n * gx[None, :, v]
+        sum_y = sum_y + rho_n * gy[None, :, v]
+
+    aux_x = jnp.where(lmask, sum_x * h * g / density_0, 0.0)
+    aux_y = jnp.where(lmask, sum_y * h * g / density_0, 0.0)
+    pgf_x = jnp.cumsum(aux_x, 0) - 0.5 * aux_x
+    pgf_y = jnp.cumsum(aux_y, 0) - 0.5 * aux_y
+    return replace(state, pgf_x=jnp.where(lmask, pgf_x, 0.0),
+                   pgf_y=jnp.where(lmask, pgf_y, 0.0))
+
+
+def pressure_force_linfs_cubicspline(state: OceanState,
+                                     mesh: MeshTables) -> OceanState:
+    """linfs cubic-spline PGF (ref pressure_force_4_linfs_cubicspline,
+    ``oce_ale_pressure_bv.F90:1252-1444``): layers above the element
+    bottom use the direct along-layer density gradient (dz/dx == 0 on
+    linfs); only the BOTTOM element layer interpolates each vertex
+    column's density to the element bottom mid-depth with the monotone
+    cubic (bottom closure, :1817-1832)."""
+    nl, E = mesh.nl, mesh.n_elems
+    lmask = mesh.elem_layer_mask
+    rho = state.density_m_rho0
+    Z3 = state.Z_3d
+    h = jnp.where(lmask, state.helem, 0.0)
+    zbot = jnp.take(mesh.zbar, mesh.nlevels_elem - 1)
+    Z_e = zbot[None] + cumsum_bottom_up(h) - 0.5 * h
+    gx = mesh.gradient_sca[:, 0:3]
+    gy = mesh.gradient_sca[:, 3:6]
+    nle0 = (mesh.nlevels_elem - 2)                          # bottom layer idx
+    lev = jnp.arange(nl - 1)[:, None]
+
+    # interior: direct nodal-density gradient
+    gx_r, gy_r = scalar_gradient(rho, mesh)
+    # bottom layer: per-vertex monotone-cubic interp to Z_e(bottom)
+    Zb = jnp.take_along_axis(Z_e, jnp.clip(nle0, 0, nl - 2)[None, :], 0)[0]
+    bx = jnp.zeros(E, rho.dtype)
+    by = jnp.zeros(E, rho.dtype)
+    take_e = lambda a, i: jnp.take_along_axis(
+        a, jnp.clip(i, 0, nl - 2)[None, :], 0)[0]
+    for v in range(3):
+        env = mesh.elem_nodes[:, v]
+        z_v = Z3[:, env]
+        r_v = rho[:, env]
+        nln0 = mesh.nlevels_node[env] - 1
+        ul0 = mesh.ulevels_node[env] - 1
+        # bracketing level around the element bottom layer (window search)
+        c = nle0 + 1 - ul0
+        for j in (1, 2, 3):
+            idx = nle0 + j
+            valid = (idx <= nln0 - 1) & (idx >= ul0)
+            c = c + jnp.where(valid & (take_e(z_v, idx) > Zb), 1, 0)
+        for j in (0, -1, -2):
+            idx = nle0 + j
+            valid = (idx <= nln0 - 1) & (idx >= ul0)
+            c = c - jnp.where(valid & (take_e(z_v, idx) <= Zb), 1, 0)
+        nlc0 = jnp.clip(c - 1, ul0, nln0 - 2)
+        surf = nlc0 == ul0
+        # reference linfs bottom interp always uses the bottom closure
+        bot = ~surf
+        i1 = jnp.where(surf, nlc0, nlc0 - 1)
+        i4 = nlc0 + 1                                        # bottom: s4=3
+        rho_n = _monotone_cubic(
+            take_e(z_v, i1), take_e(z_v, nlc0), take_e(z_v, nlc0 + 1),
+            take_e(z_v, i4), take_e(r_v, i1), take_e(r_v, nlc0),
+            take_e(r_v, nlc0 + 1), take_e(r_v, i4), surf, bot, Zb)
+        bx = bx + rho_n * gx[:, v]
+        by = by + rho_n * gy[:, v]
+
+    is_bot = lev == nle0[None, :]
+    sum_x = jnp.where(is_bot, bx[None, :], gx_r)
+    sum_y = jnp.where(is_bot, by[None, :], gy_r)
+    aux_x = jnp.where(lmask, sum_x * h * g / density_0, 0.0)
+    aux_y = jnp.where(lmask, sum_y * h * g / density_0, 0.0)
+    pgf_x = jnp.cumsum(aux_x, 0) - 0.5 * aux_x
+    pgf_y = jnp.cumsum(aux_y, 0) - 0.5 * aux_y
+    return replace(state, pgf_x=jnp.where(lmask, pgf_x, 0.0),
+                   pgf_y=jnp.where(lmask, pgf_y, 0.0))
+
+
+def pressure_force_linfs_nemo(state: OceanState, mesh: MeshTables,
+                              cfg) -> OceanState:
+    """NEMO-style linfs PGF (ref pressure_force_4_linfs_nemo,
+    ``oce_ale_pressure_bv.F90:479-635``): layers above the element bottom
+    take the hydrostatic-pressure gradient directly (same as the
+    full-cell form); at the BOTTOM layer, following the NEMO team's
+    recommendation, T and S (not density) are linearly interpolated to
+    the deepest common mid-depth, the in-situ density is re-evaluated
+    from the EoS there, and the bottom pressure is rebuilt per vertex
+    before taking its gradient (:560-633)."""
+    from . import eos
+    nl, E = mesh.nl, mesh.n_elems
+    lmask = mesh.elem_layer_mask
+    h_n = state.hnode
+    T, S_ = state.tr[0], state.tr[1]
+    Z3 = state.Z_3d
+    seq = cfg.dyn.state_equation
+    gx_p, gy_p = scalar_gradient(state.hpressure / density_0, mesh)
+    nle0 = (mesh.nlevels_elem - 2)
+    lev = jnp.arange(nl - 1)[:, None]
+
+    take_e = lambda a, i: jnp.take_along_axis(
+        a, jnp.clip(i, 0, nl - 2)[None, :], 0)[0]
+    # Zt = max over vertices of the node mid-depth at the element bottom
+    # layer (:575); dh = min over vertices of hnode there (:577)
+    Zt = None
+    dh = None
+    for v in range(3):
+        env = mesh.elem_nodes[:, v]
+        zv = take_e(Z3[:, env], nle0)
+        hv = take_e(h_n[:, env], nle0)
+        Zt = zv if Zt is None else jnp.maximum(Zt, zv)
+        dh = hv if dh is None else jnp.minimum(dh, hv)
+
+    # density_ref rows are not carried on the state; reconstruct from the
+    # EoS identity density_ref = rho_insitu(T,S,Z) - density_m_rho0
+    b0a, bpza, bpz2a, rpota = eos.eos_components(T, S_, seq)
+    ra = b0a + Z3 * (bpza + Z3 * bpz2a)
+    dref_rows = ra * rpota / (ra + 0.1 * Z3 * float(seq)) \
+        - state.density_m_rho0
+
+    bx = jnp.zeros(E, T.dtype)
+    by = jnp.zeros(E, T.dtype)
+    gx = mesh.gradient_sca[:, 0:3]
+    gy = mesh.gradient_sca[:, 3:6]
+    safe = lambda d: jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+    for v in range(3):
+        env = mesh.elem_nodes[:, v]
+        z_v = Z3[:, env]
+        nln0 = mesh.nlevels_node[env] - 1
+        ul0 = mesh.ulevels_node[env] - 1
+        # nlc: first node level at/below Zt (minloc construction :569-573),
+        # window-corrected count as in the cubicspline form
+        c = nle0 + 1 - ul0
+        for j in (1, 2, 3):
+            idx = nle0 + j
+            valid = (idx <= nln0 - 1) & (idx >= ul0)
+            c = c + jnp.where(valid & (take_e(z_v, idx) > Zt), 1, 0)
+        for j in (0, -1, -2):
+            idx = nle0 + j
+            valid = (idx <= nln0 - 1) & (idx >= ul0)
+            c = c - jnp.where(valid & (take_e(z_v, idx) <= Zt), 1, 0)
+        # 0-based interpolation interval [nlc0-1, nlc0], nlc0 in [1, nln0-1]
+        nlc0 = jnp.clip(c, ul0 + 1, nln0 - 1)
+        za = take_e(z_v, nlc0 - 1)
+        zb = take_e(z_v, nlc0)
+        w = (Zt - za) / safe(zb - za)
+        t_at = take_e(T[:, env], nlc0 - 1) * (1 - w) \
+            + take_e(T[:, env], nlc0) * w
+        s_at = take_e(S_[:, env], nlc0 - 1) * (1 - w) \
+            + take_e(S_[:, env], nlc0) * w
+        b0, bpz, bpz2, rpot = eos.eos_components(t_at, s_at, seq)
+        # evaluated at the element bottom mid-depth Z_n(nle) == Zt here
+        # (full cells); density_ref subtracted at (nle, vertex) (:611)
+        r = b0 + Zt * (bpz + Zt * bpz2)
+        rho_b = r * rpot / (r + 0.1 * Zt * float(seq)) \
+            - take_e(dref_rows[:, env], nle0)
+        # bottom pressure per vertex (:620-630): hpressure(nlce-1) +
+        # g/2*(rho(nlce-1)*hnode(nlce-1) + rho_b*dh); 1-based
+        # nlce = min(nlc, nle) -> 0-based row nlce-2 = min(nlc0-1, nle0-1)
+        row = jnp.maximum(jnp.minimum(nlc0 - 1, nle0 - 1), 0)
+        hp_km1 = take_e(state.hpressure[:, env], row)
+        rho_km1 = take_e(state.density_m_rho0[:, env], row)
+        h_km1 = take_e(h_n[:, env], row)
+        hp_b = hp_km1 + 0.5 * g * (rho_km1 * h_km1 + rho_b * dh)
+        bx = bx + hp_b * gx[:, v]
+        by = by + hp_b * gy[:, v]
+
+    is_bot = lev == nle0[None, :]
+    pgf_x = jnp.where(is_bot, (bx / density_0)[None, :], gx_p)
+    pgf_y = jnp.where(is_bot, (by / density_0)[None, :], gy_p)
+    return replace(state, pgf_x=jnp.where(lmask, pgf_x, 0.0),
+                   pgf_y=jnp.where(lmask, pgf_y, 0.0))
+
+
 def pressure_force(state: OceanState, mesh: MeshTables, cfg) -> OceanState:
     """PGF dispatch (ref pressure_force_4_{linfs,zxxxx},
-    oce_ale_pressure_bv.F90:371-430, :1248-1320): linfs with full cells ->
-    full-cell form (which_pgf is only consulted with partial cells, which
-    are not implemented); moving coordinates (zlevel/zstar) ->
-    which_pgf = 'shchepetkin' (default, oce_modules.F90:172) or 'easypgf'."""
-    if cfg.ale.which_ALE == "linfs":
-        return pressure_force_linfs(state, mesh)
+    oce_ale_pressure_bv.F90:371-430, :1661-1687): moving coordinates
+    (zlevel/zstar) dispatch which_pgf = 'shchepetkin' (default,
+    oce_modules.F90:172) | 'easypgf' | 'cubicspline'; linfs with full
+    cells -> full-cell form by default.  Deviation (documented): the
+    reference only consults which_pgf on linfs with partial cells
+    (:397-430, not implemented here); we honor which_pgf =
+    'nemo' | 'cubicspline' on full-cell linfs too so the menu is
+    reachable."""
     which = getattr(cfg.dyn, "which_pgf", "shchepetkin")
+    if cfg.ale.which_ALE == "linfs":
+        if which == "nemo":
+            return pressure_force_linfs_nemo(state, mesh, cfg)
+        if which == "cubicspline":
+            return pressure_force_linfs_cubicspline(state, mesh)
+        return pressure_force_linfs(state, mesh)
     if which == "easypgf":
         return pressure_force_easypgf(state, mesh, cfg)
+    if which == "cubicspline":
+        return pressure_force_zxxxx_cubicspline(state, mesh)
     if which != "shchepetkin":
         raise ValueError(f"which_pgf='{which}' not implemented "
-                         "(available: shchepetkin, easypgf)")
+                         "(available: shchepetkin, easypgf, cubicspline"
+                         ", nemo[linfs])")
     return pressure_force_zxxxx_shchepetkin(state, mesh)
 
 
