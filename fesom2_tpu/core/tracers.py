@@ -589,8 +589,10 @@ def diff_hor(gx, gy, helem, Ki_node, mesh: MeshTables, dt,
     # jnp.where chain: both -> combined; only el1 -> c_el1; only el2 -> c_el2.
 
     av = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
-    out = jnp.zeros((mesh.nl - 1, mesh.n_nodes), gx.dtype)
-    out = out.at[:, n0].add(c).at[:, n1].add(-c)
+    # gather-based signed edge assembly (TPU scatters serialize; the raw
+    # .at[].add here was also the one assembly without a halo-exchange
+    # hook, leaving ring-1 tr halos stale under the distributed runtime)
+    out = edge_divergence(c, mesh)
     return jnp.where(mesh.node_layer_mask, out * dt / av, 0.0)
 
 

@@ -22,9 +22,11 @@ import jax.numpy as jnp
 
 from .config import ModelConfig, load_config, _apply
 
-REF_ROOT = "/root/reference"
-# setups/paths.yml maps mesh/forcing keys to machine paths; only the
-# in-repo test data exists here
+REF_ROOT = os.environ.get("FESOM2_REF_ROOT", "/root/reference")
+# default id -> path maps for the in-repo test data; the reference's own
+# mechanism is a per-machine paths.yml (mkrun -m <machine>), reproduced
+# here: FESOM2_TPU_PATHS may point at a yaml with `mesh:` / `forcing:`
+# maps that override or extend these (see _machine_paths)
 MESH_PATHS = {
     "test_global": os.path.join(REF_ROOT, "test/meshes/pi"),
     "test_souf": os.path.join(REF_ROOT, "test/meshes/soufflet"),
@@ -32,6 +34,21 @@ MESH_PATHS = {
 FORCING_PATHS = {
     "test_global": os.path.join(REF_ROOT, "test/input/global"),
 }
+
+
+def _machine_paths():
+    """Merge the per-machine paths yaml (env FESOM2_TPU_PATHS, the
+    `mkrun -m machine` analog) over the built-in test-data defaults."""
+    mesh = dict(MESH_PATHS)
+    forcing = dict(FORCING_PATHS)
+    pf = os.environ.get("FESOM2_TPU_PATHS")
+    if pf and os.path.exists(pf):
+        import yaml
+        with open(pf) as f:
+            y = yaml.safe_load(f) or {}
+        mesh.update(y.get("mesh", {}) or {})
+        forcing.update(y.get("forcing", {}) or {})
+    return mesh, forcing
 
 # yaml namelist group -> ModelConfig sub-dataclass attribute path(s)
 _GROUP_TARGETS = {
@@ -74,7 +91,13 @@ def load_setup(setup_yml: str):
     mesh_key = y.get("mesh", "test_global")
     forcing_key = y.get("forcing", "test_global")
     goldens = y.get("fcheck", {}) or {}
-    return cfg, MESH_PATHS[mesh_key], FORCING_PATHS.get(forcing_key), goldens
+    mesh_paths, forcing_paths = _machine_paths()
+    if mesh_key not in mesh_paths:
+        raise KeyError(
+            f"mesh id '{mesh_key}' not in the paths map; provide it via a "
+            f"FESOM2_TPU_PATHS yaml (mesh: {{{mesh_key}: /path}})")
+    return (cfg, mesh_paths[mesh_key], forcing_paths.get(forcing_key),
+            goldens)
 
 
 def _run_length_steps(cfg: ModelConfig) -> int:

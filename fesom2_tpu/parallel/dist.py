@@ -857,6 +857,48 @@ def unsqueeze_tree(tree):
     return jax.tree.map(lambda a: a[None] if _is_arr(a) else a, tree)
 
 
+def check_halo_consistency(tree_d, layout: DistLayout, atol: float = 0.0):
+    """In-run halo cross-check debug aid (the reference's halo consistency
+    verification precedent, ``gen_halo_exchange.F90:146``): for every
+    node-/element-shaped leaf of a stacked per-shard pytree, verify that
+    each real halo slot holds exactly the owner's value.
+
+    Returns a list of (leaf_path, kind, max_abs_diff) tuples for leaves
+    whose halo disagrees with the owner beyond atol (empty == consistent).
+    Host-side numpy; use from tests or a debug step hook, not inside jit.
+    """
+    out = []
+    specs = [("node", layout.node_l2g, layout.n_own, layout.n_loc,
+              layout.node_from),
+             ("elem", layout.elem_l2g, layout.e_own, layout.e_loc,
+              layout.elem_from)]
+    leaves = jax.tree_util.tree_flatten_with_path(tree_d)[0]
+    for path, leaf in leaves:
+        if not hasattr(leaf, "ndim") or leaf.ndim < 2 \
+                or leaf.shape[0] != layout.S:
+            continue
+        for kind, l2g, n_own_blk, n_loc_blk, frm in specs:
+            if leaf.shape[-1] != n_loc_blk:
+                continue
+            a = np.asarray(leaf)
+            flat = np.moveaxis(a, 0, -2)
+            flat = flat.reshape(flat.shape[:-2] + (-1,))     # [..., S*L]
+            worst = 0.0
+            for s in range(layout.S):
+                hg = l2g[s, n_own_blk:]
+                ok = hg >= 0
+                if not ok.any():
+                    continue
+                got = a[s][..., n_own_blk:][..., ok]
+                want = flat[..., frm[hg[ok]]]
+                d = np.abs(got.astype(np.float64)
+                           - want.astype(np.float64)).max()
+                worst = max(worst, float(d))
+            if worst > atol:
+                out.append((jax.tree_util.keystr(path), kind, worst))
+    return out
+
+
 def device_mesh(S: int) -> Mesh:
     return Mesh(np.array(jax.devices()[:S]), (AXIS,))
 

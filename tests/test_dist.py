@@ -279,6 +279,28 @@ def test_dist_block_schwarz_pc(pi_model, layout):
     assert np.abs(xbg - xr).max() / np.abs(xr).max() < 1e-8
 
 
+def test_halo_consistency_check(pi_model, layout):
+    """The in-run halo cross-check (gen_halo_exchange.F90:146 analog):
+    passes on the post-step state (the runtime keeps halos owner-
+    consistent) and catches a deliberately corrupted halo slot."""
+    model, atm = pi_model
+    state, ice = pi_initial_state(model)
+    dstep = dist.dist_pi_coupled_step_fn(model, atm, layout)
+    sd = dist.localize_tree(state, layout)
+    idd = dist.localize_tree(ice, layout)
+    sd, idd, _ = dstep(sd, idd, 0)
+    bad = dist.check_halo_consistency({"tr": sd.tr, "eta": sd.eta,
+                                       "u": sd.u, "a_ice": idd.a_ice},
+                                      layout, atol=1e-12)
+    assert not bad, bad
+    # corrupt one real halo slot -> must be detected
+    s = 0
+    h = int(np.nonzero(layout.node_l2g[s, layout.n_own:] >= 0)[0][0])
+    eta_bad = sd.eta.at[s, layout.n_own + h].add(1.0)
+    bad = dist.check_halo_consistency({"eta": eta_bad}, layout, atol=1e-12)
+    assert bad and bad[0][1] == "node"
+
+
 def test_no_full_field_collectives(pi_model, layout):
     """Compiled HLO of the distributed coupled step must not move
     full-field payloads: every collective operand stays halo-sized
