@@ -136,15 +136,28 @@ def icepack_timestep(ipk: IcepackState, ice: IceState, mesh,
     Tsn0 = jnp.where(has[:, None, :], Tsn0, -2.0)
     Tsf0 = jnp.where(has, jnp.minimum(ipk.Tsfcn, 0.0), jnp.minimum(Ta, -0.1))
 
-    albedo, fswsfc, iabs, fswthru = ccsm3_shortwave(
-        ipc, hi, hs, Tsf0, forcing.shortwave)
-    if ipc.tr_pond_cesm:
-        # pond-darkened surface albedo (the role dEdd plays for ponds)
-        from .ponds import pond_albedo_adjust
-        ia, ih = ipc.ta_index("apnd"), ipc.ta_index("hpnd")
-        albedo, fswsfc = pond_albedo_adjust(
-            ipc, albedo, fswsfc, ta0[:, ia], ta0[:, ih], hs,
-            forcing.shortwave)
+    if getattr(ipc, "shortwave", "ccsm3") == "dEdd":
+        # delta-Eddington multiple scattering (dedd.py); the ponded
+        # sub-column is part of the radiative solution, so no separate
+        # pond albedo adjustment is applied
+        from .dedd import dedd_shortwave
+        if ipc.tr_pond_cesm:
+            ia, ih = ipc.ta_index("apnd"), ipc.ta_index("hpnd")
+            apnd, hpnd = ta0[:, ia], ta0[:, ih]
+        else:
+            apnd = hpnd = None
+        albedo, fswsfc, iabs, fswthru = dedd_shortwave(
+            ipc, hi, hs, Tsf0, forcing.shortwave, apnd, hpnd)
+    else:
+        albedo, fswsfc, iabs, fswthru = ccsm3_shortwave(
+            ipc, hi, hs, Tsf0, forcing.shortwave)
+        if ipc.tr_pond_cesm:
+            # pond-darkened surface albedo (the role dEdd plays for ponds)
+            from .ponds import pond_albedo_adjust
+            ia, ih = ipc.ta_index("apnd"), ipc.ta_index("hpnd")
+            albedo, fswsfc = pond_albedo_adjust(
+                ipc, albedo, fswsfc, ta0[:, ia], ta0[:, ih], hs,
+                forcing.shortwave)
 
     sol = temperature_solve(ipc, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
                             forcing.longwave, Ta, forcing.shum, ug, tf, dt,

@@ -29,6 +29,9 @@ class IcepackConfig:
     ktherm: int = 1               # BL99
     conduct: str = "bubbly"       # 'bubbly' (Pringle 2007) | 'MU71'
     ksno: float = 0.30
+    # shortwave scheme: 'ccsm3' (CI default) | 'dEdd' (delta-Eddington
+    # multiple scattering, dedd.py; handles ponds internally)
+    shortwave: str = "ccsm3"
     # shortwave / albedo (ccsm3)
     albicev: float = 0.78
     albicei: float = 0.36

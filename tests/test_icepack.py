@@ -458,3 +458,46 @@ def test_icepack_step_pi_with_aux(pi_mesh, pi_icepack):
     # level-ice fractions stay in [0, 1]
     il = ipc.ta_index("alvl")
     assert float(ipk2.ta[:, il].max()) <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# delta-Eddington shortwave (shortwave='dEdd', ice/icepack/dedd.py)
+# ---------------------------------------------------------------------------
+def test_dedd_albedos_and_conservation(ipc):
+    """Multi-layer two-stream dEdd: energy conservation to roundoff,
+    broadband albedos in the canonical B&L07 ranges, correct ordering
+    snow > bare ice > pond > open water, monotone brightening with snow."""
+    from fesom2_tpu.ice.icepack.dedd import dedd_shortwave
+    hi = jnp.asarray([[2.0, 2.0, 1.5, 0.05, 2.0]])
+    hs = jnp.asarray([[0.30, 0.0, 0.0, 0.0, 0.03]])
+    apnd = jnp.asarray([[0.0, 0.0, 1.0, 0.0, 0.0]])
+    hpnd = jnp.asarray([[0.0, 0.0, 0.3, 0.0, 0.0]])
+    Tsf = jnp.full((1, 5), -10.0)
+    fsw = jnp.full((5,), 300.0)
+    alb, sfc, iabs, thru = dedd_shortwave(ipc, hi, hs, Tsf, fsw, apnd, hpnd)
+    a = np.asarray(alb)[0]
+    # energy budget closes exactly
+    bal = np.asarray(fsw * (1.0 - alb) - sfc - iabs.sum(1) - thru)
+    assert np.abs(bal).max() < 1e-9
+    assert (np.asarray(iabs) >= 0.0).all()
+    assert (np.asarray(thru) >= 0.0).all()
+    snow, bare, pond, thin, thin_snow = a
+    assert 0.7 < snow < 0.9          # cold deep snow
+    assert 0.35 < bare < 0.6         # thick bare ice
+    assert 0.10 < pond < 0.35        # deep melt pond
+    assert thin < 0.2                # thin ice ~ open water
+    assert snow > bare > pond        # physical ordering
+    assert bare < thin_snow < snow   # partial snow sits between
+
+
+def test_dedd_step_runs(pi_mesh, pi_icepack):
+    """Full icepack timestep with shortwave='dEdd' stays finite and grows
+    ice in the cold regions like the ccsm3 run."""
+    cfg, _, ipk, ice, f, ocean = pi_icepack
+    ipc_d = IcepackConfig(shortwave="dEdd")
+    step = jax.jit(lambda s, i: icepack_timestep(
+        s, i, pi_mesh, f, ocean, cfg, ipc_d, use_virt_salt=False))
+    ipk1, ice1 = step(ipk, ice)
+    for k in ("aicen", "vicen", "vsnon", "Tsfcn", "qin", "qsn"):
+        assert bool(jnp.isfinite(getattr(ipk1, k)).all()), k
+    assert float(ice1.thdgr.max()) > 0.0
