@@ -148,3 +148,75 @@ def test_force_flux_consv(pi_mesh):
     out_nh = np.asarray(force_flux_consv(field, mask, atm_net, pi_mesh,
                                          hemisphere=1))
     assert np.allclose(out_nh[lat < 0], np.asarray(field)[lat < 0])
+
+
+def test_external_endpoint_with_atmosphere_process(pi_mesh, cfg, tmp_path):
+    """OASIS external-model endpoint (cpl_driver.F90 role): the ocean hosts
+    an OasisEndpoint; a SEPARATE atmosphere process connects over a unix
+    socket, blocks on the ocean's averaged send fields, computes its
+    response fluxes, and puts the full ECHAM recv set back.  The round
+    trip must deliver physically-consistent fields (the atmosphere's
+    fluxes are a function of the SST it received)."""
+    import dataclasses
+    import subprocess
+    import sys
+    import textwrap
+
+    from fesom2_tpu.coupler.transport import OasisEndpoint
+    from fesom2_tpu.coupler.oasis import RECV_FIELDS_ECHAM
+    from fesom2_tpu.ice.state import allocate_ice
+
+    sock = str(tmp_path / "oasis.sock")
+    ep = OasisEndpoint(sock)
+
+    atm_src = textwrap.dedent(f"""
+        import numpy as np
+        import sys
+        sys.path.insert(0, {repr("/root/repo")})
+        from fesom2_tpu.coupler.transport import SocketTransport
+        from fesom2_tpu.coupler.oasis import RECV_FIELDS_ECHAM
+        tp = SocketTransport({repr(sock)})
+        sst = tp.get("sst_feom", timeout=30.0)
+        assert sst is not None
+        for name in RECV_FIELDS_ECHAM:
+            if name == "heat_oce":
+                tp.put(name, -10.0 * (sst - 10.0))   # relax toward 10 C
+            elif name == "taux_oce":
+                tp.put(name, np.full_like(sst, 0.05))
+            else:
+                tp.put(name, np.zeros_like(sst))
+        tp.close()
+    """)
+    script = tmp_path / "dummy_atm.py"
+    script.write_text(atm_src)
+    proc = subprocess.Popen([sys.executable, str(script)],
+                            env={"PYTHONPATH": "", "JAX_PLATFORMS": "cpu",
+                                 "PATH": "/usr/bin:/bin:/opt/venv/bin"})
+    try:
+        drv = CplDriver(pi_mesh, ep)
+        N = pi_mesh.n_nodes
+        state = type("S", (), {})()
+        state.tr = jnp.stack([jnp.full((47, N), 12.0),
+                              jnp.full((47, N), 34.0)])[:, :, :]
+        ice = allocate_ice(pi_mesh)
+        drv.collect(state, ice)
+        drv.send()
+        # blocking receive (poll until the atmosphere answered)
+        import time
+        got = None
+        for _ in range(300):
+            got = drv.recv()
+            if got is not None:
+                break
+            time.sleep(0.1)
+        assert got is not None, "atmosphere process never answered"
+        atm, stresses = got
+        # the flux is the function of the SST we sent: -10*(12-10) = -20
+        np.testing.assert_allclose(np.asarray(atm.oce_heat_flux), -20.0,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(stresses["stress_atmoce_x"]),
+                                   0.05, rtol=1e-6)
+        assert proc.wait(timeout=30) == 0
+    finally:
+        proc.kill()
+        ep.close()
