@@ -581,7 +581,7 @@ def compute_ssh_rhs(state: OceanState, mesh: MeshTables, cfg, forcing: Forcing,
 
 
 def solve_ssh(state: OceanState, mesh: MeshTables, cfg, diag_inv, rhs,
-              psum=None, ring=None):
+              psum=None, ring=None, x0=None):
     """CG solve for d_eta (replaces psolve; tolerances oce_ale.F90:2296-2301).
 
     The reference's soltol=1e-10 assumes f64 arithmetic; in reduced precision
@@ -602,7 +602,7 @@ def solve_ssh(state: OceanState, mesh: MeshTables, cfg, diag_inv, rhs,
     tol = getattr(cfg.dyn, "ssh_tol", None)
     if tol is None:
         tol = 1e-10 if jnp.finfo(rhs.dtype).bits >= 64 else 2e-5
-    d_eta, iters, res = pcg(op, rhs, diag_inv, tol=tol, maxiter=2000,
+    d_eta, iters, res = pcg(op, rhs, diag_inv, x0=x0, tol=tol, maxiter=2000,
                             psum=psum)
     return d_eta, iters, res
 

@@ -29,6 +29,11 @@ class OceanState:
     hbar: jnp.ndarray
     hbar_old: jnp.ndarray
     ssh_rhs_old: jnp.ndarray
+    # previous step's SSH increment [N]: CG warm start (the solution is
+    # smooth in time, so x0=d_eta(n-1) roughly halves the Krylov iteration
+    # count at unchanged tolerance; the reference's pARMS solve always
+    # starts from zero, psolve.c:152-221)
+    d_eta: jnp.ndarray
     # tracers [ntr, nl-1, N]; AB memory
     tr: jnp.ndarray
     tr_old: jnp.ndarray
@@ -122,6 +127,7 @@ def allocate_state(mesh: MeshTables, n_tracers: int = 2,
         u=zE(nl - 1, E), v=zE(nl - 1, E),
         u_rhsAB=zE(nl - 1, E), v_rhsAB=zE(nl - 1, E),
         eta=zE(N), hbar=zE(N), hbar_old=zE(N), ssh_rhs_old=zE(N),
+        d_eta=zE(N),
         tr=zE(n_tracers, nl - 1, N), tr_old=zE(n_tracers, nl - 1, N),
         w=zE(nl, N), w_e=zE(nl, N), w_i=zE(nl, N), cfl_z=zE(nl, N),
         hnode=zE(nl - 1, N), hnode_new=zE(nl - 1, N), helem=zE(nl - 1, E),

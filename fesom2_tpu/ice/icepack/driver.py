@@ -79,7 +79,8 @@ def _unpack_tracers(work, ipc: IcepackConfig) -> IcepackState:
         # advected fields can over/undershoot by rounding: clamp to the
         # per-tracer physical range (fractions to [0,1], depths/age >= 0)
         frac_a = jnp.asarray(
-            [1.0 if n in ("apnd", "FY", "alvl") else jnp.inf
+            [1.0 if (n in ("apnd", "FY", "alvl") or n.startswith("fsd"))
+             else jnp.inf
              for n in ipc.area_tracers], w.dtype)[None, :, None]
         frac_v = jnp.asarray(
             [1.0 if n in ("vlvl",) else jnp.inf
@@ -227,10 +228,31 @@ def icepack_timestep(ipk: IcepackState, ice: IceState, mesh,
     fsalt_kg = fsalt_kg - c.rhoi * dvfraz * c.ice_ref_salinity * 1e-3
     fhocn = fhocn + fhocn_fraz
 
+    # FSD column processes (fsd.py): radial growth on the frazil rate,
+    # welding in freezing conditions, and the lateral-melt feedback
+    rside_scale = None
+    if aux and ipc.tr_fsd:
+        from . import fsd as fsd_mod
+        sl = ipc.fsd_slice
+        afsd = ta0[:, sl]
+        dr_g = fsd_mod.fsd_radial_growth_rate(
+            ipc, afsd, aicen, vicen, dvfraz, dt, ipc.fsd_lims)
+        afsd = fsd_mod.fsd_radial_evolve(afsd, dr_g, ipc.fsd_lims)
+        afsd = fsd_mod.fsd_weld(afsd, aicen, frzmlt > 0.0, dt, ipc.kweld,
+                                ipc.fsd_lims)
+        # lateral melt shrinks floes radially at the Maykut & Perovich rate
+        wlat = c.m1_lat * jnp.maximum(T_oc - tf, 0.0) ** c.m2_lat
+        afsd = fsd_mod.fsd_radial_evolve(
+            afsd, -(wlat * dt)[None, :] * jnp.ones_like(aicen),
+            ipc.fsd_lims)
+        afsd = fsd_mod.afsd_normalize(afsd, aicen)
+        ta0 = ta0.at[:, sl].set(afsd)
+        rside_scale = fsd_mod.fsd_lateral_melt_scale(afsd, ipc.fsd_lims)
+
     melt_pot = jnp.maximum(-pot, 0.0) * aice_mid          # lateral only w/ ice
     (aicen, vicen, vsnon, Tsfcn, qin, qsn, dfr, dfs,
      dfh) = lateral_melt(ipc, aicen, vicen, vsnon, Tsfcn, qin, qsn,
-                         T_oc, tf, melt_pot, dt)
+                         T_oc, tf, melt_pot, dt, rside_scale=rside_scale)
     fresh_kg = fresh_kg + dfr
     fsalt_kg = fsalt_kg + dfs
     fhocn = fhocn + dfh
@@ -289,6 +311,15 @@ def icepack_timestep(ipk: IcepackState, ice: IceState, mesh,
     fresh_kg = fresh_kg + dfr
     fsalt_kg = fsalt_kg + dfs
     fhocn = fhocn + dfh
+
+    if aux and ipc.tr_fsd:
+        # advection/remap/ridging mix the bins conservatively but the
+        # normalization (sum_k afsd = 1 per category) is not their
+        # invariant: restore it
+        from . import fsd as fsd_mod
+        sl = ipc.fsd_slice
+        ta0 = ta0.at[:, sl].set(
+            fsd_mod.afsd_normalize(ta0[:, sl], aicen))
 
     # ---------------- aggregate + ocean fluxes ----------------------------
     aice, vice, vsno = aggregate(aicen, vicen, vsnon)

@@ -94,6 +94,12 @@ def dilute_on_new_ice(ipc, ta, tv, a_before, a_after, v_before, v_after):
         da = jnp.maximum(a_after - a_before, 0.0)
         aw = jnp.maximum(a_after, c.puny)
         new_val_a = {"apnd": 0.0, "hpnd": 0.0, "FY": 1.0, "alvl": 1.0}
+        if getattr(ipc, "tr_fsd", False):
+            # fsd_add_new_ice placement: pancakes (smallest bin) under a
+            # wave field, consolidated growth (largest bin) otherwise
+            tgt = 0 if ipc.wave_spec else ipc.nfsd - 1
+            new_val_a.update({f"fsd{k:02d}": (1.0 if k == tgt else 0.0)
+                              for k in range(ipc.nfsd)})
         vals = jnp.asarray([new_val_a[n] for n in ipc.area_tracers],
                            ta.dtype)[None, :, None]
         ta = jnp.where(a_after[:, None, :] > c.puny,

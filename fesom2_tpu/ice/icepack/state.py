@@ -69,6 +69,12 @@ class IcepackConfig:
     tr_iage: bool = False         # ice age
     tr_FY: bool = False           # first-year ice area
     tr_lvl: bool = False          # level/deformed ice partition
+    tr_fsd: bool = False          # floe size distribution (fsd.py;
+    #                               Roach et al. 2018, icedrv_main.F90:49)
+    nfsd: int = 12                # floe size bins (Icepack standard set)
+    wave_spec: bool = False       # wave field present: new floes pancake-
+    #                               sized (smallest bin) vs consolidation
+    kweld: float = 5.0e-7         # welding rate at full ice cover [1/s]
     # ponds_nml (namelist.icepack:71-79)
     pndaspect: float = 0.8        # pond depth/area aspect delta_p
     rfracmin: float = 0.15        # min meltwater retention fraction
@@ -93,13 +99,25 @@ class IcepackConfig:
             tv += ["vlvl"]
         if self.tr_iage:
             tv += ["iage"]
+        if self.tr_fsd:
+            from .fsd import fsd_bounds
+            self.fsd_i0 = len(ta)
+            ta += [f"fsd{k:02d}" for k in range(self.nfsd)]
+            self.fsd_lims = fsd_bounds(self.nfsd)
         self.area_tracers = tuple(ta)
         self.vol_tracers = tuple(tv)
         # ridging behavior: True = conserved into the ridged receiver,
         # False = destroyed on the ridged portion (ponds drain, level ice
-        # becomes deformed; FY/age survive deformation)
-        self.ta_ridge_keep = tuple(n in ("FY",) for n in ta)
+        # becomes deformed; FY/age survive deformation).  FSD bins are
+        # conserved through ridging (the mechanical fracture of ridged
+        # floes is not modelled; the distribution rides along unchanged)
+        self.ta_ridge_keep = tuple(n in ("FY",) or n.startswith("fsd")
+                                   for n in ta)
         self.tv_ridge_keep = tuple(n in ("iage",) for n in tv)
+
+    @property
+    def fsd_slice(self):
+        return slice(self.fsd_i0, self.fsd_i0 + self.nfsd)
 
     def ta_index(self, name: str) -> int:
         return self.area_tracers.index(name)
@@ -199,8 +217,11 @@ def init_icepack_state(cfg: IcepackConfig, a_ice, m_ice, m_snow, Tsf,
     ta = tv = None
     if cfg.has_aux:
         # initial ice: no ponds, age 0, not first-year (climatological pack
-        # treated as multiyear), entirely level (undeformed)
+        # treated as multiyear), entirely level (undeformed); FSD: all area
+        # in the largest floe bin (consolidated pack)
         init_a = {"apnd": 0.0, "hpnd": 0.0, "FY": 0.0, "alvl": 1.0}
+        init_a.update({f"fsd{k:02d}": (1.0 if k == cfg.nfsd - 1 else 0.0)
+                       for k in range(getattr(cfg, "nfsd", 0))})
         init_v = {"vlvl": 1.0, "iage": 0.0}
         if cfg.area_tracers:
             ta = jnp.stack([jnp.where(has, init_a[n], 0.0).astype(dtype)

@@ -49,12 +49,16 @@ def add_new_ice(cfg, aicen, vicen, vsnon, Tsfcn, qin, qsn, frzmlt, Tf, dt):
 
 
 def lateral_melt(cfg, aicen, vicen, vsnon, Tsfcn, qin, qsn, sst, Tf,
-                 melt_pot, dt):
+                 melt_pot, dt, rside_scale=None):
     """Lateral (floe-edge) melt, Steele (1992) closure.
 
     melt_pot [W/m^2] >= 0: available ocean melting potential.  Each
     category loses the fraction rside of both area and volume; the melt
     energy demand is capped by melt_pot.
+
+    rside_scale [ncat, N] (optional): per-category multiplier on rside —
+    the FSD feedback replacing the constant floediam with the resolved
+    mean inverse floe diameter (fsd.fsd_lateral_melt_scale).
 
     Returns (arrays..., dfresh [kg/m^2/s], dfsalt [kg/m^2/s],
     dfhocn [W/m^2, negative: heat drawn from the ocean])."""
@@ -62,21 +66,23 @@ def lateral_melt(cfg, aicen, vicen, vsnon, Tsfcn, qin, qsn, sst, Tf,
     deltaT = jnp.maximum(sst - Tf, 0.0)
     wlat = c.m1_lat * deltaT ** c.m2_lat
     rside = jnp.clip(wlat * dt * jnp.pi / (c.alpha_floe * c.floediam),
-                     0.0, 1.0)
+                     0.0, 1.0)[None, :] * jnp.ones_like(aicen)
+    if rside_scale is not None:
+        rside = jnp.clip(rside * rside_scale, 0.0, 1.0)
 
     ei = (qin * (vicen / nilyr)[:, None, :]).sum(1)       # J/m^2 (<0)
     es = (qsn * (vsnon / nslyr)[:, None, :]).sum(1)
-    demand = rside * (-(ei + es)).sum(0)                  # J/m^2 needed
+    demand = (rside * -(ei + es)).sum(0)                  # J/m^2 needed
     avail = jnp.maximum(melt_pot, 0.0) * dt
     scale = jnp.where(demand > c.puny,
                       jnp.minimum(1.0, avail / jnp.maximum(demand, c.puny)),
                       1.0)
-    rside = rside * scale
+    rside = rside * scale[None, :]
 
-    dfresh = rside * (c.rhoi * vicen + c.rhos * vsnon).sum(0) / dt
-    dfsalt = rside * (c.rhoi * vicen).sum(0) * c.ice_ref_salinity * 1e-3 / dt
-    dfhocn = rside * (ei + es).sum(0) / dt                # negative
+    dfresh = (rside * (c.rhoi * vicen + c.rhos * vsnon)).sum(0) / dt
+    dfsalt = (rside * c.rhoi * vicen).sum(0) * c.ice_ref_salinity * 1e-3 / dt
+    dfhocn = (rside * (ei + es)).sum(0) / dt              # negative
 
-    keep = 1.0 - rside[None, :]
+    keep = 1.0 - rside
     return (aicen * keep, vicen * keep, vsnon * keep, Tsfcn, qin, qsn,
             dfresh, dfsalt, dfhocn)

@@ -18,7 +18,7 @@ from .netcdf import write_dataset, read_vars
 from ..core.state import OceanState
 
 
-OCE_FIELDS = ["eta", "hbar", "hbar_old", "ssh_rhs_old", "u", "v",
+OCE_FIELDS = ["eta", "hbar", "hbar_old", "ssh_rhs_old", "d_eta", "u", "v",
               "u_rhsAB", "v_rhsAB", "w", "w_e", "w_i", "tr", "tr_old",
               "hnode", "hnode_new", "uke", "uke_rhs",
               # persistent mixing memory: Monin-Obukhov mixing length is

@@ -216,9 +216,20 @@ def default_icepack_streams(ipc=None) -> List[StreamDef]:
                 "vlvl": "level ice volume fraction",
                 "iage": "ice age [s]"}
     for k, name in enumerate(ipc.area_tracers):
+        if name.startswith("fsd"):
+            continue          # per-bin fractions: summarized by fsdrad
         defs.append(StreamDef(name, area_mean(k), wants_extra=True,
                               comment=comments[name]))
     for k, name in enumerate(ipc.vol_tracers):
         defs.append(StreamDef(name, vol_mean(k), wants_extra=True,
                               comment=comments[name]))
+    if getattr(ipc, "tr_fsd", False):
+        from ..ice.icepack import fsd as fsd_mod
+
+        def fsdrad(s, i, p):
+            return fsd_mod.fsd_mean_radius(p.ta[:, ipc.fsd_slice],
+                                           p.aicen, ipc.fsd_lims)
+
+        defs.append(StreamDef("fsdrad", fsdrad, wants_extra=True,
+                              comment="area-weighted mean floe radius [m]"))
     return defs
