@@ -202,6 +202,18 @@ def icepack_timestep(ipk: IcepackState, ice: IceState, mesh,
             ta0 = ta0.at[:, jf].set(
                 ponds.reset_first_year(ta0[:, jf], mesh.geo_coords[:, 1],
                                        yday))
+        if ipc.tr_bgc:
+            # skeletal-layer ecosystem (bgc.py): driven by the transmitted
+            # shortwave and the net ice growth/melt rate of this step
+            from . import bgc as bgc_mod
+            sb = ipc.bgc_slice
+            dhi_dt = jnp.where(has, (tc["hi"] - hi) / dt, 0.0)
+            algN, NO3, Sil, _, _, _ = bgc_mod.skl_bgc_step(
+                ipc, ta0[:, sb.start], ta0[:, sb.start + 1],
+                ta0[:, sb.start + 2], aicen, vicen, fswthru, dhi_dt, tf, dt)
+            ta0 = ta0.at[:, sb.start].set(algN) \
+                     .at[:, sb.start + 1].set(NO3) \
+                     .at[:, sb.start + 2].set(Sil)
 
     aw = jnp.where(has, a0, 0.0)                          # weights
     fresh_kg = (aw * tc["fresh"]).sum(0)                  # kg/m^2/s grid mean

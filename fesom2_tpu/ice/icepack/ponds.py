@@ -100,6 +100,10 @@ def dilute_on_new_ice(ipc, ta, tv, a_before, a_after, v_before, v_after):
             tgt = 0 if ipc.wave_spec else ipc.nfsd - 1
             new_val_a.update({f"fsd{k:02d}": (1.0 if k == tgt else 0.0)
                               for k in range(ipc.nfsd)})
+        if getattr(ipc, "tr_bgc", False):
+            # new frazil traps mixed-layer nutrients and the algal seed
+            from .bgc import bgc_defaults
+            new_val_a.update(bgc_defaults(ipc))
         vals = jnp.asarray([new_val_a[n] for n in ipc.area_tracers],
                            ta.dtype)[None, :, None]
         ta = jnp.where(a_after[:, None, :] > c.puny,

@@ -75,6 +75,20 @@ class IcepackConfig:
     wave_spec: bool = False       # wave field present: new floes pancake-
     #                               sized (smallest bin) vs consolidation
     kweld: float = 5.0e-7         # welding rate at full ice cover [1/s]
+    # skeletal-layer biogeochemistry (bgc.py; skl_bgc hooks of
+    # icedrv_main.F90:61-62,557)
+    tr_bgc: bool = False
+    bgc_mu_max: float = 1.44      # max algal growth rate [1/day]
+    bgc_grow_Tdep: float = 0.0633  # growth T-dependence [1/C]
+    bgc_K_par: float = 4.0        # light half-saturation [W/m^2]
+    bgc_K_NO3: float = 1.0        # nitrate half-saturation [mmol/m^3]
+    bgc_K_Sil: float = 4.0        # silicate half-saturation [mmol/m^3]
+    bgc_R_Si2N: float = 1.8       # diatom Si:N uptake ratio
+    bgc_mort: float = 0.007       # linear mortality [1/day]
+    bgc_fr_resp: float = 0.05     # respired (remineralized) fraction
+    bgc_NO3_ocn: float = 16.0     # mixed-layer nitrate [mmol/m^3]
+    bgc_Sil_ocn: float = 25.0     # mixed-layer silicate [mmol/m^3]
+    bgc_N_seed: float = 0.02      # new-ice algal seed [mmol N/m^3]
     # ponds_nml (namelist.icepack:71-79)
     pndaspect: float = 0.8        # pond depth/area aspect delta_p
     rfracmin: float = 0.15        # min meltwater retention fraction
@@ -104,20 +118,32 @@ class IcepackConfig:
             self.fsd_i0 = len(ta)
             ta += [f"fsd{k:02d}" for k in range(self.nfsd)]
             self.fsd_lims = fsd_bounds(self.nfsd)
+        if self.tr_bgc:
+            from .bgc import BGC_NAMES
+            self.bgc_i0 = len(ta)
+            ta += list(BGC_NAMES)
         self.area_tracers = tuple(ta)
         self.vol_tracers = tuple(tv)
         # ridging behavior: True = conserved into the ridged receiver,
         # False = destroyed on the ridged portion (ponds drain, level ice
         # becomes deformed; FY/age survive deformation).  FSD bins are
         # conserved through ridging (the mechanical fracture of ridged
-        # floes is not modelled; the distribution rides along unchanged)
+        # floes is not modelled; the distribution rides along unchanged).
+        # BGC concentrations ride the ridged ice (the skeletal layer is
+        # carried with the ice bottom)
         self.ta_ridge_keep = tuple(n in ("FY",) or n.startswith("fsd")
+                                   or n.startswith("bgc")
                                    for n in ta)
         self.tv_ridge_keep = tuple(n in ("iage",) for n in tv)
 
     @property
     def fsd_slice(self):
         return slice(self.fsd_i0, self.fsd_i0 + self.nfsd)
+
+    @property
+    def bgc_slice(self):
+        from .bgc import N_BGC
+        return slice(self.bgc_i0, self.bgc_i0 + N_BGC)
 
     def ta_index(self, name: str) -> int:
         return self.area_tracers.index(name)
@@ -222,6 +248,9 @@ def init_icepack_state(cfg: IcepackConfig, a_ice, m_ice, m_snow, Tsf,
         init_a = {"apnd": 0.0, "hpnd": 0.0, "FY": 0.0, "alvl": 1.0}
         init_a.update({f"fsd{k:02d}": (1.0 if k == cfg.nfsd - 1 else 0.0)
                        for k in range(getattr(cfg, "nfsd", 0))})
+        if getattr(cfg, "tr_bgc", False):
+            from .bgc import bgc_defaults
+            init_a.update(bgc_defaults(cfg))
         init_v = {"vlvl": 1.0, "iage": 0.0}
         if cfg.area_tracers:
             ta = jnp.stack([jnp.where(has, init_a[n], 0.0).astype(dtype)

@@ -214,7 +214,10 @@ def default_icepack_streams(ipc=None) -> List[StreamDef]:
                 "FY": "first-year ice area fraction",
                 "alvl": "level ice area fraction",
                 "vlvl": "level ice volume fraction",
-                "iage": "ice age [s]"}
+                "iage": "ice age [s]",
+                "bgc_N": "skeletal-layer ice algae [mmol N/m^3]",
+                "bgc_NO3": "skeletal-layer nitrate [mmol/m^3]",
+                "bgc_Sil": "skeletal-layer silicate [mmol/m^3]"}
     for k, name in enumerate(ipc.area_tracers):
         if name.startswith("fsd"):
             continue          # per-bin fractions: summarized by fsdrad
