@@ -246,6 +246,144 @@ def build_ssh_ring(mesh: MeshTables, cfg, dtype=jnp.float64) -> RingOperator:
                         jnp.asarray(ring_vals, dtype))
 
 
+def ssh_sparse_coo_elems(mesh: MeshTables, cfg):
+    """COO triplets of the SSH stencil with the per-element depth factored
+    out: entry value = coef * H[elem] (host-side numpy).
+
+    Returns (rows, cols, elems, coefs, mass_diag, N): the full operator is
+    A = diag(mass_diag) + sum_i coef_i * H[elem_i] scattered at
+    (row_i, col_i).  This is the ALE decomposition A(hbar) = A0 - B(hbar_e)
+    used by build_ssh_ring_ale — the reference re-assembles the CSR values
+    each step for the same reason (update_stiff_mat_ale,
+    ``oce_ale.F90:1371-1470``)."""
+    N = mesh.n_nodes
+    edges = np.asarray(mesh.edges)
+    etri = np.asarray(mesh.edge_tri)
+    en = np.asarray(mesh.elem_nodes)
+    gsca = np.asarray(mesh.gradient_sca)
+    ecd = np.asarray(mesh.edge_cross_dxdy)
+    dt = cfg.dt
+    factor = g * dt * cfg.dyn.alpha * cfg.dyn.theta
+
+    avn = np.asarray(mesh.areasvol)
+    uln0 = np.asarray(mesh.ulevels_node) - 1
+    mass_diag = avn[uln0, np.arange(N)] / dt
+
+    rows, cols, elems, coefs = [], [], [], []
+    for i in range(2):
+        el = etri[:, i]
+        ok = el >= 0
+        els = np.where(ok, el, 0)
+        dX = ecd[:, 2 * i]
+        dY = ecd[:, 2 * i + 1]
+        sgn = 1.0 if i == 0 else -1.0
+        for k in range(3):
+            cf = (gsca[els, k] * dY - gsca[els, k + 3] * dX) * sgn * factor
+            cf = np.where(ok, cf, 0.0)
+            col = en[els, k]
+            for j, rsgn in ((0, 1.0), (1, -1.0)):
+                rows.append(edges[:, j])
+                cols.append(col)
+                elems.append(els)
+                coefs.append(rsgn * cf)
+    return (np.concatenate(rows), np.concatenate(cols),
+            np.concatenate(elems), np.concatenate(coefs), mass_diag, N)
+
+
+@jax.tree_util.register_pytree_node_class
+class RingALE:
+    """ALE (zstar/zlevel) SSH operator in ring form.
+
+    The stencil values are affine in the per-element accumulated depth
+    perturbation hbar_e:  vals(hbar_e) = vals0 - sum_c coef_c *
+    hbar_e[elem_c] per ring slot.  ``materialize(hbar_e)`` rebuilds the
+    packed [Kr, N] value table once per step (one [C, Kr, N] gather) and
+    returns a RingOperator, so each CG iteration costs one packed gather
+    instead of the 6-gather edge-stencil chain — the reference's
+    update-values-then-solve split (``oce_ale.F90:1371-1470`` +
+    ``psolve.c``) in TPU form.
+    """
+
+    def __init__(self, cols, vals0, e_ids, e_coef):
+        self.cols = cols        # [Kr, N] i32 (pad -> self)
+        self.vals0 = vals0      # [Kr, N] operator at hbar_e = 0
+        self.e_ids = e_ids      # [C, Kr, N] i32 element ids (pad -> 0)
+        self.e_coef = e_coef    # [C, Kr, N] (pad -> 0)
+
+    def materialize(self, hbar_e) -> "RingOperator":
+        h2 = jnp.stack([hbar_e, hbar_e])
+        corr = (jnp.take(h2, self.e_ids, axis=-1)[0] * self.e_coef).sum(0)
+        return RingOperator(self.cols, self.vals0 - corr)
+
+    def tree_flatten(self):
+        return ((self.cols, self.vals0, self.e_ids, self.e_coef), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def build_ssh_ring_ale(mesh: MeshTables, cfg, dtype=jnp.float64) -> RingALE:
+    """Assemble the ALE ring operator (host-side, vectorized numpy)."""
+    rows, cols, elems, coefs, mass_diag, N = ssh_sparse_coo_elems(mesh, cfg)
+    zbar = np.asarray(mesh.zbar)
+    H0 = zbar[np.asarray(mesh.nlevels_elem) - 1] \
+        - zbar[np.asarray(mesh.ulevels_elem) - 1]
+
+    # append the (element-independent) mass diagonal as coef-0 entries
+    diag_rows = np.arange(N)
+    rows = np.concatenate([diag_rows, rows])
+    cols = np.concatenate([diag_rows, cols])
+    elems = np.concatenate([np.zeros(N, np.int64), elems])
+    coefs = np.concatenate([np.zeros(N), coefs])
+    base = np.concatenate([mass_diag, np.zeros(len(coefs) - N)])
+
+    # group by (row, col): sort once, then rank within groups
+    key = rows.astype(np.int64) * N + cols.astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uk, inv_first = np.unique(key_s, return_index=True)
+    # unique-slot ids for each sorted entry
+    slot_of_entry = np.searchsorted(uk, key_s)
+    # rank of each entry within its (row,col) group
+    rank = np.arange(len(key_s)) - inv_first[slot_of_entry]
+    C = int(rank.max()) + 1
+
+    urow = (uk // N).astype(np.int64)
+    ucol = (uk % N).astype(np.int64)
+    # slot index of each unique (row,col) within its row
+    row_first = np.searchsorted(urow, urow)       # first unique idx per row
+    uslot = np.arange(len(uk)) - row_first
+    Kr = int(uslot.max()) + 1
+
+    ring_cols = np.tile(np.arange(N), (Kr, 1))
+    vals0 = np.zeros((Kr, N))
+    e_ids = np.zeros((C, Kr, N), np.int64)
+    e_coef = np.zeros((C, Kr, N))
+
+    ring_cols[uslot, urow] = ucol
+    # static part: mass diag + H0 terms, accumulated per unique slot
+    v0 = np.bincount(slot_of_entry,
+                     weights=(base + coefs * H0[elems])[order],
+                     minlength=len(uk))
+    vals0[uslot, urow] = v0
+    # hbar-correction contributions (skip the zero-coef mass entries)
+    er, es, ec = urow[slot_of_entry], uslot[slot_of_entry], rank
+    cf = coefs[order]
+    nz = cf != 0.0
+    e_ids[ec[nz], es[nz], er[nz]] = elems[order][nz]
+    e_coef[ec[nz], es[nz], er[nz]] = cf[nz]
+
+    # dead padded rows: identity
+    dead = np.abs(vals0).sum(0) + np.abs(e_coef).sum((0, 1)) == 0
+    if dead.any():
+        vals0[0, dead] = 1.0
+    return RingALE(jnp.asarray(ring_cols, jnp.int32),
+                   jnp.asarray(vals0, dtype),
+                   jnp.asarray(e_ids, jnp.int32),
+                   jnp.asarray(e_coef, dtype))
+
+
 @jax.tree_util.register_pytree_node_class
 class BlockSchwarz:
     """Overlapping additive-Schwarz preconditioner with per-block dense
@@ -598,7 +736,12 @@ def solve_ssh(state: OceanState, mesh: MeshTables, cfg, diag_inv, rhs,
     else:
         hbar_e = elem_mean_node(state.hbar, mesh)
         hbar_e = jnp.where(mesh.ulevels_elem == 1, hbar_e, 0.0)
-        op = ssh_operator(mesh, cfg, hbar_e=hbar_e)
+        if ring is not None and isinstance(ring, RingALE):
+            # one packed value rebuild per step, one packed gather per
+            # CG iteration (vs the 6-gather edge-stencil chain)
+            op = ring.materialize(hbar_e)
+        else:
+            op = ssh_operator(mesh, cfg, hbar_e=hbar_e)
     tol = getattr(cfg.dyn, "ssh_tol", None)
     if tol is None:
         tol = 1e-10 if jnp.finfo(rhs.dtype).bits >= 64 else 2e-5

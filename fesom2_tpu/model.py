@@ -807,8 +807,12 @@ def _finish_pi_setup(cfg, mesh_path, forcing_path, dtype, pad_to,
         if mesh.n_nodes <= DENSE_SSH_MAX_NODES else None
     block_pc = None if dense_inv is not None \
         else ssh.build_block_schwarz(mesh, cfg, dtype=dtype)
-    ring = None if dense_inv is not None or cfg.ale.which_ALE != "linfs" \
-        else ssh.build_ssh_ring(mesh, cfg, dtype=dtype)
+    if dense_inv is not None:
+        ring = None
+    elif cfg.ale.which_ALE == "linfs":
+        ring = ssh.build_ssh_ring(mesh, cfg, dtype=dtype)
+    else:
+        ring = ssh.build_ssh_ring_ale(mesh, cfg, dtype=dtype)
     model = Model(mesh=mesh, cfg=cfg, tracer_statics=tst,
                   ssh_diag_inv=diag_inv, density_ref=dref,
                   ssh_dense_inv=dense_inv, ssh_block_pc=block_pc,
@@ -1037,8 +1041,12 @@ def _finish_soufflet_setup(cfg, mesh_path, dtype, pad_to):
         if mesh.n_nodes <= DENSE_SSH_MAX_NODES else None
     block_pc = None if dense_inv is not None \
         else ssh.build_block_schwarz(mesh, cfg, dtype=dtype)
-    ring = None if dense_inv is not None or cfg.ale.which_ALE != "linfs" \
-        else ssh.build_ssh_ring(mesh, cfg, dtype=dtype)
+    if dense_inv is not None:
+        ring = None
+    elif cfg.ale.which_ALE == "linfs":
+        ring = ssh.build_ssh_ring(mesh, cfg, dtype=dtype)
+    else:
+        ring = ssh.build_ssh_ring_ale(mesh, cfg, dtype=dtype)
     return Model(mesh=mesh, cfg=cfg, tracer_statics=tst, ssh_diag_inv=diag_inv,
                  density_ref=dref, soufflet_statics=sst,
                  ssh_dense_inv=dense_inv, ssh_block_pc=block_pc,

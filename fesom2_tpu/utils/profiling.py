@@ -136,7 +136,8 @@ def profile_pi_phases(n_refine: int = 0, dtype=jnp.float64, n: int = 5,
             pc = SS["block_pc"] if SS["block_pc"] is not None \
                 else SS["diag_inv"]
             d_eta, it, res = ssh.solve_ssh(st, mesh, cfg, pc, rhs,
-                                           ring=SS["ssh_ring"])
+                                           ring=SS["ssh_ring"],
+                                           x0=st.d_eta)
         return d_eta, it
     ssh_with_mom = _time_fn(jphase(ph_ssh), (state, forcing, Sb), n)
 
