@@ -68,9 +68,55 @@ _GROUP_TARGETS = {
 }
 
 
+# reference namelist.icepack key -> IcepackConfig field.  env_nml uses the
+# icepack.settings names (nicecat..., trage as 0/1 ints,
+# config/namelist.icepack:1-24); tracer_nml the tr_* logicals (:30-39)
+_ICEPACK_KEYS = {
+    "nicecat": "ncat", "nicelyr": "nilyr", "nsnwlyr": "nslyr",
+    "trage": "tr_iage", "trfy": "tr_FY", "trlvl": "tr_lvl",
+    "trpnd": "tr_pond_cesm", "trbgcs": "tr_bgc",
+    "tr_iage": "tr_iage", "tr_fy": "tr_FY", "tr_lvl": "tr_lvl",
+    "tr_pond_cesm": "tr_pond_cesm", "tr_fsd": "tr_fsd",
+    "kcatbound": "kcatbound",
+    "kitd": "kitd", "ktherm": "ktherm", "conduct": "conduct",
+    "ksno": "ksno",
+    "shortwave": "shortwave", "albicev": "albicev", "albicei": "albicei",
+    "albsnowv": "albsnowv", "albsnowi": "albsnowi", "albocn": "albocn",
+    "ahmax": "ahmax", "dt_mlt": "dT_mlt",
+    "rfracmin": "rfracmin", "rfracmax": "rfracmax",
+    "pndaspect": "pndaspect",
+    "kstrength": "kstrength", "krdg_partic": "krdg_partic",
+    "krdg_redist": "krdg_redist", "mu_rdg": "mu_rdg", "cf": "Cf",
+    "ndtd": "ndtd",
+}
+_ICEPACK_BOOL = {"tr_iage", "tr_FY", "tr_lvl", "tr_pond_cesm", "tr_bgc",
+                 "tr_fsd"}
+
+
+def icepack_opts_from_nml(groups: dict) -> dict:
+    """Flatten parsed namelist.icepack groups into IcepackConfig kwargs."""
+    opts = {}
+    for items in groups.values():
+        if not isinstance(items, dict):
+            continue
+        for key, val in items.items():
+            field = _ICEPACK_KEYS.get(key.lower())
+            if field is None:
+                continue
+            if field in _ICEPACK_BOOL:
+                val = bool(val)
+            opts[field] = val
+    # nfsdcat > 1 switches the FSD tracer on (env_nml analog of tr_fsd)
+    for items in groups.values():
+        if isinstance(items, dict) and int(items.get("nfsdcat", 1) or 1) > 1:
+            opts["tr_fsd"] = True
+            opts["nfsd"] = int(items["nfsdcat"])
+    return opts
+
+
 def load_setup(setup_yml: str):
     """Parse a reference setup.yml into (cfg, mesh_path, forcing_path,
-    goldens dict)."""
+    goldens dict, icepack_opts or None)."""
     import yaml
     with open(setup_yml) as f:
         y = yaml.safe_load(f)
@@ -78,6 +124,19 @@ def load_setup(setup_yml: str):
     cfg = load_config(os.path.join(REF_ROOT, "config/namelist.config"),
                       os.path.join(REF_ROOT, "config/namelist.oce"),
                       os.path.join(REF_ROOT, "config/namelist.ice"))
+
+    # the icepack CI variant is selected by the presence of a
+    # namelist.icepack section (the reference CI builds fesom with
+    # __icepack for setups/test_pi_icepack, .github/workflows)
+    ipk_opts = None
+    if "namelist.icepack" in y:
+        from .config import parse_namelist
+        base = os.path.join(REF_ROOT, "config/namelist.icepack")
+        groups = parse_namelist(base) if os.path.exists(base) else {}
+        for gname, items in (y.get("namelist.icepack") or {}).items():
+            if isinstance(items, dict) and gname.lower() != "nml_list_icepack":
+                groups.setdefault(gname.lower(), {}).update(items)
+        ipk_opts = icepack_opts_from_nml(groups)
     for nml in ("namelist.config", "namelist.oce", "namelist.ice",
                 "namelist.forcing"):
         groups = y.get(nml) or {}
@@ -97,7 +156,7 @@ def load_setup(setup_yml: str):
             f"mesh id '{mesh_key}' not in the paths map; provide it via a "
             f"FESOM2_TPU_PATHS yaml (mesh: {{{mesh_key}: /path}})")
     return (cfg, mesh_paths[mesh_key], forcing_paths.get(forcing_key),
-            goldens)
+            goldens, ipk_opts)
 
 
 def _run_length_steps(cfg: ModelConfig) -> int:
@@ -121,7 +180,7 @@ def run_setup(setup_yml: str, result_path: str, steps: int = None,
     from .run import run_pi, run_soufflet
     from .post.fcheck import field_means
 
-    cfg, mesh_path, forcing_path, goldens = load_setup(setup_yml)
+    cfg, mesh_path, forcing_path, goldens, ipk_opts = load_setup(setup_yml)
     n_steps = steps if steps is not None else _run_length_steps(cfg)
     os.makedirs(result_path, exist_ok=True)
 
@@ -133,7 +192,8 @@ def run_setup(setup_yml: str, result_path: str, steps: int = None,
         model, atm = setup_pi_model(mesh_path, forcing_path, cfg=cfg,
                                     dtype=dtype)
         run_pi(n_steps, result_path, dtype, verbose=verbose,
-               model_atm=(model, atm))
+               model_atm=(model, atm), use_icepack=ipk_opts is not None,
+               icepack_opts=ipk_opts)
 
     means = field_means(result_path)
     ok = True

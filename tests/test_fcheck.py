@@ -55,3 +55,25 @@ def test_reference_golden_yaml_parses():
         return
     gold = load_goldens(path)
     assert "temp" in gold and abs(gold["temp"] - 1.701768707848739) < 1e-12
+
+
+def test_icepack_setup_yaml_maps_to_opts():
+    """mkrun detects the icepack CI variant from its namelist.icepack
+    section and maps the env_nml/tracer_nml keys to IcepackConfig
+    (setups/test_pi_icepack/setup.yml + config/namelist.icepack)."""
+    path = "/root/reference/setups/test_pi_icepack/setup.yml"
+    if not os.path.exists(path):
+        return
+    from fesom2_tpu.mkrun import load_setup
+    from fesom2_tpu.ice.icepack import IcepackConfig
+    cfg, mesh_path, forcing_path, goldens, ipk_opts = load_setup(path)
+    assert ipk_opts is not None
+    ipc = IcepackConfig(**ipk_opts)
+    # defaults of the reference namelist.icepack env_nml/thermo_nml
+    assert ipc.ncat == 5 and ipc.nilyr == 4 and ipc.nslyr == 4
+    assert ipc.kitd == 1 and ipc.conduct == "bubbly"
+    assert not ipc.tr_pond_cesm            # trpnd = 0 in the base file
+    # the plain test_pi setup has no icepack section
+    from fesom2_tpu.mkrun import load_setup as ls
+    *_, none_opts = ls("/root/reference/setups/test_pi/setup.yml")
+    assert none_opts is None
