@@ -38,9 +38,14 @@ def bench_coupled(n_refine: int, parity: str = "ci"):
     with jax.default_device(cpu):
         from fesom2_tpu.model import (setup_pi_model, pi_initial_state,
                                       pi_coupled_step_fn)
+        from fesom2_tpu.forcing.atmos import atm_window
         model, atm = setup_pi_model(dtype=dtype, n_refine=n_refine,
                                     parity=parity)
         state, ice = pi_initial_state(model, dtype=dtype)
+        # keep only the benched time window on device: the full-year
+        # 6-hourly series is multi-GB at CORE2+ sizes (HBM pressure ->
+        # XLA rematerialization in the tracer stage)
+        atm = atm_window(atm, 0.0, 25 * model.cfg.dt)
     step = pi_coupled_step_fn(model, atm, donate=True)
 
     # warm-up: compile + force full materialization on the host (on remote

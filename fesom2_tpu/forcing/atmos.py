@@ -140,6 +140,38 @@ def _vector_g2r(m, glon, glat, rlon, rlat, u, v):
     return ur, vr
 
 
+def atm_window(atm: AtmData, t0: float, t1: float) -> AtmData:
+    """Restrict the preloaded series to the model-time window [t0, t1] s.
+
+    Keeps one bracketing row each side so _time_interp is exact inside the
+    window (and clamps outside, as it already does at the series edges).
+    At CORE2+ mesh sizes the full year of 6-hourly [T, N] fields is
+    multi-GB of device memory — enough to push the big tracer stage into
+    XLA rematerialization — while a run/bench segment only ever reads a
+    few rows."""
+    import dataclasses as _dc
+    import numpy as _np
+
+    def cut(series, taxis):
+        t = _np.asarray(taxis)
+        i0 = max(0, int(_np.searchsorted(t, t0)) - 1)
+        i1 = min(len(t), int(_np.searchsorted(t, t1)) + 1)
+        i1 = max(i1, i0 + 2)                # >= 2 rows for interp
+        return series[i0:i1], taxis[i0:i1]
+
+    u, tw = cut(atm.u_wind, atm.t_wind)
+    v, _ = cut(atm.v_wind, atm.t_wind)
+    ta, _ = cut(atm.tair, atm.t_wind)
+    q, _ = cut(atm.shum, atm.t_wind)
+    sw, tr = cut(atm.swdn, atm.t_rad)
+    lw, _ = cut(atm.lwdn, atm.t_rad)
+    pr, tp = cut(atm.prec, atm.t_prec)
+    sn, _ = cut(atm.snow, atm.t_prec)
+    return _dc.replace(atm, u_wind=u, v_wind=v, tair=ta, shum=q, t_wind=tw,
+                       swdn=sw, lwdn=lw, t_rad=tr, prec=pr, snow=sn,
+                       t_prec=tp)
+
+
 def _time_interp(series, taxis, t):
     """Linear interpolation of [T, N] series at scalar time t [s] (clamped)."""
     T = series.shape[0]

@@ -583,8 +583,19 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
         t_new = jnp.where(nmask, t_new, 0.0)
         return t_new, tAB, dttf_h, dttf_v
 
-    t_expl, tAB_all, dttf_h_all, dttf_v_all = jax.vmap(stage1)(
-        state.tr[:ntr], state.tr_old[:ntr])
+    # statically unrolled per-tracer loop, NOT jax.vmap: a batched tracer
+    # axis makes every [K,N]-indexed gather a 3-D-operand gather, which
+    # TPU executes ~4.5x slower per value at CORE2+ operand sizes
+    # (measured: [2,47,566k] idx[8,N] 323 ms vs 2x[47,566k] 71 ms); at
+    # 47k sizes the loop is no slower, so it is unconditional
+    def batched(fn, *arrs):
+        outs = [fn(*[a[i] for a in arrs]) for i in range(arrs[0].shape[0])]
+        if isinstance(outs[0], tuple):
+            return tuple(jnp.stack(z) for z in zip(*outs))
+        return jnp.stack(outs)
+
+    t_expl, tAB_all, dttf_h_all, dttf_v_all = batched(
+        stage1, state.tr[:ntr], state.tr_old[:ntr])
     tr_old = state.tr[:ntr]                 # reset AB memory to T^n
 
     # discrete variance decay (Klingbeil et al. 2014 eq. 23; ref
@@ -592,8 +603,8 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
     # subtract the square of the advected field
     if cfg.diag.ldiag_DVD and state.dvd_h.shape[0] > 0:
         nd = state.dvd_h.shape[0]
-        _, d2h, d2v = jax.vmap(lambda a, b: stage1(a, b, moment=2))(
-            state.tr[:nd], state.tr_old[:nd])
+        _, d2h, d2v = batched(lambda a, b: stage1(a, b, moment=2),
+                              state.tr[:nd], state.tr_old[:nd])
         hN = jnp.where(nmask, state.hnode_new, 1.0)
         tABd = tAB_all[:nd]
         td = state.tr[:nd]
@@ -661,10 +672,10 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
             return tracers.diff_ver_impl(t, Kv_i, state.hnode_new,
                                          zbar_n_bot, mesh, dt, surf_bc, **kw)
         if src_all is None:
-            tr = jax.vmap(lambda a, b, c: stage2(a, b, None, c))(
-                t_expl, surf_bc_all, Kv_all)
+            tr = batched(lambda a, b, c: stage2(a, b, None, c),
+                         t_expl, surf_bc_all, Kv_all)
         else:
-            tr = jax.vmap(stage2)(t_expl, surf_bc_all, src_all, Kv_all)
+            tr = batched(stage2, t_expl, surf_bc_all, src_all, Kv_all)
     else:
         tr = t_expl
 

@@ -60,9 +60,13 @@ def profile_pi_phases(n_refine: int = 0, dtype=jnp.float64, n: int = 5,
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
+        from ..forcing.atmos import atm_window
         model, atm = setup_pi_model(dtype=dtype, n_refine=n_refine,
                                     parity=parity)
         state, ice = pi_initial_state(model, dtype=dtype)
+        # window the preloaded forcing like bench.py: the full-year series
+        # is multi-GB of HBM at CORE2+ sizes (rematerialization pressure)
+        atm = atm_window(atm, 0.0, 25 * model.cfg.dt)
         forcing = zero_forcing(model.mesh, dtype)
         ice_forcing = zero_ice_forcing(model.mesh, dtype)
     cfg = model.cfg

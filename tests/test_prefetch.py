@@ -46,3 +46,31 @@ def test_provider_year_switch(tmp_path):
     assert np.allclose(prov.get(p2, "q", 0), d2[0])
     assert np.allclose(prov.get(p2, "q", 5), d2[5])
     prov.close()
+
+
+def test_atm_window_matches_full_series():
+    """atm_window slices the preloaded series to a time window without
+    changing the interpolated state inside it (HBM relief for CORE2+
+    meshes; see bench.py)."""
+    import jax.numpy as jnp
+    from fesom2_tpu.forcing.atmos import AtmData, atm_window, atm_state_at
+
+    rng = np.random.RandomState(5)
+    T, Tr, Tp, N = 40, 10, 4, 7
+    tw = np.arange(T) * 21600.0 + 10800.0
+    trad = np.arange(Tr) * 86400.0 + 43200.0
+    tp = np.arange(Tp) * 30 * 86400.0
+    mk = lambda t: jnp.asarray(rng.randn(len(t), N))
+    atm = AtmData(u_wind=mk(tw), v_wind=mk(tw), tair=mk(tw), shum=mk(tw),
+                  t_wind=jnp.asarray(tw),
+                  swdn=mk(trad), lwdn=mk(trad), t_rad=jnp.asarray(trad),
+                  prec=mk(tp), snow=mk(tp), t_prec=jnp.asarray(tp),
+                  runoff=jnp.asarray(rng.randn(N)))
+    w = atm_window(atm, 2 * 86400.0, 4 * 86400.0)
+    assert w.u_wind.shape[0] < T
+    for t in (2 * 86400.0, 2.5 * 86400.0, 3.9 * 86400.0):
+        a = atm_state_at(atm, jnp.asarray(t))
+        b = atm_state_at(w, jnp.asarray(t))
+        for k in a:
+            assert np.allclose(np.asarray(a[k]), np.asarray(b[k]),
+                               atol=1e-12), (k, t)
