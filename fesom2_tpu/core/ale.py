@@ -191,7 +191,7 @@ def update_thickness(state: OceanState, mesh: MeshTables, cfg) -> OceanState:
     hnode = state.hnode_new
     # recompute interface depths bottom-up (ref :962-970)
     nln = mesh.nlevels_node
-    zbot = jnp.take(mesh.zbar, nln - 1)            # bottom depth (full cells)
+    zbot = mesh.zbar_n_bot                         # bottom depth (partial cells)
     hmask = jnp.where(mesh.node_layer_mask, hnode, 0.0)
     hsum = jnp.cumsum(jnp.flip(hmask, 0), 0)
     zbar_3d = jnp.concatenate([zbot[None, :] + jnp.flip(hsum, 0),

@@ -109,9 +109,9 @@ def pressure_force_zxxxx_shchepetkin(state: OceanState,
     Z3 = state.Z_3d                                        # [nl-1, N]
 
     # element mid-depths Z_e from helem stacked up from the fixed bottom
-    # (ref :1908-1917); zbar_e_bot is static (full cells, bottom immobile)
+    # (ref :1908-1917); zbar_e_bot is static (bottom immobile, partial cells)
     h = jnp.where(lmask, state.helem, 0.0)
-    zbot = jnp.take(mesh.zbar, mesh.nlevels_elem - 1)      # [E]
+    zbot = mesh.zbar_e_bot                                 # [E]
     S = cumsum_bottom_up(h)                                # [nl-1, E]
     Z_e = zbot[None] + S - 0.5 * h                         # [nl-1, E]
 
@@ -177,7 +177,7 @@ def pressure_force_easypgf(state: OceanState, mesh: MeshTables,
     seq = cfg.dyn.state_equation
 
     h = jnp.where(lmask, state.helem, 0.0)
-    zbot = jnp.take(mesh.zbar, mesh.nlevels_elem - 1)      # [E]
+    zbot = mesh.zbar_e_bot                                 # [E]
     Scum = cumsum_bottom_up(h)
     Z_e = zbot[None] + Scum - 0.5 * h                      # [nl-1, E]
 
@@ -272,7 +272,7 @@ def pressure_force_zxxxx_cubicspline(state: OceanState,
     rho = state.density_m_rho0
     Z3 = state.Z_3d
     h = jnp.where(lmask, state.helem, 0.0)
-    zbot = jnp.take(mesh.zbar, mesh.nlevels_elem - 1)
+    zbot = mesh.zbar_e_bot
     Scum = cumsum_bottom_up(h)
     Z_e = zbot[None] + Scum - 0.5 * h                       # [nl-1, E]
     gx = mesh.gradient_sca[:, 0:3]
@@ -333,7 +333,7 @@ def pressure_force_linfs_cubicspline(state: OceanState,
     rho = state.density_m_rho0
     Z3 = state.Z_3d
     h = jnp.where(lmask, state.helem, 0.0)
-    zbot = jnp.take(mesh.zbar, mesh.nlevels_elem - 1)
+    zbot = mesh.zbar_e_bot
     Z_e = zbot[None] + cumsum_bottom_up(h) - 0.5 * h
     gx = mesh.gradient_sca[:, 0:3]
     gy = mesh.gradient_sca[:, 3:6]
@@ -1134,7 +1134,7 @@ def impl_vert_visc(state: OceanState, mesh: MeshTables, cfg, forcing: Forcing,
     lmask = mesh.elem_layer_mask                  # [nl-1, E]
 
     # element-wise interface depths from helem, bottom-up (ref :2372-2384)
-    zbot = jnp.take(mesh.zbar, nlev - 1)          # zbar_e_bot (full cells)
+    zbot = mesh.zbar_e_bot                        # partial-cell bottom
     hsum = jnp.cumsum(jnp.flip(jnp.where(lmask, state.helem, 0.0), 0), 0)
     zbar_n = jnp.concatenate(
         [zbot[None, :] + jnp.flip(hsum, 0), zbot[None, :]], 0)  # [nl, E]

@@ -120,7 +120,7 @@ def fer_solve_gamma(state: OceanState, mesh: MeshTables, sigma_xy, fer_c,
     # interface/mid depth spacings
     nln_min = _node_min_levels(mesh)
     hsum = jnp.cumsum(jnp.flip(hm, 0), 0)
-    zbot = jnp.take(mesh.zbar, nln - 1)
+    zbot = mesh.zbar_n_bot
     zbar_n = jnp.concatenate([zbot[None, :] + jnp.flip(hsum, 0),
                               zbot[None, :]], 0)            # [nl, N]
     Z_n = 0.5 * (zbar_n[:-1] + zbar_n[1:])

@@ -160,6 +160,25 @@ def _interp_field_gen_ic3d(mesh: MeshTables, lon, lat, dep, F):
         val = d1 + (d2 - d1) / (dep[b] - dep[a]) * (Z[k] - dep[a])
         out[k] = np.where(ok, val, DUMMY)
 
+    # partial bottom cells: the bottom-layer mid depth differs per node
+    # (ref gen_ic3d.F90:441 interpolates at Z_3d_n) — redo that layer
+    # pointwise.  With full cells this reproduces the per-level result.
+    nln = np.asarray(mesh.nlevels_node)
+    zb = np.asarray(mesh.zbar)
+    zmid_bot = -0.5 * (zb[nln - 2] + np.asarray(mesh.zbar_n_bot))  # [N] > 0
+    indb = np.searchsorted(dep, zmid_bot, side="right")
+    cols = np.arange(N)
+    a = np.clip(indb - 1, 0, nzf - 1)
+    b = np.clip(indb, 0, nzf - 1)
+    d1, d2 = data[a, cols], data[b, cols]
+    ok = (d1 < 0.99 * DUMMY) & (d2 < 0.99 * DUMMY) & (indb > 0)
+    dz = np.where(b > a, dep[b] - dep[a], 1.0)
+    valb = np.where(indb >= nzf, DUMMY,
+                    np.where(indb == 0, data[0, cols],
+                             np.where(ok, d1 + (d2 - d1) / dz
+                                      * (zmid_bot - dep[a]), DUMMY)))
+    out[nln - 2, cols] = valb
+
     out = extrap_nod(out, mesh, dummy=DUMMY)
     return out
 

@@ -30,10 +30,12 @@ from .state import OceanState, Forcing
 
 
 def elem_depth(mesh: MeshTables):
-    """(zbar_e_bot - zbar_e_srf): negative total unperturbed element depth."""
-    zbot = jnp.take(mesh.zbar, mesh.nlevels_elem - 1)
+    """(zbar_e_bot - zbar_e_srf): negative total unperturbed element depth.
+
+    ref init_stiff_mat_ale (oce_ale.F90:1223): the stiffness uses the
+    partial-cell bottom depth zbar_e_bot."""
     zsrf = jnp.take(mesh.zbar, mesh.ulevels_elem - 1)
-    return zbot - zsrf
+    return mesh.zbar_e_bot - zsrf
 
 
 def _edge_stencil_flux(field_gx, field_gy, H_el, mesh: MeshTables):
@@ -86,7 +88,7 @@ def ssh_dense_matrix(mesh: MeshTables, cfg) -> np.ndarray:
     gsca = np.asarray(mesh.gradient_sca)
     ecd = np.asarray(mesh.edge_cross_dxdy)
     zbar = np.asarray(mesh.zbar)
-    H = zbar[np.asarray(mesh.nlevels_elem) - 1] - zbar[np.asarray(mesh.ulevels_elem) - 1]
+    H = np.asarray(mesh.zbar_e_bot) - zbar[np.asarray(mesh.ulevels_elem) - 1]
     dt = cfg.dt
     factor = g * dt * cfg.dyn.alpha * cfg.dyn.theta
 
@@ -158,7 +160,7 @@ def ssh_sparse_coo(mesh: MeshTables, cfg):
     gsca = np.asarray(mesh.gradient_sca)
     ecd = np.asarray(mesh.edge_cross_dxdy)
     zbar = np.asarray(mesh.zbar)
-    H = zbar[np.asarray(mesh.nlevels_elem) - 1] \
+    H = np.asarray(mesh.zbar_e_bot) \
         - zbar[np.asarray(mesh.ulevels_elem) - 1]
     dt = cfg.dt
     factor = g * dt * cfg.dyn.alpha * cfg.dyn.theta
@@ -327,7 +329,7 @@ def build_ssh_ring_ale(mesh: MeshTables, cfg, dtype=jnp.float64) -> RingALE:
     """Assemble the ALE ring operator (host-side, vectorized numpy)."""
     rows, cols, elems, coefs, mass_diag, N = ssh_sparse_coo_elems(mesh, cfg)
     zbar = np.asarray(mesh.zbar)
-    H0 = zbar[np.asarray(mesh.nlevels_elem) - 1] \
+    H0 = np.asarray(mesh.zbar_e_bot) \
         - zbar[np.asarray(mesh.ulevels_elem) - 1]
 
     # append the (element-independent) mass diagonal as coef-0 entries
@@ -659,7 +661,7 @@ def ssh_matrix_diagonal(mesh: MeshTables, cfg) -> jnp.ndarray:
     gsca = np.asarray(mesh.gradient_sca)
     ecd = np.asarray(mesh.edge_cross_dxdy)
     zbar = np.asarray(mesh.zbar)
-    H = zbar[np.asarray(mesh.nlevels_elem) - 1] - zbar[np.asarray(mesh.ulevels_elem) - 1]
+    H = np.asarray(mesh.zbar_e_bot) - zbar[np.asarray(mesh.ulevels_elem) - 1]
     dt = cfg.dt
     factor = g * dt * cfg.dyn.alpha * cfg.dyn.theta
 

@@ -82,6 +82,14 @@ class OceanState:
     # (uke/uke_rhs of oce_modules.F90:228-229); zeros unless option 8 runs
     uke: jnp.ndarray          # [nl-1, E]
     uke_rhs: jnp.ndarray      # [nl-1, E]
+    # GM (Ferrari 2010) bolus velocities + diffusivity diagnostics for the
+    # fer_UV/fer_Wvel/fer_K/fer_C output streams (io_meandata.F90 'bolus_u'
+    # etc.); size-0 along the entity axis unless allocated with with_gm
+    fer_u: jnp.ndarray        # [nl-1, E] or [nl-1, 0]
+    fer_v: jnp.ndarray        # [nl-1, E] or [nl-1, 0]
+    fer_w: jnp.ndarray        # [nl, N] or [nl, 0]
+    fer_K3: jnp.ndarray       # [nl, N] or [nl, 0]
+    fer_c: jnp.ndarray        # [N] or [0]
     # discrete variance decay (Klingbeil et al. 2014) per tracer, split
     # into horizontal/vertical advection parts (ref tr_dvd_horiz/_vert,
     # gen_modules_diag.F90:744-838); [n_dvd, nl-1, N], n_dvd=0 unless
@@ -120,9 +128,11 @@ class Forcing:
 
 
 def allocate_state(mesh: MeshTables, n_tracers: int = 2,
-                   dtype=jnp.float64, n_dvd: int = 0) -> OceanState:
+                   dtype=jnp.float64, n_dvd: int = 0,
+                   with_gm: bool = False) -> OceanState:
     nl, N, E = mesh.nl, mesh.n_nodes, mesh.n_elems
     zE = lambda *s: jnp.zeros(s, dtype)
+    Eg, Ng = (E, N) if with_gm else (0, 0)
     return OceanState(
         u=zE(nl - 1, E), v=zE(nl - 1, E),
         u_rhsAB=zE(nl - 1, E), v_rhsAB=zE(nl - 1, E),
@@ -141,6 +151,8 @@ def allocate_state(mesh: MeshTables, n_tracers: int = 2,
         pgf_x=zE(nl - 1, E), pgf_y=zE(nl - 1, E),
         unode=zE(nl - 1, N), vnode=zE(nl - 1, N),
         uke=zE(nl - 1, E), uke_rhs=zE(nl - 1, E),
+        fer_u=zE(nl - 1, Eg), fer_v=zE(nl - 1, Eg), fer_w=zE(nl, Ng),
+        fer_K3=zE(nl, Ng), fer_c=zE(Ng),
         dvd_h=zE(n_dvd, nl - 1, N), dvd_v=zE(n_dvd, nl - 1, N),
         step=jnp.zeros((), jnp.int32),
     )
@@ -157,32 +169,56 @@ def zero_forcing(mesh: MeshTables, dtype=jnp.float64) -> Forcing:
                    prec_rain=z(N))
 
 
-def init_thickness_linfs(state: OceanState, mesh: MeshTables) -> OceanState:
-    """Initialise hnode/helem/zbar_3d/Z_3d for linfs full cells.
+def initial_z3d(mesh: MeshTables, dtype):
+    """Unperturbed interface/mid depths per node (zbar_3d, Z_3d).
 
-    ref: init_ale + init_thickness_ale (oce_ale.F90:82-194, :583-628) with
-    use_partial_cell=False: bottom thickness = zbar(nle-1)-zbar(nle).
+    ref init_ale (oce_ale.F90:160-194): standard levels above the bottom,
+    ``zbar_n_bot`` at the bottom interface (partial cells), bottom-layer mid
+    depth halfway between the last full interface and the partial bottom;
+    below-bottom entries pinned to the bottom values.
+    """
+    nl = mesh.nl
+    zbar = mesh.zbar.astype(dtype)
+    Z = mesh.Z.astype(dtype)
+    nln = mesh.nlevels_node          # [N] 1-based level counts
+    znb = mesh.zbar_n_bot.astype(dtype)                        # [N]
+    lay = jnp.arange(nl - 1)
+    lev = jnp.arange(nl)
+    # interfaces: standard above the bottom, partial depth at/below it
+    zbar_3d = jnp.where(lev[:, None] < nln[None, :] - 1, zbar[:, None],
+                        znb[None, :])
+    # mids: standard above the bottom layer; bottom layer = midpoint of
+    # (last full interface, partial bottom) (ref :192)
+    zmid_bot = 0.5 * (jnp.take(zbar, jnp.maximum(nln - 2, 0)) + znb)  # [N]
+    Z_3d = jnp.where(lay[:, None] < nln[None, :] - 2, Z[:, None],
+                     zmid_bot[None, :])
+    return zbar_3d, Z_3d
+
+
+def init_thickness_linfs(state: OceanState, mesh: MeshTables) -> OceanState:
+    """Initialise hnode/helem/zbar_3d/Z_3d (unperturbed column, eta=0).
+
+    ref: init_ale + init_thickness_ale (oce_ale.F90:82-194, :583-628);
+    bottom-layer thickness comes from mesh.bottom_{node,elem}_thickness,
+    which equals the full-cell value when use_partial_cell is off.
     """
     nl = mesh.nl
     dtype = state.eta.dtype
     zbar = mesh.zbar.astype(dtype)
-    Z = mesh.Z.astype(dtype)
     nln = mesh.nlevels_node          # [N] 1-based level counts
     nle = mesh.nlevels_elem
     lay = jnp.arange(nl - 1)
 
     dz = (zbar[:-1] - zbar[1:])[:, None]                      # [nl-1, 1]
-    hnode = jnp.where(mesh.node_layer_mask, dz, 0.0)
-    helem = jnp.where(mesh.elem_layer_mask, dz, 0.0)
+    is_bot_n = lay[:, None] == (nln - 2)[None, :]
+    is_bot_e = lay[:, None] == (nle - 2)[None, :]
+    hnode = jnp.where(is_bot_n,
+                      mesh.bottom_node_thickness.astype(dtype)[None, :], dz)
+    hnode = jnp.where(mesh.node_layer_mask, hnode, 0.0)
+    helem = jnp.where(is_bot_e,
+                      mesh.bottom_elem_thickness.astype(dtype)[None, :], dz)
+    helem = jnp.where(mesh.elem_layer_mask, helem, 0.0)
 
-    # zbar_3d: actual interface depths per node; below bottom clamp to bottom
-    lev = jnp.arange(nl)
-    zbar_3d = jnp.where(lev[:, None] < nln[None, :], zbar[:, None],
-                        zbar[nln - 1][None, :] * jnp.ones((nl, 1), dtype))
-    # keep full-depth dummy above (no cavity) and below bottom use zbar(bottom)
-    zbar_3d = jnp.where(lev[:, None] <= nln[None, :] - 1, zbar[:, None],
-                        jnp.take(zbar, nln - 1)[None, :])
-    Z_3d = jnp.where(lay[:, None] < nln[None, :] - 1, Z[:, None],
-                     jnp.take(Z, jnp.maximum(nln - 2, 0))[None, :])
+    zbar_3d, Z_3d = initial_z3d(mesh, dtype)
     return replace(state, hnode=hnode, hnode_new=hnode, helem=helem,
                    zbar_3d=zbar_3d.astype(dtype), Z_3d=Z_3d.astype(dtype))

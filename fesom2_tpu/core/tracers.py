@@ -618,7 +618,7 @@ def diff_ver_redi_expl(gx, gy, slope_tapered, Ki_layered, hnode_new,
     lmask = mesh.node_layer_mask
     hm = jnp.where(lmask, hnode_new, 0.0)
     nln = mesh.nlevels_node
-    zbot = jnp.take(mesh.zbar, nln - 1)
+    zbot = mesh.zbar_n_bot
     hsum = jnp.cumsum(jnp.flip(hm, 0), 0)
     zbar_n = jnp.concatenate([zbot[None, :] + jnp.flip(hsum, 0),
                               zbot[None, :]], 0)

@@ -154,7 +154,10 @@ def atm_window(atm: AtmData, t0: float, t1: float) -> AtmData:
 
     def cut(series, taxis):
         t = _np.asarray(taxis)
-        i0 = max(0, int(_np.searchsorted(t, t0)) - 1)
+        assert len(t) >= 2, "forcing series needs >= 2 time rows"
+        # clamp i0 so the slice always keeps two bracketing rows even when
+        # [t0, t1] lies at/after the end of the series
+        i0 = min(max(0, int(_np.searchsorted(t, t0)) - 1), len(t) - 2)
         i1 = min(len(t), int(_np.searchsorted(t, t1)) + 1)
         i1 = max(i1, i0 + 2)                # >= 2 rows for interp
         return series[i0:i1], taxis[i0:i1]

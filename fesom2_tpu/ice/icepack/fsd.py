@@ -143,9 +143,19 @@ def fsd_weld(afsd, aicen, freezing, dt, kweld, lims):
     onehot = jnp.asarray(np.eye(nfsd)[T], afsd.dtype)       # [i, j, k]
     rate = jnp.clip(dt * kweld * aicen, 0.0, 0.5) \
         * freezing.astype(afsd.dtype)                       # [ncat, N]
-    pair = afsd[:, :, None, :] * afsd[:, None, :, :]        # [ncat,i,j,N]
-    loss = pair.sum(2) * rate[:, None, :]                   # [ncat,i,N]
-    gain = jnp.einsum("cijn,ijk->ckn", pair, onehot) * rate[:, None, :]
+    # contract the Smoluchowski pair sums without materializing the
+    # [ncat, nfsd, nfsd, N] pair tensor (that transient is ~1.6 GB f32 at
+    # CORE2+ node counts): loss_i = afsd_i * sum_j afsd_j, and the gain is
+    # two chained small matmuls over the [i, j] bin axes.
+    tot = afsd.sum(1, keepdims=True)                        # [ncat, 1, N]
+    loss = afsd * tot * rate[:, None, :]                    # [ncat, i, N]
+    # gain_k = sum_i afsd_i * (onehot[i]^T @ afsd)_k; the static i-loop
+    # (nfsd=12) keeps every transient at afsd's own [ncat, nfsd, N] size
+    gain = jnp.zeros_like(afsd)
+    for i in range(nfsd):
+        redist = jnp.einsum("jk,cjn->ckn", onehot[i], afsd)
+        gain = gain + afsd[:, i, None, :] * redist
+    gain = gain * rate[:, None, :]
     return jnp.maximum(afsd - loss + gain, 0.0)
 
 

@@ -42,8 +42,10 @@ def write_mesh_info(path: str, mesh: MeshTables, nod_part=None,
                                  else np.asarray(nod_part, np.int32))),
         "elem_part": (("elem",), (np.zeros(E, np.int32) if elem_part is None
                                   else np.asarray(elem_part, np.int32))),
-        "zbar_e_bottom": (("elem",), zbar[nle - 1].astype(f64)),
-        "zbar_n_bottom": (("nod2",), zbar[nln - 1].astype(f64)),
+        "zbar_e_bottom": (("elem",),
+                          np.asarray(mesh.zbar_e_bot, f64)),
+        "zbar_n_bottom": (("nod2",),
+                          np.asarray(mesh.zbar_n_bot, f64)),
         "lon": (("nod2",), np.degrees(geo[:, 0]).astype(f64)),
         "lat": (("nod2",), np.degrees(geo[:, 1]).astype(f64)),
         "nod_area": (("nz", "nod2"), np.asarray(mesh.area, f64)),

@@ -9,22 +9,31 @@ from __future__ import annotations
 import numpy as np
 
 
-def read_vars(path: str, names):
-    """Read variables (dict name->ndarray). Tries netCDF3 then HDF5."""
+def read_vars(path: str, names, missing_ok: bool = False):
+    """Read variables (dict name->ndarray). Tries netCDF3 then HDF5.
+
+    missing_ok: skip names absent from the file (restart files written by
+    older revisions may lack newly-added state fields)."""
     try:
         from scipy.io import netcdf_file
         nc = netcdf_file(path, "r", mmap=False)
-        out = {}
-        for n in names:
-            v = nc.variables[n]
-            out[n] = np.array(v[:])
-        nc.close()
-        return out
+        try:
+            out = {}
+            for n in names:
+                if missing_ok and n not in nc.variables:
+                    continue
+                v = nc.variables[n]
+                out[n] = np.array(v[:])
+            return out
+        finally:
+            nc.close()
     except Exception:
         import h5py
         out = {}
         with h5py.File(path, "r") as h:
             for n in names:
+                if missing_ok and n not in h:
+                    continue
                 out[n] = np.array(h[n])
         return out
 

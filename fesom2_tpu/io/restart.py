@@ -79,8 +79,11 @@ def read_restart(path: str, state: OceanState, ice=None, dtype=jnp.float64,
         names += ["ipk_" + f for f in ("ta", "tv")
                   if getattr(ipk, f, None) is not None
                   and getattr(ipk, f).shape[1] > 0]
-    data = read_vars(path, names)
-    up = {f: jnp.asarray(data[f], dtype) for f in OCE_FIELDS}
+    data = read_vars(path, names, missing_ok=True)
+    # tolerate fields absent from older restart files (e.g. d_eta, added for
+    # the SSH warm start): they keep their allocated value (zeros), which
+    # degrades the warm start to a cold start but stays resumable
+    up = {f: jnp.asarray(data[f], dtype) for f in OCE_FIELDS if f in data}
     up["step"] = jnp.asarray(int(data["step"][0]), jnp.int32)
     state = dataclasses.replace(state, **up)
     if mesh is not None and cfg is not None \
@@ -96,7 +99,7 @@ def read_restart(path: str, state: OceanState, ice=None, dtype=jnp.float64,
     if ice is not None:
         ice = dataclasses.replace(
             ice, **{f: jnp.asarray(data["ice_" + f], dtype)
-                    for f in ICE_FIELDS})
+                    for f in ICE_FIELDS if "ice_" + f in data})
     if ipk is not None:
         up = {f: jnp.asarray(data["ipk_" + f], dtype) for f in IPK_FIELDS}
         for f in ("ta", "tv"):

@@ -26,12 +26,13 @@ from ..utils.clock import Clock, event_triggered
 @dataclass
 class StreamDef:
     name: str
-    extract: Callable            # (state, ice[, extra]) -> jnp array
+    extract: Callable            # (state, ice[, extra][, forcing]) -> jnp array
     freq: int = 1
     unit: str = "d"              # y/m/d/h/s
     precision: str = "f8"        # f4 or f8
     comment: str = ""
     wants_extra: bool = False    # extract takes a third arg (e.g. icepack)
+    wants_forcing: bool = False  # extract takes (state, ice, forcing)
 
 
 @dataclass
@@ -60,11 +61,18 @@ class OutputStreams:
         os.makedirs(result_path, exist_ok=True)
 
     # -- accumulate (device side) -----------------------------------------
-    def _extract_all(self, state, ice, extra):
-        return [d.extract(state, ice, extra) if d.wants_extra
-                else d.extract(state, ice) for d in self.defs]
+    def _extract_all(self, state, ice, extra, forcing):
+        out = []
+        for d in self.defs:
+            if d.wants_forcing:
+                out.append(d.extract(state, ice, forcing))
+            elif d.wants_extra:
+                out.append(d.extract(state, ice, extra))
+            else:
+                out.append(d.extract(state, ice))
+        return out
 
-    def update_means(self, state, ice=None, extra=None):
+    def update_means(self, state, ice=None, extra=None, forcing=None):
         # ONE jitted dispatch per step: extraction (slices/wheres) and the
         # running sums fuse into a single device program.  The jit outputs
         # are fresh buffers, so the accumulator never aliases state arrays
@@ -72,15 +80,16 @@ class OutputStreams:
         import jax
         if self._init_fn is None:
             self._init_fn = jax.jit(
-                lambda st, ic, ex: [jnp.asarray(v) for v in
-                                    self._extract_all(st, ic, ex)])
+                lambda st, ic, ex, fo: [jnp.asarray(v) for v in
+                                        self._extract_all(st, ic, ex, fo)])
             self._add_fn = jax.jit(
-                lambda acc, st, ic, ex: [a + v for a, v in
-                                         zip(acc, self._extract_all(st, ic, ex))])
+                lambda acc, st, ic, ex, fo: [
+                    a + v for a, v in
+                    zip(acc, self._extract_all(st, ic, ex, fo))])
         if self._acc is None:
-            self._acc = self._init_fn(state, ice, extra)
+            self._acc = self._init_fn(state, ice, extra, forcing)
         else:
-            self._acc = self._add_fn(self._acc, state, ice, extra)
+            self._acc = self._add_fn(self._acc, state, ice, extra, forcing)
         self._counts = [c + 1 for c in self._counts]
 
     # -- event-driven flush ------------------------------------------------
@@ -235,4 +244,264 @@ def default_icepack_streams(ipc=None) -> List[StreamDef]:
 
         defs.append(StreamDef("fsdrad", fsdrad, wants_extra=True,
                               comment="area-weighted mean floe radius [m]"))
+    return defs
+
+
+# --------------------------------------------------------------------------
+# Full namelist-driven registry (ref io_meandata.F90 ini_mean_io :94-537)
+# --------------------------------------------------------------------------
+def parse_namelist_io(path: str):
+    """Parse the &nml_list block of a reference ``namelist.io``.
+
+    Entries are quadruples 'id', freq, 'unit', precision (4->f4, 8->f8);
+    the reference stops at the first 'unknown' id (io_meandata.F90:130-136).
+    Returns a list of (id, freq, unit, precision) tuples."""
+    import re
+    txt = open(path).read()
+    m = re.search(r"^\s*&nml_list\b(.*?)\n\s*/", txt, re.S | re.M)
+    if not m:
+        return []
+    body = m.group(1)
+    quads = re.findall(r"'([^']+)'\s*,\s*(\d+)\s*,\s*'([^']+)'\s*,\s*(\d+)",
+                       body)
+    out = []
+    for sid, freq, unit, prec in quads:
+        sid = sid.strip()
+        if sid == "unknown":
+            break
+        out.append((sid, int(freq), unit.strip(),
+                    "f4" if int(prec) == 4 else "f8"))
+    return out
+
+
+def make_stream(sid: str, mesh, cfg, freq: int = 1, unit: str = "d",
+                precision: str = "f8", atm=None, fill_T=None, fill_S=None):
+    """Resolve one reference stream id to a StreamDef (or None when the
+    config does not carry the field, mirroring the reference's conditional
+    registration: use_ice / Fer_GM / ldiag_* gates).
+
+    Source parity (io_meandata.F90): 2D state :141-199, forcing :200-300,
+    mixing/EoS :300-390, 3D prognostics + GM :391-537.  Streams whose
+    reference source array has no counterpart in the carried state are
+    recomputed from state on the fly (alpha/beta, slopes, curl_surf) —
+    pure-functional extraction makes that free of extra plumbing.
+    """
+    import jax.numpy as jnp
+
+    k = dict(freq=freq, unit=unit, precision=precision)
+    use_ice = cfg.run.use_ice
+    dt = cfg.dt
+    nmask = mesh.node_layer_mask
+
+    def tr_stream(idx, fill):
+        if fill is None:
+            return lambda s, i, _k=idx: s.tr[_k]
+        return lambda s, i, _k=idx, _f=fill: jnp.where(nmask, s.tr[_k], _f)
+
+    def atm_stream(series_name, taxis_name):
+        # interp the preloaded atm series at the step's own model time
+        # (state.step is on device, so this stays inside the jitted
+        # accumulation); step-1: means accumulate post-step
+        from ..forcing.atmos import _time_interp
+
+        def f(s, i):
+            t = (s.step - 1) * dt          # weak-typed scalar, dtype-safe
+            return _time_interp(getattr(atm, series_name),
+                                getattr(atm, taxis_name), t)
+        return f
+
+    # ---- 2D from state ---------------------------------------------------
+    if sid == "sst":
+        return StreamDef("sst", lambda s, i: s.tr[0, 0],
+                         comment="sea surface temperature", **k)
+    if sid == "sss":
+        return StreamDef("sss", lambda s, i: s.tr[1, 0],
+                         comment="sea surface salinity", **k)
+    if sid == "ssh":
+        return StreamDef("ssh", lambda s, i: s.eta,
+                         comment="sea surface elevation", **k)
+    if sid == "vve_5":
+        return StreamDef("vve_5", lambda s, i: s.w[4],
+                         comment="vertical velocity at 5th level", **k)
+    if sid == "ssh_rhs_old":
+        return StreamDef("ssh_rhs_old", lambda s, i: s.ssh_rhs_old,
+                         comment="ssh rhs (old)", **k)
+    if sid == "MLD1":
+        return StreamDef("MLD1", lambda s, i: s.mld1,
+                         comment="Mixed Layer Depth (buoyancy)", **k)
+    if sid == "MLD2":
+        return StreamDef("MLD2", lambda s, i: s.mld2,
+                         comment="Mixed Layer Depth (Levitus)", **k)
+
+    # ---- sea ice ---------------------------------------------------------
+    ice_map = {"uice": ("u_ice", "ice velocity x"),
+               "vice": ("v_ice", "ice velocity y"),
+               "a_ice": ("a_ice", "ice concentration"),
+               "m_ice": ("m_ice", "ice height"),
+               "m_snow": ("m_snow", "snow height"),
+               "thdgr": ("thdgr", "thermodynamic growth rate ice"),
+               "thdgrsn": ("thdgrsn", "thermodynamic growth rate snow"),
+               "flice": ("flice", "flooding growth rate ice"),
+               "evap": ("evaporation", "evaporation"),
+               "ist": ("t_skin", "ice surface temperature")}
+    if sid in ice_map:
+        if not use_ice:
+            return None
+        attr, cm = ice_map[sid]
+        return StreamDef(sid, lambda s, i, _a=attr: getattr(i, _a),
+                         comment=cm, **k)
+
+    # ---- surface forcing (from the step's ocean Forcing) ----------------
+    forc_map = {"fh": ("heat_flux", "heat flux"),
+                "fw": ("water_flux", "water flux"),
+                "atmoce_x": ("stress_atm_x", "stress atmosphere->ocean x"),
+                "atmoce_y": ("stress_atm_y", "stress atmosphere->ocean y"),
+                "tx_sur": ("stress_x", "zonal wind stress to ocean"),
+                "ty_sur": ("stress_y", "meridional wind stress to ocean"),
+                "virtual_salt": ("virtual_salt", "virtual salt flux"),
+                "real_salt_flux": ("real_salt_flux", "real salt flux")}
+    if sid in forc_map:
+        attr, cm = forc_map[sid]
+        return StreamDef(sid, lambda s, i, f, _a=attr: getattr(f, _a),
+                         comment=cm, wants_forcing=True, **k)
+    if sid == "curl_surf":
+        from ..core.diagnostics import curl_stress_surf
+        return StreamDef("curl_surf",
+                         lambda s, i, f: curl_stress_surf(f, mesh),
+                         comment="curl of the surface stress",
+                         wants_forcing=True, **k)
+    if sid == "dens_flux":
+        # surface density flux alpha*fh/cp - beta*sss*fw (diag_densflux)
+        from ..core import eos as _eos
+        from ..constants import density_0
+
+        def dens_flux(s, i, f):
+            a, b = _eos.sw_alpha_beta(s.tr[0, 0], s.tr[1, 0], s.Z_3d[0])
+            return -a * f.heat_flux / 3996.0 \
+                - b * s.tr[1, 0] * f.water_flux * density_0
+        return StreamDef("dens_flux", dens_flux,
+                         comment="surface density flux",
+                         wants_forcing=True, **k)
+
+    # ---- atmospheric state (preloaded series, interped at step time) ----
+    atm_map = {"tair": ("tair", "t_wind", "air temperature"),
+               "shum": ("shum", "t_wind", "specific humidity"),
+               "uwind": ("u_wind", "t_wind", "zonal wind"),
+               "vwind": ("v_wind", "t_wind", "meridional wind"),
+               "swr": ("swdn", "t_rad", "shortwave radiation"),
+               "lwr": ("lwdn", "t_rad", "longwave radiation"),
+               "prec": ("prec", "t_prec", "precipitation rain"),
+               "snow": ("snow", "t_prec", "precipitation snow")}
+    if sid in atm_map:
+        if atm is None:
+            return None
+        attr, tax, cm = atm_map[sid]
+        return StreamDef(sid, atm_stream(attr, tax), comment=cm, **k)
+    if sid == "runoff":
+        if atm is None:
+            return None
+        return StreamDef("runoff", lambda s, i: atm.runoff,
+                         comment="runoff", **k)
+
+    # ---- 3D prognostics + mixing ----------------------------------------
+    if sid == "temp":
+        return StreamDef("temp", tr_stream(0, fill_T),
+                         comment="temperature", **k)
+    if sid == "salt":
+        return StreamDef("salt", tr_stream(1, fill_S),
+                         comment="salinity", **k)
+    if sid == "otracers":
+        if cfg.tra.num_tracers <= 2:
+            return None
+        return StreamDef("otracers", lambda s, i: s.tr[2:],
+                         comment="other tracers", **k)
+    state_map = {"u": ("u", "zonal velocity (elements)"),
+                 "v": ("v", "meridional velocity (elements)"),
+                 "w": ("w", "vertical velocity"),
+                 "Kv": ("Kv", "vertical diffusivity Kv"),
+                 "Av": ("Av", "vertical viscosity Av (elements)"),
+                 "N2": ("bvfreq", "brunt-vaisala frequency squared"),
+                 "pgf_x": ("pgf_x", "zonal pressure gradient force"),
+                 "pgf_y": ("pgf_y", "meridional pressure gradient force"),
+                 "unod": ("unode", "zonal velocity at nodes"),
+                 "vnod": ("vnode", "meridional velocity at nodes")}
+    if sid in state_map:
+        attr, cm = state_map[sid]
+        return StreamDef(sid, lambda s, i, _a=attr: getattr(s, _a),
+                         comment=cm, **k)
+
+    # ---- EoS coefficients + neutral slopes (recomputed from state) ------
+    if sid in ("alpha", "beta"):
+        from ..core import eos as _eos
+        which = 0 if sid == "alpha" else 1
+
+        def ab(s, i, _w=which):
+            return _eos.sw_alpha_beta(s.tr[0], s.tr[1], s.Z_3d)[_w]
+        cm = ("thermal expansion coefficient" if sid == "alpha"
+              else "haline contraction coefficient")
+        return StreamDef(sid, ab, comment=cm, **k)
+    if sid in ("slope_x", "slope_y", "slope_z"):
+        from ..core import gm_redi as _gm
+        comp = {"slope_x": 0, "slope_y": 1, "slope_z": 2}[sid]
+
+        def slope(s, i, _c=comp):
+            sig = _gm.compute_sigma_xy(s, mesh)
+            ns, _ = _gm.compute_neutral_slope(sig, s.bvfreq, mesh)
+            return ns[_c]
+        return StreamDef(sid, slope, comment="neutral slope " + sid[-1], **k)
+
+    # ---- GM / Redi (carried in state when Fer_GM, with_gm alloc) --------
+    gm_map = {"bolus_u": ("fer_u", "GM bolus velocity x"),
+              "bolus_v": ("fer_v", "GM bolus velocity y"),
+              "bolus_w": ("fer_w", "GM bolus velocity z"),
+              "fer_K": ("fer_K3", "GM diffusivity"),
+              "fer_C": ("fer_c", "GM wave speed c^2")}
+    if sid in gm_map:
+        if not cfg.dyn.Fer_GM:
+            return None
+        attr, cm = gm_map[sid]
+        return StreamDef(sid, lambda s, i, _a=attr: getattr(s, _a),
+                         comment=cm, **k)
+    if sid == "fer_scal":
+        if not cfg.dyn.Fer_GM:
+            return None
+        # resolution scaling is static per mesh (oce_fer_gm.F90:193-226)
+        import numpy as _np
+        d = cfg.dyn
+        reso = _np.asarray(mesh.resolution)
+        scal = (reso / 100000.0) ** 2 if d.scaling_resolution \
+            else _np.ones_like(reso)
+        ramp = _np.maximum((reso / 1000.0 - d.K_GM_rampmin)
+                           / (d.K_GM_rampmax - d.K_GM_rampmin), 0.0)
+        scal = _np.where(reso / 1000.0 < d.K_GM_rampmax, scal * ramp, scal)
+        fer_scal = jnp.asarray(_np.minimum(scal, 1.0))
+        return StreamDef("fer_scal", lambda s, i: fer_scal,
+                         comment="GM resolution scaling", **k)
+
+    # ---- diagnostics-gated ----------------------------------------------
+    if sid == "dMOC":
+        if not cfg.diag.ldiag_dMOC:
+            return None
+        from ..core.diagnostics import density_dmoc
+        return StreamDef("dMOC", lambda s, i: density_dmoc(s, cfg),
+                         comment="sigma2 density (density-space MOC)", **k)
+
+    # not mappable in this build: backscatter tendency splits
+    # (u_dis_tend.., visc_option 7/8 internals are not carried), coupled-
+    # mode oifs fields (alb/qsi/qso), kpp_obldepth/kpp_sbuoyflx (native
+    # KPP recomputes the OBL internally), atmice_x/y (folded into the EVP)
+    return None
+
+
+def streams_from_io_list(io_list, mesh, cfg, atm=None,
+                         fill_T=None, fill_S=None):
+    """Resolve a parsed &nml_list into StreamDefs, skipping (with the
+    reference's behavior) ids whose feature gate is off."""
+    defs = []
+    for sid, freq, unit, prec in io_list:
+        d = make_stream(sid, mesh, cfg, freq=freq, unit=unit,
+                        precision=prec, atm=atm, fill_T=fill_T,
+                        fill_S=fill_S)
+        if d is not None:
+            defs.append(d)
     return defs

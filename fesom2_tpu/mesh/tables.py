@@ -262,6 +262,15 @@ class MeshTables:
     # vertical structure
     zbar: jnp.ndarray              # [nl] level depths (<=0)
     Z: jnp.ndarray                 # [nl-1] layer mid depths
+    # partial bottom cells (ref oce_ale.F90:199-418): actual bottom depth and
+    # bottom-layer thickness per element/node.  With use_partial_cell=False
+    # these equal the full-cell values zbar[nlevels-1] / zbar[nlevels-2]-
+    # zbar[nlevels-1], so consumers read them unconditionally (no runtime
+    # branch — partial cells are just different static geometry).
+    zbar_e_bot: jnp.ndarray        # [E] element bottom depth (<=0)
+    zbar_n_bot: jnp.ndarray        # [N] node bottom depth (<=0)
+    bottom_elem_thickness: jnp.ndarray  # [E] >0 on wet elements
+    bottom_node_thickness: jnp.ndarray  # [N] >0 on wet nodes
     nlevels_elem: jnp.ndarray      # [E] i32 (number of levels; layers = -1)
     nlevels_node: jnp.ndarray      # [N] i32
     ulevels_elem: jnp.ndarray      # [E] i32 (1 unless cavity), 1-based like ref
@@ -285,6 +294,8 @@ def build_mesh(path: str, *, cartesian: bool = False, fplane: bool = False,
                cyclic_length_deg: float = 360.0, force_rotation: bool = False,
                alpha: float = 50.0, beta: float = 15.0, gamma: float = -90.0,
                use_shipped_edges: bool = True, cavity_depth=None,
+               use_partial_cell: bool = False,
+               partial_cell_thresh: float = 0.0,
                dtype=jnp.float64) -> MeshTables:
     """Read a FESOM-format mesh directory and derive all static geometry.
 
@@ -300,7 +311,56 @@ def build_mesh(path: str, *, cartesian: bool = False, fplane: bool = False,
                                cyclic_length_deg=cyclic_length_deg,
                                force_rotation=force_rotation, alpha=alpha,
                                beta=beta, gamma=gamma,
-                               use_shipped_edges=use_shipped_edges, dtype=dtype)
+                               use_shipped_edges=use_shipped_edges,
+                               use_partial_cell=use_partial_cell,
+                               partial_cell_thresh=partial_cell_thresh,
+                               dtype=dtype)
+
+
+def partial_bottom_depths(depth: Optional[np.ndarray], elem_nodes: np.ndarray,
+                          nod_in_elem: np.ndarray, nle: np.ndarray,
+                          nln: np.ndarray, zbar: np.ndarray,
+                          use_partial_cell: bool,
+                          partial_cell_thresh: float = 0.0,
+                          thers_lev: int = 5):
+    """Per-element/per-node bottom depth + bottom-layer thickness.
+
+    ref init_bottom_elem_thickness / init_bottom_node_thickness
+    (``oce_ale.F90:199-418``): the elemental bottom depth follows the real
+    topography ``depth`` clamped to ±1/2 layer around the full-cell level
+    (no thinner than mid of the bottom layer, no thicker than mid of the
+    layer below); the node value is the deepest adjacent element.  Cells
+    whose full thickness is below ``partial_cell_thresh`` stay full.
+    """
+    nl = zbar.shape[0]
+    Z = 0.5 * (zbar[:-1] + zbar[1:])
+    zb_full_e = zbar[nle - 1]                       # full-cell bottom depth
+    thick_full_e = zbar[nle - 2] - zbar[nle - 1]    # full bottom-layer thick
+    if use_partial_cell and depth is not None:
+        dcl = np.minimum(depth, zbar[thers_lev - 1])  # runtime clamp
+        dd = dcl[elem_nodes].mean(axis=1)             # elemental topo depth
+        at_max = nle == nl
+        # dd below the deepest full level: thicken, bounded by half the
+        # (virtual) next layer; dd above: thin, bounded by the layer mid
+        z_nle_m1 = Z[np.minimum(nle, nl - 1) - 1]     # Z(nle), guard nle==nl
+        deep = np.where(at_max,
+                        np.maximum(dd, zbar[nle - 1]
+                                   + (zbar[nle - 1] - Z[nle - 2])),
+                        np.maximum(z_nle_m1, dd))
+        shallow = np.minimum(Z[nle - 2], dd)
+        zbar_e_bot = np.where(dd < zbar[nle - 1], deep, shallow)
+        zbar_e_bot = np.where(thick_full_e <= partial_cell_thresh,
+                              zb_full_e, zbar_e_bot)
+    else:
+        zbar_e_bot = zb_full_e
+    bottom_elem_thickness = zbar[nle - 2] - zbar_e_bot
+    # node bottom = deepest adjacent element's bottom (ref :400-401)
+    valid = nod_in_elem >= 0
+    zadj = np.where(valid, zbar_e_bot[np.clip(nod_in_elem, 0, None)], np.inf)
+    zbar_n_bot = zadj.min(axis=1)
+    zbar_n_bot = np.where(np.isfinite(zbar_n_bot), zbar_n_bot, zbar[nln - 1])
+    bottom_node_thickness = zbar[nln - 2] - zbar_n_bot
+    return zbar_e_bot, zbar_n_bot, bottom_elem_thickness, bottom_node_thickness
 
 
 def build_mesh_from_raw(raw: RawMesh, *, cartesian: bool = False,
@@ -308,6 +368,8 @@ def build_mesh_from_raw(raw: RawMesh, *, cartesian: bool = False,
                         force_rotation: bool = False, alpha: float = 50.0,
                         beta: float = 15.0, gamma: float = -90.0,
                         use_shipped_edges: bool = True,
+                        use_partial_cell: bool = False,
+                        partial_cell_thresh: float = 0.0,
                         dtype=jnp.float64) -> MeshTables:
     cl = cyclic_length_deg * rad
     coords = raw.coords            # radians, mesh frame
@@ -403,6 +465,11 @@ def build_mesh_from_raw(raw: RawMesh, *, cartesian: bool = False,
 
     zbar = raw.zbar
     Z = 0.5 * (zbar[:-1] + zbar[1:])
+
+    (zbar_e_bot, zbar_n_bot, bottom_elem_thickness,
+     bottom_node_thickness) = partial_bottom_depths(
+        raw.depth, elem_nodes, nod_in_elem, nle, nln, zbar,
+        use_partial_cell, partial_cell_thresh)
 
     # masks: layer nz (0-based) active on elem e iff ule[e]-1 <= nz <= nle[e]-2
     # (upper bound from the bathymetry, lower from the ice-shelf cavity)
@@ -589,6 +656,9 @@ def build_mesh_from_raw(raw: RawMesh, *, cartesian: bool = False,
         gradient_vec=f(gradient_vec), elem_cos=f(elem_cos),
         metric_factor=f(metric_factor), coriolis=f(coriolis),
         coriolis_node=f(coriolis_node), zbar=f(zbar), Z=f(Z),
+        zbar_e_bot=f(zbar_e_bot), zbar_n_bot=f(zbar_n_bot),
+        bottom_elem_thickness=f(bottom_elem_thickness),
+        bottom_node_thickness=f(bottom_node_thickness),
         nlevels_elem=i(nle), nlevels_node=i(nln),
         ulevels_elem=i(ule), ulevels_node=i(uln),
         elem_layer_mask=jnp.asarray(elem_layer_mask),

@@ -147,6 +147,22 @@ def load_setup(setup_yml: str):
             for t in targets:
                 _apply(cfg if t is None else getattr(cfg, t), items)
 
+    # output stream list: namelist.io &nml_list, replaced by the setup.yml
+    # io_list override when present (reference mkrun substitutes the
+    # namelist variable wholesale)
+    from .io.streams import parse_namelist_io
+    io_nml = os.path.join(REF_ROOT, "config/namelist.io")
+    io_list = parse_namelist_io(io_nml) if os.path.exists(io_nml) else []
+    y_io = ((y.get("namelist.io") or {}).get("nml_list") or {})
+    if isinstance(y_io.get("io_list"), dict):
+        io_list = [(sid.strip(), int(spec.get("freq", 1)),
+                    str(spec.get("unit", "d")),
+                    "f4" if int(spec.get("prec", 8)) == 4 else "f8")
+                   for sid, spec in y_io["io_list"].items()]
+    for gname, items in ((y.get("namelist.io") or {}).items()):
+        if gname.lower() == "diag_list" and isinstance(items, dict):
+            _apply(cfg.diag, items)
+
     mesh_key = y.get("mesh", "test_global")
     forcing_key = y.get("forcing", "test_global")
     goldens = y.get("fcheck", {}) or {}
@@ -156,7 +172,7 @@ def load_setup(setup_yml: str):
             f"mesh id '{mesh_key}' not in the paths map; provide it via a "
             f"FESOM2_TPU_PATHS yaml (mesh: {{{mesh_key}: /path}})")
     return (cfg, mesh_paths[mesh_key], forcing_paths.get(forcing_key),
-            goldens, ipk_opts)
+            goldens, ipk_opts, io_list)
 
 
 def _run_length_steps(cfg: ModelConfig) -> int:
@@ -180,7 +196,8 @@ def run_setup(setup_yml: str, result_path: str, steps: int = None,
     from .run import run_pi, run_soufflet
     from .post.fcheck import field_means
 
-    cfg, mesh_path, forcing_path, goldens, ipk_opts = load_setup(setup_yml)
+    (cfg, mesh_path, forcing_path, goldens, ipk_opts,
+     io_list) = load_setup(setup_yml)
     n_steps = steps if steps is not None else _run_length_steps(cfg)
     os.makedirs(result_path, exist_ok=True)
 
@@ -189,11 +206,14 @@ def run_setup(setup_yml: str, result_path: str, steps: int = None,
         run_soufflet(n_steps, result_path, dtype, verbose=verbose,
                      model=model)
     else:
+        from .io.streams import streams_from_io_list
         model, atm = setup_pi_model(mesh_path, forcing_path, cfg=cfg,
                                     dtype=dtype)
+        stream_defs = streams_from_io_list(io_list, model.mesh, model.cfg,
+                                           atm=atm) if io_list else None
         run_pi(n_steps, result_path, dtype, verbose=verbose,
                model_atm=(model, atm), use_icepack=ipk_opts is not None,
-               icepack_opts=ipk_opts)
+               icepack_opts=ipk_opts, stream_defs=stream_defs)
 
     means = field_means(result_path)
     ok = True

@@ -60,7 +60,8 @@ class Model:
     # ------------------------------------------------------------------
     def initial_state(self, dtype=jnp.float64) -> OceanState:
         state = allocate_state(self.mesh, self.cfg.tra.num_tracers, dtype,
-                               n_dvd=2 if self.cfg.diag.ldiag_DVD else 0)
+                               n_dvd=2 if self.cfg.diag.ldiag_DVD else 0,
+                               with_gm=self.cfg.dyn.Fer_GM)
         state = init_thickness_linfs(state, self.mesh)
         if self.cfg.run.toy_ocean and self.cfg.run.which_toy == "soufflet":
             T, U, _ = soufflet.setup_soufflet(self.mesh, dtype)
@@ -220,6 +221,10 @@ class Model:
                     fer_u, fer_v = gm_redi.fer_gamma2vel(gamma, state, mesh)
                     fer_w = ale.bolus_wvel(fer_u, fer_v, state, mesh)
                     fer = (fer_u, fer_v, fer_w)
+                    if state.fer_u.shape[-1]:   # bolus output fields wanted
+                        state = replace(state, fer_u=fer_u, fer_v=fer_v,
+                                        fer_w=fer_w, fer_K3=fer_K,
+                                        fer_c=fer_c)
                 if cfg.dyn.Redi:
                     redi = (taper, Ki_l)
 
@@ -491,7 +496,7 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
     nmask = mesh.node_layer_mask
     av = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
     nln = mesh.nlevels_node
-    zbar_n_bot = jnp.take(mesh.zbar, nln - 1)
+    zbar_n_bot = mesh.zbar_n_bot
     ntr = cfg.tra.num_tracers
     tids = [cfg.tra.tracer_ID[i] if i < len(cfg.tra.tracer_ID) else i
             for i in range(ntr)]
@@ -760,6 +765,8 @@ def setup_pi_model(mesh_path: str = "/root/reference/test/meshes/pi",
     if parity == "ci":
         # reference namelist.oce + namelist.config values (CI defaults)
         cfg.ale.which_ALE = "zstar"          # namelist.config:32
+        cfg.ale.use_partial_cell = True      # namelist.config:33
+        cfg.ale.partial_cell_thresh = 0.0
         cfg.dyn.mix_scheme = "KPP"           # namelist.oce:42
         cfg.dyn.gamma0 = 0.003               # namelist.oce:5-7
         cfg.dyn.gamma1 = 0.1
@@ -796,14 +803,16 @@ def _finish_pi_setup(cfg, mesh_path, forcing_path, dtype, pad_to,
                      cavity_depth, n_refine):
     from .forcing.atmos import load_core_forcing
 
+    pc = dict(use_partial_cell=cfg.ale.use_partial_cell,
+              partial_cell_thresh=cfg.ale.partial_cell_thresh)
     if n_refine > 0:
         from .mesh.refine import refined_mesh
         mesh = refined_mesh(mesh_path, n_refine, force_rotation=True,
-                            cyclic_length_deg=360.0, dtype=dtype)
+                            cyclic_length_deg=360.0, dtype=dtype, **pc)
     else:
         mesh = build_mesh(mesh_path, force_rotation=True,
                           cyclic_length_deg=360.0,
-                          cavity_depth=cavity_depth, dtype=dtype)
+                          cavity_depth=cavity_depth, dtype=dtype, **pc)
     if cavity_depth is not None:
         cfg.run.use_cavity = True
     if pad_to > 1:
@@ -812,7 +821,11 @@ def _finish_pi_setup(cfg, mesh_path, forcing_path, dtype, pad_to,
     tst = build_tracer_statics(mesh, K_hor=cfg.tra.K_hor, dtype=dtype)
     diag = ssh.ssh_matrix_diagonal(mesh, cfg)
     diag_inv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 0.0)
-    Z3 = jnp.broadcast_to(mesh.Z[:, None], (mesh.nl - 1, mesh.n_nodes))
+    # density_ref is evaluated on the unperturbed mid depths, which with
+    # partial cells differ from mesh.Z in the bottom layer (ref
+    # init_ref_density oce_ale_pressure_bv.F90:3024 uses Z_3d_n)
+    from .core.state import initial_z3d
+    _, Z3 = initial_z3d(mesh, dtype)
     dref = eos.reference_density(mesh, Z3, cfg.dyn.state_equation)
     dense_inv = ssh.ssh_dense_inverse(mesh, cfg, dtype) \
         if mesh.n_nodes <= DENSE_SSH_MAX_NODES else None
@@ -847,7 +860,8 @@ def pi_initial_state(model: Model, forcing_path: str =
     import dataclasses as dc
 
     state = allocate_state(model.mesh, model.cfg.tra.num_tracers, dtype,
-                           n_dvd=2 if model.cfg.diag.ldiag_DVD else 0)
+                           n_dvd=2 if model.cfg.diag.ldiag_DVD else 0,
+                           with_gm=model.cfg.dyn.Fer_GM)
     state = init_thickness_linfs(state, model.mesh)
     T, S = climatology_ic(model.mesh,
                           os.path.join(forcing_path, "woa18_netcdf_5deg.nc"))

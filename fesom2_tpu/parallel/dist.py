@@ -703,6 +703,7 @@ def build_layout(mesh: MeshTables, S: int, st: TracerStatics = None,
                 ("area_inv", 0.0, -1), ("areasvol_inv", 0.0, -1),
                 ("resolution", 1.0, -1), ("coriolis_node", 0.0, -1),
                 ("nlevels_node", 1, -1), ("ulevels_node", 1, -1),
+                ("zbar_n_bot", 0.0, -1), ("bottom_node_thickness", 0.0, -1),
                 ("node_layer_mask", False, -1), ("bc_index_node", 0.0, -1)):
             r[name] = slice_rows(getattr(mesh, name), nl2g, fill,
                                  axis=axis)
@@ -714,6 +715,7 @@ def build_layout(mesh: MeshTables, S: int, st: TracerStatics = None,
                 ("gradient_vec", 0.0, 0), ("elem_cos", 1.0, -1),
                 ("metric_factor", 0.0, -1), ("coriolis", 0.0, -1),
                 ("nlevels_elem", 1, -1), ("ulevels_elem", 1, -1),
+                ("zbar_e_bot", 0.0, -1), ("bottom_elem_thickness", 0.0, -1),
                 ("elem_layer_mask", False, -1)):
             r[name] = slice_rows(getattr(mesh, name), el2g, fill, axis=axis)
         for name in ("edge_dxdy", "edge_cross_dxdy"):

@@ -76,6 +76,10 @@ def pad_mesh(mesh: MeshTables, multiple: int) -> MeshTables:
     r["coriolis"] = _pad(mesh.coriolis, de, 0.0)
     r["coriolis_node"] = _pad(mesh.coriolis_node, dn, 0.0)
     # vertical structure
+    r["zbar_e_bot"] = _pad(mesh.zbar_e_bot, de, 0.0)
+    r["zbar_n_bot"] = _pad(mesh.zbar_n_bot, dn, 0.0)
+    r["bottom_elem_thickness"] = _pad(mesh.bottom_elem_thickness, de, 0.0)
+    r["bottom_node_thickness"] = _pad(mesh.bottom_node_thickness, dn, 0.0)
     r["nlevels_elem"] = _pad(mesh.nlevels_elem, de, 1)
     r["nlevels_node"] = _pad(mesh.nlevels_node, dn, 1)
     r["ulevels_elem"] = _pad(mesh.ulevels_elem, de, 1)

@@ -49,19 +49,25 @@ def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
            dtype=jnp.float64, logfile_outfreq: int = 10,
            restart_every: Optional[int] = None, verbose: bool = True,
            use_icepack: bool = False, model_atm=None,
-           icepack_opts: Optional[dict] = None):
+           icepack_opts: Optional[dict] = None, resume: bool = False,
+           stream_defs=None):
     """Run the coupled global pi configuration for n_steps (CI analog).
 
     use_icepack: multi-category column physics (the test_pi_icepack CI
     setup analog).  icepack_opts: IcepackConfig overrides, e.g.
     {'tr_pond_cesm': True} for the namelist.icepack.cesm.ponds variant.
     model_atm: optional prebuilt (Model, AtmData) — the mkrun path builds
-    these from a reference setup.yml."""
+    these from a reference setup.yml.
+    resume: continue from result_path/restart.nc + fesom.clock (the
+    io_restart.F90:200-293 read path + runid.clock contract); n_steps is
+    the TOTAL step count of the run, so the loop covers the remainder."""
     model, atm = model_atm if model_atm is not None \
         else setup_pi_model(dtype=dtype)
     state, ice = pi_initial_state(model, dtype=dtype)
     ipk = None
-    stream_defs = default_ocean_streams(model.mesh) + default_ice_streams()
+    if stream_defs is None:
+        stream_defs = default_ocean_streams(model.mesh) \
+            + default_ice_streams()
     if use_icepack:
         from .ice.icepack import IcepackConfig, init_icepack_state
         from .io.streams import default_icepack_streams
@@ -77,12 +83,29 @@ def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
     # state HBM, skips output copies)
     step = pi_coupled_step_fn(model, atm, donate=True)
     clock = Clock(0.0, 1, 1948)
+    k_start = 0
+    if resume:
+        from .io.restart import read_restart
+        from .utils.clock import read_clock_file
+        rpath = os.path.join(result_path, "restart.nc")
+        cpath = os.path.join(result_path, "fesom.clock")
+        loaded = read_restart(rpath, state, ice, dtype=dtype, ipk=ipk,
+                              mesh=model.mesh, cfg=model.cfg)
+        if ipk is not None:
+            state, ice, ipk = loaded
+        else:
+            state, ice = loaded
+        clock = read_clock_file(cpath)
+        k_start = int(state.step)
+        if verbose:
+            print(f" --> resumed from {rpath} at step {k_start} "
+                  f"(clock {clock.yearnew}-{clock.daynew})", flush=True)
     streams = OutputStreams(stream_defs, result_path)
     timers = RunTimers()
     t_all = time.perf_counter()
     dt = model.cfg.dt
 
-    for k in range(n_steps):
+    for k in range(k_start, n_steps):
         t0 = time.perf_counter()
         if use_icepack:
             state, ice, ipk, oforc = step(state, ice, jnp.asarray(k), ipk)
@@ -95,9 +118,20 @@ def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
         clock.advance(dt)
 
         t0 = time.perf_counter()
-        streams.update_means(state, ice, ipk)
+        streams.update_means(state, ice, ipk, oforc)
         streams.maybe_flush(clock_before, clock, k)
         timers.output += time.perf_counter() - t0
+
+        # blowup scan EVERY step, independent of verbosity (the reference
+        # scans per step: fvom_main.F90 loop -> write_step_info.F90:220);
+        # the int() fetch doubles as the host sync already paid above
+        if int(check_blowup(state, model.mesh, ice,
+                            ice_sub=getattr(model, "ice_submesh",
+                                            None))) != 0:
+            blow_path = os.path.join(result_path, "blowup.nc")
+            write_restart(blow_path, state, ice, step=k)
+            raise RuntimeError(f"blowup detected at step {k + 1}; "
+                               f"state dumped to {blow_path}")
 
         if verbose and (k + 1) % logfile_outfreq == 0:
             info = step_info(state, model.mesh, ice)
@@ -107,13 +141,6 @@ def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
                 print(" total integral of salinity at timestep : %d %.10e"
                       % (k + 1, float(salt3d_integral(state, model.mesh))),
                       flush=True)
-            if int(check_blowup(state, model.mesh, ice,
-                                ice_sub=getattr(model, "ice_submesh",
-                                                None))) != 0:
-                blow_path = os.path.join(result_path, "blowup.nc")
-                write_restart(blow_path, state, ice, step=k)
-                raise RuntimeError(f"blowup detected at step {k + 1}; "
-                                   f"state dumped to {blow_path}")
 
         if restart_every and (k + 1) % restart_every == 0:
             t0 = time.perf_counter()
@@ -207,12 +234,17 @@ def main():
     p.add_argument("--f32", action="store_true")
     p.add_argument("--icepack", action="store_true",
                    help="multi-category ice column physics (test_pi_icepack)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from <result>/restart.nc + fesom.clock")
+    p.add_argument("--restart-every", type=int, default=None,
+                   help="write restart.nc every N steps")
     args = p.parse_args()
     dtype = jnp.float32 if args.f32 else jnp.float64
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
     if args.config == "pi":
-        run_pi(args.steps, args.result, dtype, use_icepack=args.icepack)
+        run_pi(args.steps, args.result, dtype, use_icepack=args.icepack,
+               resume=args.resume, restart_every=args.restart_every)
     else:
         run_soufflet(args.steps, args.result, dtype)
 

@@ -143,7 +143,13 @@ def profile_pi_phases(n_refine: int = 0, dtype=jnp.float64, n: int = 5,
                                            ring=SS["ssh_ring"],
                                            x0=st.d_eta)
         return d_eta, it
-    ssh_with_mom = _time_fn(jphase(ph_ssh), (state, forcing, Sb), n)
+    # warm-start the profiled solve like real stepping does: one priming
+    # solve feeds its d_eta back as x0 (state.d_eta is zeros here, and a
+    # cold-start solve runs more CG iterations than steady stepping)
+    import dataclasses as _dc
+    d0, _ = jphase(ph_ssh)(state, forcing, Sb)
+    state_warm = _dc.replace(state, d_eta=d0)
+    ssh_with_mom = _time_fn(jphase(ph_ssh), (state_warm, forcing, Sb), n)
 
     # subtract the momentum-rhs prelude cost
     def ph_velrhs(st, fo, SS):

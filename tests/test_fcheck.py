@@ -66,7 +66,8 @@ def test_icepack_setup_yaml_maps_to_opts():
         return
     from fesom2_tpu.mkrun import load_setup
     from fesom2_tpu.ice.icepack import IcepackConfig
-    cfg, mesh_path, forcing_path, goldens, ipk_opts = load_setup(path)
+    cfg, mesh_path, forcing_path, goldens, ipk_opts, io_list = \
+        load_setup(path)
     assert ipk_opts is not None
     ipc = IcepackConfig(**ipk_opts)
     # defaults of the reference namelist.icepack env_nml/thermo_nml
