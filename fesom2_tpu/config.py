@@ -269,6 +269,19 @@ class CvmixConfig:
     idemix_n_hor_iwe_prop_iter: int = 5
     idemix_surforc_file: str = ""
     idemix_botforc_file: str = ""
+    # param_ddiff (cvmix_ddiff.F90 defaults :126-240)
+    ddiff_strat_param_max: float = 2.55
+    ddiff_kappa_s: float = 1.0e-4
+    ddiff_exp1: float = 1.0
+    ddiff_exp2: float = 3.0
+    ddiff_mol_diff: float = 1.5e-6
+    ddiff_param1: float = 0.909
+    ddiff_param2: float = 4.6
+    ddiff_param3: float = -0.54
+    # param_conv (cvmix_convection.F90 defaults :96-160)
+    conv_diff: float = 1.0
+    conv_visc: float = 1.0
+    conv_bvsqr: float = 0.0
     # param_tidal
     tidal_mixscheme: str = "Simmons"
     tidal_efficiency: float = 0.2
@@ -277,6 +290,56 @@ class CvmixConfig:
     tidal_local_mixfrac: float = 0.33
     tidal_depth_cutoff: float = 0.0
     tidal_forc_file: str = ""
+
+
+@dataclass
+class SbcConfig:
+    """Generic surface-forcing source description (ref &nam_sbc,
+    ``config/namelist.forcing:28-58``, read by ``gen_surface_forcing.F90
+    sbc_ini :877-1040``).  File entries are path PREFIXES: the year and
+    '.nc' are appended (nc_sbc_ini_fillnames :469).  Empty nm_xwind_file
+    means "not configured" -> the shipped-test-set fast path is used."""
+    nm_xwind_file: str = ""
+    nm_ywind_file: str = ""
+    nm_humi_file: str = ""
+    nm_qsr_file: str = ""
+    nm_qlw_file: str = ""
+    nm_tair_file: str = ""
+    nm_prec_file: str = ""
+    nm_snow_file: str = ""
+    nm_mslp_file: str = ""
+    nm_xwind_var: str = "uas"
+    nm_ywind_var: str = "vas"
+    nm_humi_var: str = "huss"
+    nm_qsr_var: str = "rsds"
+    nm_qlw_var: str = "rlds"
+    nm_tair_var: str = "tas"
+    nm_prec_var: str = "prra"
+    nm_snow_var: str = "prsn"
+    nm_mslp_var: str = "psl"
+    nm_nc_iyear: int = 1900
+    nm_nc_imm: int = 1
+    nm_nc_idd: int = 1
+    nm_nc_freq: int = 1          # data points per day in the raw time axis
+    nm_nc_tmid: int = 0          # 1: stamps already at interval mid-points
+    l_xwind: bool = True
+    l_ywind: bool = True
+    l_humi: bool = True
+    l_qsr: bool = True
+    l_qlw: bool = True
+    l_tair: bool = True
+    l_prec: bool = True
+    l_mslp: bool = False
+    l_cloud: bool = False
+    l_snow: bool = True
+    nm_runoff_file: str = ""
+    runoff_data_source: str = "CORE2"
+    nm_sss_data_file: str = ""
+    sss_data_source: str = "CORE2"
+
+    @property
+    def configured(self) -> bool:
+        return bool(self.nm_xwind_file)
 
 
 @dataclass
@@ -294,6 +357,7 @@ class ModelConfig:
     tra: OceTraConfig = field(default_factory=OceTraConfig)
     ice: IceConfig = field(default_factory=IceConfig)
     icepack: "object" = field(default=None)   # IcepackConfig when use_icepack
+    sbc: SbcConfig = field(default_factory=SbcConfig)
     cvmix: CvmixConfig = field(default_factory=CvmixConfig)
     diag: DiagConfig = field(default_factory=DiagConfig)
     restart_length: int = 1
@@ -360,9 +424,14 @@ def _apply(dc, items: dict):
 
 
 def load_config(namelist_config: str, namelist_oce: Optional[str] = None,
-                namelist_ice: Optional[str] = None) -> ModelConfig:
+                namelist_ice: Optional[str] = None,
+                namelist_forcing: Optional[str] = None) -> ModelConfig:
     """Build a ModelConfig from reference-format namelist file(s)."""
     cfg = ModelConfig()
+    if namelist_forcing:
+        f = parse_namelist(namelist_forcing)
+        if "nam_sbc" in f:
+            _apply(cfg.sbc, f["nam_sbc"])
     g = parse_namelist(namelist_config)
     for group, target in (("modelname", cfg), ("paths", cfg), ("restart_log", cfg),
                           ("timestep", cfg.timestep), ("clockinit", cfg.clock),

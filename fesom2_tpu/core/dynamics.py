@@ -483,31 +483,134 @@ def pressure_force_linfs_nemo(state: OceanState, mesh: MeshTables,
                    pgf_y=jnp.where(lmask, pgf_y, 0.0))
 
 
+def pressure_force_linfs_cavity(state: OceanState,
+                                mesh: MeshTables) -> OceanState:
+    """'sergey' linfs PGF for cavity/partial-cell geometry
+    (ref pressure_force_4_linfs_cavity, oce_ale_pressure_bv.F90:1451-1658):
+    bulk layers take the hydrostatic-pressure gradient; the SURFACE layer
+    under a cavity (ulevels>1) and the partial-cell BOTTOM layer get a
+    sloped density-Jacobian correction (drho_dx - drho_dz * dz_dx), with
+    the bottom additionally anchored on the pressure integrated to the
+    last full interface (:1590-1594)."""
+    nl, E = mesh.nl, mesh.n_elems
+    en = mesh.elem_nodes
+    lmask = mesh.elem_layer_mask
+    rho = state.density_m_rho0
+    Z3 = state.Z_3d
+    h = jnp.where(lmask, state.helem, 0.0)
+    lev = jnp.arange(nl - 1)[:, None]
+    nle0 = (mesh.nlevels_elem - 2)[None, :]      # bottom layer row
+    ule0 = (mesh.ulevels_elem - 1)[None, :]      # surface layer row
+    gx_p, gy_p = scalar_gradient(state.hpressure / density_0, mesh)
+
+    # element mid-depths + sloped-correction fields (same packed stencil
+    # as the shchepetkin forms; only the surface/bottom rows are consumed)
+    zbot = mesh.zbar_e_bot
+    Scum = cumsum_bottom_up(h)
+    Z_e = zbot[None] + Scum - 0.5 * h
+    safe = lambda d: jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+    gx = mesh.gradient_sca[:, 0:3]
+    gy = mesh.gradient_sca[:, 3:6]
+    drho_dz = jnp.zeros_like(Z_e)
+    drho_dx = jnp.zeros_like(Z_e)
+    drho_dy = jnp.zeros_like(Z_e)
+    dz_dx = jnp.zeros_like(Z_e)
+    dz_dy = jnp.zeros_like(Z_e)
+    for v, (env, dm2, dm1) in enumerate(_pgf_vertex_stencil(mesh)):
+        rho_v = rho[:, env]
+        z_v = Z3[:, env]
+        x0, x1, x2 = _stencil_reads(z_v, dm2, dm1)
+        f0, f1, f2 = _stencil_reads(rho_v, dm2, dm1)
+        dx10, dx21, dx20 = x1 - x0, x2 - x1, x2 - x0
+        df10, df21 = f1 - f0, f2 - f1
+        drho_dz = drho_dz + df10 / safe(dx10) \
+            + (dx10 * df21 - dx21 * df10) / safe(dx20 * dx21 * dx10) \
+            * ((Z_e - x1) + (Z_e - x0))
+        drho_dx = drho_dx + rho_v * gx[None, :, v]
+        drho_dy = drho_dy + rho_v * gy[None, :, v]
+        dz_dx = dz_dx + z_v * gx[None, :, v]
+        dz_dy = dz_dy + z_v * gy[None, :, v]
+    drho_dz = drho_dz / 3.0
+    aux_x = (drho_dx - drho_dz * dz_dx) * h * g / density_0
+    aux_y = (drho_dy - drho_dz * dz_dy) * h * g / density_0
+
+    # bottom anchor: grad of (hpressure + g/2 rho hnode) at row nle-1
+    # (:1590-1594); one small take_along per field (cold path)
+    take_row = lambda a, r: jnp.take_along_axis(
+        a, jnp.clip(r, 0, nl - 2), 0)
+    hp_anchor = state.hpressure + 0.5 * g * rho \
+        * jnp.where(mesh.node_layer_mask, state.hnode, 0.0)
+    ax, ay = scalar_gradient(hp_anchor / density_0, mesh)
+    int_x = take_row(ax, jnp.maximum(nle0 - 1, 0))
+    int_y = take_row(ay, jnp.maximum(nle0 - 1, 0))
+
+    is_srf_cav = (lev == ule0) & (ule0 > 0)
+    is_bot = lev == nle0
+    pgf_x = gx_p
+    pgf_y = gy_p
+    pgf_x = jnp.where(is_srf_cav, 0.5 * aux_x, pgf_x)
+    pgf_y = jnp.where(is_srf_cav, 0.5 * aux_y, pgf_y)
+    pgf_x = jnp.where(is_bot, int_x + 0.5 * aux_x, pgf_x)
+    pgf_y = jnp.where(is_bot, int_y + 0.5 * aux_y, pgf_y)
+    return replace(state, pgf_x=jnp.where(lmask, pgf_x, 0.0),
+                   pgf_y=jnp.where(lmask, pgf_y, 0.0))
+
+
 def pressure_force(state: OceanState, mesh: MeshTables, cfg) -> OceanState:
-    """PGF dispatch (ref pressure_force_4_{linfs,zxxxx},
-    oce_ale_pressure_bv.F90:371-430, :1661-1687): moving coordinates
-    (zlevel/zstar) dispatch which_pgf = 'shchepetkin' (default,
-    oce_modules.F90:172) | 'easypgf' | 'cubicspline'; linfs with full
-    cells -> full-cell form by default.  Deviation (documented): the
-    reference only consults which_pgf on linfs with partial cells
-    (:397-430, not implemented here); we honor which_pgf =
-    'nemo' | 'cubicspline' on full-cell linfs too so the menu is
-    reachable."""
+    """PGF dispatch following the reference decision matrix
+    (ref pressure_force_4_linfs :371-427, pressure_force_4_zxxxx
+    :1661-1687 of oce_ale_pressure_bv.F90):
+
+    - zlevel/zstar: which_pgf = shchepetkin (default, oce_modules.F90:172)
+      | cubicspline | easypgf.
+    - linfs, full cells: the full-cell hpressure-gradient form.
+    - linfs + partial cells: nemo | shchepetkin | cubicspline | easypgf.
+      The shchepetkin/easypgf bodies are shared with the zxxxx forms: on
+      linfs the layer geometry (helem, Z_3d) is static, so the moving-
+      coordinate discretization evaluates to the linfs one (the reference
+      keeps two near-identical copies; ours is one function).
+    - linfs + cavity partial cells: sergey (linfs_cavity) | shchepetkin |
+      easypgf.
+    """
     which = getattr(cfg.dyn, "which_pgf", "shchepetkin")
     if cfg.ale.which_ALE == "linfs":
+        use_pc = cfg.ale.use_partial_cell
+        use_cav_pc = getattr(cfg.run, "use_cavity_partial_cell", False)
+        if not use_pc and not use_cav_pc:
+            if which == "nemo":       # reachable menu on full cells too
+                return pressure_force_linfs_nemo(state, mesh, cfg)
+            if which == "cubicspline":
+                return pressure_force_linfs_cubicspline(state, mesh)
+            return pressure_force_linfs(state, mesh)
+        if use_cav_pc:
+            if which == "sergey":
+                return pressure_force_linfs_cavity(state, mesh)
+            if which == "shchepetkin":
+                return pressure_force_zxxxx_shchepetkin(state, mesh)
+            if which == "easypgf":
+                return pressure_force_easypgf(state, mesh, cfg)
+            raise ValueError(
+                f"which_pgf='{which}' not supported for linfs with cavity "
+                "partial cells (ref :388-402: sergey, shchepetkin, easypgf)")
         if which == "nemo":
             return pressure_force_linfs_nemo(state, mesh, cfg)
+        if which == "shchepetkin":
+            return pressure_force_zxxxx_shchepetkin(state, mesh)
         if which == "cubicspline":
             return pressure_force_linfs_cubicspline(state, mesh)
-        return pressure_force_linfs(state, mesh)
+        if which == "easypgf":
+            return pressure_force_easypgf(state, mesh, cfg)
+        raise ValueError(
+            f"which_pgf='{which}' not supported for linfs with partial "
+            "cells (ref :407-427: nemo, shchepetkin, cubicspline, easypgf)")
     if which == "easypgf":
         return pressure_force_easypgf(state, mesh, cfg)
     if which == "cubicspline":
         return pressure_force_zxxxx_cubicspline(state, mesh)
     if which != "shchepetkin":
-        raise ValueError(f"which_pgf='{which}' not implemented "
-                         "(available: shchepetkin, easypgf, cubicspline"
-                         ", nemo[linfs])")
+        raise ValueError(f"which_pgf='{which}' not supported for "
+                         "zlevel/zstar (ref :1671-1686: shchepetkin, "
+                         "cubicspline, easypgf)")
     return pressure_force_zxxxx_shchepetkin(state, mesh)
 
 

@@ -129,7 +129,10 @@ def calc_cvmix_tke(state: OceanState, mesh: MeshTables, cfg, forcing,
     dzt = jnp.where(lev == nb, h_bot[None, :] / 2.0, dzt)
     dzt = jnp.where(active & (dzt > 0), dzt, 1.0)
 
-    Ssqr = _shear2(state)
+    # the wrapper builds vshear2 only on interior interfaces nun+1..nln
+    # (gen_modules_cvmix_tke.F90:288-293) — below-bottom rows of the dense
+    # shear array hold garbage differences and must be masked
+    Ssqr = jnp.where(interior, _shear2(state), 0.0)
     Nsqr = jnp.where(interior, state.bvfreq, 0.0)
 
     # ---- mixing length (tke_mxl_choice=2): two min-chain scans ----------
@@ -204,7 +207,11 @@ def calc_cvmix_tke(state: OceanState, mesh: MeshTables, cfg, forcing,
     c_tri = jnp.where(active, -dt * c_dif, 0.0)
     d_tri = jnp.where(active, state.tke + dt * forc, 0.0)
     tke_new = tridiag_solve(a_tri, b_tri, c_tri, d_tri)
-    tke_new = jnp.where(active, jnp.maximum(tke_new, cv.tke_min), 0.0)
+    if iw_diss is None:
+        # bounding to tke_min only applies when IDEMIX is off (ref
+        # integrate_tke Part 5, `if (only_tke)` cvmix_tke.F90:762-765)
+        tke_new = jnp.maximum(tke_new, cv.tke_min)
+    tke_new = jnp.where(active, tke_new, 0.0)
 
     Kv = jnp.where(interior, KappaH, 0.0)
     Av_n = jnp.where(interior, KappaM, 0.0)
@@ -413,6 +420,97 @@ def calc_cvmix_tidal(state: OceanState, mesh: MeshTables, cfg,
     emask = lev <= (mesh.nlevels_elem - 2)[None, :]
     return replace(state, Kv=state.Kv + Kv_t,
                    Av=state.Av + jnp.where(emask, ae, 0.0))
+
+
+# --------------------------------------------------------------------------
+# cvmix_DDIFF (double diffusion: salt fingering + diffusive convection)
+# --------------------------------------------------------------------------
+def calc_cvmix_ddiff(state: OceanState, mesh: MeshTables, cfg) -> OceanState:
+    """Standalone double-diffusive mixing (ref cvmix_ddiff.F90
+    cvmix_coeffs_ddiff_low :355-445): at each interior interface the
+    density ratio Rrho = (alpha dT/dz)/(beta dS/dz) selects
+
+    - SALT FINGERING (Rrho in [1, strat_param_max), dS/dz destabilizing):
+      Sdiff = kappa_ddiff_s * (1 - ((Rrho-1)/(max-1))^p1)^p2,
+      Tdiff = 0.7 Sdiff  (St. Laurent & Schmitt 1999);
+    - DIFFUSIVE CONVECTION (Rrho < 1, dT/dz destabilizing), MC76 form:
+      Tdiff = mol_diff * 0.909 * exp(4.6 exp(-0.54 (1/Rrho - 1))),
+      Sdiff = (0.15 Rrho | 1.85 Rrho - 0.85) Tdiff.
+
+    The Rrho numerator/denominator follow the CVMix driver convention
+    (strat_param_num = alpha dT/dz, denom = beta dS/dz at interfaces,
+    cvmix_ddiff.F90:330-345); the reference FESOM build reaches ddiff
+    only inside native KPP (ddmix, oce_ale_mixing_kpp.F90) — this
+    standalone form closes that menu gap.  Adds to Kv and (salinity
+    channel) Kv_s."""
+    from .. import eos
+    cv = cfg.cvmix
+    nl, N = mesh.nl, mesh.n_nodes
+    lev, nb, interior, active = _interface_masks(mesh)
+    T, S = state.tr[0], state.tr[1]
+    alpha, beta = eos.sw_alpha_beta(T, S, state.Z_3d)       # [nl-1, N]
+    dz = state.Z_3d[:-1] - state.Z_3d[1:]                   # [nl-2, N] > 0
+    dz = jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
+    aT = 0.5 * (alpha[:-1] + alpha[1:])
+    bS = 0.5 * (beta[:-1] + beta[1:])
+    num = jnp.zeros((nl, N), T.dtype).at[1:-1].set(
+        aT * (T[:-1] - T[1:]) / dz)
+    den = jnp.zeros((nl, N), T.dtype).at[1:-1].set(
+        bS * (S[:-1] - S[1:]) / dz)
+
+    safe_den = jnp.where(jnp.abs(den) > 1e-30, den, 1e-30)
+    Rrho = num / safe_den
+    # salt fingering
+    finger = (num >= den) & (den > 0.0) & (Rrho < cv.ddiff_strat_param_max)
+    dd = (1.0 - ((Rrho - 1.0) / (cv.ddiff_strat_param_max - 1.0))
+          ** cv.ddiff_exp1) ** cv.ddiff_exp2
+    Sd_f = jnp.where(finger, cv.ddiff_kappa_s * dd, 0.0)
+    Td_f = 0.7 * Sd_f
+    # diffusive convection (MC76)
+    dconv = (num >= den) & (num < 0.0)
+    Rs = jnp.where(dconv, Rrho, 0.5)
+    Td_c = cv.ddiff_mol_diff * cv.ddiff_param1 \
+        * jnp.exp(cv.ddiff_param2
+                  * jnp.exp(cv.ddiff_param3 * (1.0 / jnp.where(
+                      jnp.abs(Rs) > 1e-30, Rs, 1e-30) - 1.0)))
+    Sd_c = jnp.where(Rs < 0.5, 0.15 * Rs, 1.85 * Rs - 0.85) * Td_c
+    Td = jnp.where(interior, Td_f + jnp.where(dconv, Td_c, 0.0), 0.0)
+    Sd = jnp.where(interior, Sd_f + jnp.where(dconv, Sd_c, 0.0), 0.0)
+    # split channels: temperature rides Kv (+Td), salinity rides Kv_s =
+    # main-scheme Kv + Sd (the tracer solve selects Kv_s for tracer id 1
+    # whenever a ddiff scheme is active)
+    return replace(state, Kv=state.Kv + Td, Kv_s=state.Kv + Sd)
+
+
+# --------------------------------------------------------------------------
+# cvmix_CONVECTION (gravitational-instability enhanced mixing)
+# --------------------------------------------------------------------------
+def calc_cvmix_convection(state: OceanState, mesh: MeshTables,
+                          cfg) -> OceanState:
+    """Standalone convective mixing (ref cvmix_convection.F90
+    cvmix_coeffs_conv_low, lBruntVaisala=.true. branch): where N^2 <= 0,
+
+    - BVsqr_convect < 0: smooth ramp wgt = (1 - (1 - N^2/BVsqr)^2)^3
+      between N^2 = 0 and N^2 = BVsqr_convect (full convection);
+    - BVsqr_convect >= 0: step function (wgt = 1 whenever N^2 <= 0).
+
+    Kv += wgt * convect_diff; Av += wgt * convect_visc."""
+    cv = cfg.cvmix
+    nl, N = mesh.nl, mesh.n_nodes
+    lev, nb, interior, active = _interface_masks(mesh)
+    Nsqr = state.bvfreq
+    unstable = Nsqr <= 0.0
+    if cv.conv_bvsqr < 0.0:
+        w = 1.0 - Nsqr / cv.conv_bvsqr
+        wgt = jnp.where(Nsqr > cv.conv_bvsqr,
+                        (1.0 - w ** 2) ** 3, 1.0)
+    else:
+        wgt = jnp.ones_like(Nsqr)
+    wgt = jnp.where(unstable & interior, wgt, 0.0)
+    Kv_c = wgt * cv.conv_diff
+    Av_c = wgt * cv.conv_visc
+    return replace(state, Kv=state.Kv + Kv_c,
+                   Av=state.Av + _av_to_elems(Av_c, mesh))
 
 
 # --------------------------------------------------------------------------

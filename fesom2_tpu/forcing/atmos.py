@@ -4,12 +4,14 @@ Reference: ``src/gen_surface_forcing.F90`` (module g_sbf: sbc_ini :877, sbc_do
 :1040, data_timeinterp :851) and the standalone branch of update_atm_forcing
 (``src/gen_forcing_couple.F90:255-325``).
 
-Round-1 design: at setup, EVERY record of each forcing file is interpolated to
-mesh nodes (numpy) and stacked into a device array ``[T, N]`` — for the
-shipped test year (5 records) this is tiny and makes the per-step forcing a
-pure on-device time interpolation (jittable, async-prefetch-free).  A
-streaming prefetch provider (reference ``forcing_provider_async_module``)
-is the planned path for multi-year production data.
+Design: at setup, EVERY record of each forcing file for the active YEAR is
+interpolated to mesh nodes (numpy) and stacked into a device array
+``[T, N]`` — the per-step forcing becomes a pure on-device time
+interpolation (jittable).  Sources are namelist-driven (&nam_sbc engine,
+``load_sbc_forcing``); multi-year runs stream year-by-year with background
+prefetch (``SbcProvider``, the forcing_provider_async_module analog at
+year granularity); ``forcing/prefetch.py`` provides the record-level
+lookahead readers for series too large to preload.
 """
 from __future__ import annotations
 
@@ -107,6 +109,208 @@ def load_core_forcing(mesh: MeshTables, path: str,
         prec=f(pr / 1000.0), snow=f(snow / 1000.0),
         t_prec=f(t_prec * 3600.0 + 15.5 * 86400.0),
         runoff=f(runoff))
+
+
+def _read_grid_var(path, varname):
+    """Read (lon, lat, time, units, data) with the reference's coordinate-
+    name alternatives (nc_readTimeGrid, gen_surface_forcing.F90:181-467:
+    LON/lon/longitude/LON1, same for lat, TIME/time)."""
+    from scipy.io import netcdf_file
+    nc = netcdf_file(path, "r", mmap=False)
+    try:
+        def pick(*names):
+            for n in names:
+                if n in nc.variables:
+                    return nc.variables[n]
+            raise KeyError(f"none of {names} in {path}")
+        lon = np.array(pick("LON", "lon", "longitude", "LON1")[:],
+                       np.float64)
+        lat = np.array(pick("LAT", "lat", "latitude", "LAT1")[:], np.float64)
+        tv = pick("TIME", "time")
+        t = np.array(tv[:], np.float64)
+        units = getattr(tv, "units", b"")
+        if isinstance(units, bytes):
+            units = units.decode()
+        data = np.array(nc.variables[varname][:], np.float64)
+        # flip lat ascending (ref :453 "FLIP lat and data")
+        if lat.size > 1 and lat[0] > lat[-1]:
+            lat = lat[::-1].copy()
+            data = data[:, ::-1].copy()
+        return lon, lat, t, units, data
+    finally:
+        nc.close()
+
+
+def _time_axis_seconds(t, units, year, sbc):
+    """Convert a raw netCDF time axis to seconds since Jan 1 of ``year``.
+
+    When the file carries a CF-ish units string ('hours since 1948-01-16
+    12:00:00'), use it exactly (the shipped NCEP test files).  Otherwise
+    fall back to the reference's namelist-driven convention
+    (``nc_time/nm_nc_freq + julday(nm_nc_iyear,imm,idd)``,
+    gen_surface_forcing.F90:433)."""
+    import re as _re
+    m = _re.match(r"\s*(\w+)\s+since\s+(\d+)-(\d+)-(\d+)[T ]?(\d+)?:?(\d+)?",
+                  units or "")
+    if m:
+        scale = {"seconds": 1.0, "hours": 3600.0, "days": 86400.0,
+                 "months": 86400.0 * 30.42}[m.group(1).lower()]
+        ey, em, ed = int(m.group(2)), int(m.group(3)), int(m.group(4))
+        eh = int(m.group(5) or 0)
+        emin = int(m.group(6) or 0)
+        mdays = [0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334]
+        off = ((ey - year) * 365.0 + mdays[em - 1] + (ed - 1)) * 86400.0 \
+            + eh * 3600.0 + emin * 60.0
+        return t * scale + off
+    mdays = [0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334]
+    off = ((sbc.nm_nc_iyear - year) * 365.0 + mdays[sbc.nm_nc_imm - 1]
+           + (sbc.nm_nc_idd - 1)) * 86400.0
+    tt = t / max(sbc.nm_nc_freq, 1) * 86400.0 + off
+    if not sbc.nm_nc_tmid and tt.size > 1:
+        # shift stamps to interval mid-points (ref :433-439, JRA-style)
+        tt = np.concatenate([0.5 * (tt[:-1] + tt[1:]),
+                             [tt[-1] + 0.5 * (tt[-1] - tt[-2])]])
+    return tt
+
+
+def ncep_test_sbc(path: str):
+    """SbcConfig describing the shipped NCEP-1948 test set
+    (``test/input/global``) — the same layout `load_core_forcing` was
+    hardcoded to, now expressed as data so renames/moves are a config
+    change, not a code change."""
+    from ..config import SbcConfig
+    j = lambda p: os.path.join(path, p)
+    return SbcConfig(
+        nm_xwind_file=j("u_10."), nm_xwind_var="U_10_MOD",
+        nm_ywind_file=j("v_10."), nm_ywind_var="V_10_MOD",
+        nm_tair_file=j("t_10."), nm_tair_var="T_10_MOD",
+        nm_humi_file=j("q_10."), nm_humi_var="Q_10_MOD",
+        nm_qsr_file=j("ncar_rad."), nm_qsr_var="SWDN_MOD",
+        nm_qlw_file=j("ncar_rad."), nm_qlw_var="LWDN_MOD",
+        nm_prec_file=j("ncar_precip."), nm_prec_var="RAIN",
+        nm_snow_file=j("ncar_precip."), nm_snow_var="SNOW",
+        nm_runoff_file=j("runoff.nc"), runoff_data_source="CORE2",
+        nm_sss_data_file=j("PHC2_salx.nc"), sss_data_source="CORE2")
+
+
+def load_sbc_forcing(mesh: MeshTables, sbc, year: int = 1948,
+                     dtype=jnp.float64) -> AtmData:
+    """Namelist-driven forcing load (the ``&nam_sbc`` engine of
+    ``gen_surface_forcing.F90:877-1040``): per-variable file prefix +
+    varname, filename = prefix + year + '.nc' (nc_sbc_ini_fillnames :469),
+    per-file coordinate/time handling, bilinear interp onto mesh nodes,
+    wind rotation into the mesh frame.
+
+    Unit conventions follow the reference data contracts: tair Kelvin ->
+    Celsius, prec/snow kg/m^2/s -> m/s, CORE2-style constant-in-time
+    runoff kg/m^2/s -> m/s (sbc_ini :1031-1037).  l_mslp is accepted but
+    the pressure series is not carried (press_air stays zero, as in the
+    repo's NCEP path)."""
+    glon = np.asarray(mesh.geo_coords)[:, 0] / rad
+    glat = np.asarray(mesh.geo_coords)[:, 1] / rad
+    wcache = {}
+
+    def load(prefix, varname):
+        path = f"{prefix}{year}.nc"
+        lon, lat, t, units, data = _read_grid_var(path, varname)
+        key = (lon.tobytes(), lat.tobytes())
+        if key not in wcache:
+            wcache[key] = bilinear_weights(lon, lat, glon, glat)
+        idx, w = wcache[key]
+        series = apply_weights(data, idx, w)
+        return series, _time_axis_seconds(t, units, year, sbc)
+
+    u10, t_wind = load(sbc.nm_xwind_file, sbc.nm_xwind_var)
+    v10, _ = load(sbc.nm_ywind_file, sbc.nm_ywind_var)
+    t10, _ = load(sbc.nm_tair_file, sbc.nm_tair_var)
+    q10, _ = load(sbc.nm_humi_file, sbc.nm_humi_var)
+    sw, t_rad = load(sbc.nm_qsr_file, sbc.nm_qsr_var)
+    lw, _ = load(sbc.nm_qlw_file, sbc.nm_qlw_var)
+    if sbc.l_prec:
+        pr, t_prec = load(sbc.nm_prec_file, sbc.nm_prec_var)
+    else:
+        pr, t_prec = np.zeros((2, glon.size)), np.array([0.0, 86400.0])
+    if sbc.l_snow:
+        sn, _ = load(sbc.nm_snow_file, sbc.nm_snow_var)
+    else:
+        sn = np.zeros_like(pr)
+
+    # runoff (CORE-style: constant in time, own grid/var naming)
+    runoff = np.zeros(glon.size)
+    if sbc.nm_runoff_file and sbc.runoff_data_source in ("CORE1", "CORE2"):
+        ro = read_vars(sbc.nm_runoff_file, ["lon", "lat", "Foxx_o_roff"])
+        idx, w = bilinear_weights(ro["lon"].astype(np.float64),
+                                  ro["lat"].astype(np.float64), glon, glat)
+        roff = ro["Foxx_o_roff"][0].astype(np.float64)
+        roff = np.where(np.abs(roff) > 1e10, 0.0, roff)
+        runoff = apply_weights(roff, idx, w) / 1000.0
+
+    if not mesh.cartesian:
+        m = rotation_matrix(50.0, 15.0, -90.0)
+        rlon = np.asarray(mesh.coords)[:, 0]
+        rlat = np.asarray(mesh.coords)[:, 1]
+        u10, v10 = _vector_g2r(m, glon * rad, glat * rad, rlon, rlat,
+                               u10, v10)
+
+    if np.nanmean(t10) > 100.0:          # Kelvin-coded air temperature
+        t10 = t10 - tmelt
+    f = lambda x: jnp.asarray(x, dtype)
+    return AtmData(u_wind=f(u10), v_wind=f(v10), tair=f(t10), shum=f(q10),
+                   t_wind=f(t_wind), swdn=f(sw), lwdn=f(lw), t_rad=f(t_rad),
+                   prec=f(pr / 1000.0), snow=f(sn / 1000.0),
+                   t_prec=f(t_prec), runoff=f(runoff))
+
+
+class SbcProvider:
+    """Year-switching forcing source with background prefetch.
+
+    The reference reads forcing records on a lookahead thread
+    (``forcing_provider_async_module.F90:35-133``); on TPU the preload-
+    a-year-to-device path wins inside a year, so the async boundary moves
+    to the YEAR switch: while year Y steps, year Y+1 loads on a host
+    thread (file IO + interp release the GIL) and is ready when the clock
+    rolls over.  This is the default data path for multi-year runs
+    (run_pi wires it via model.sbc)."""
+
+    def __init__(self, mesh, sbc, dtype=jnp.float64):
+        import threading
+        self.mesh = mesh
+        self.sbc = sbc
+        self.dtype = dtype
+        self._cache = {}
+        self._threads = {}
+        self._lock = threading.Lock()
+
+    def _load(self, year):
+        atm = load_sbc_forcing(self.mesh, self.sbc, year=year,
+                               dtype=self.dtype)
+        with self._lock:
+            self._cache[year] = atm
+
+    def prefetch(self, year):
+        import threading
+        with self._lock:
+            if year in self._cache or year in self._threads:
+                return
+            t = threading.Thread(target=self._load, args=(year,),
+                                 daemon=True)
+            self._threads[year] = t
+        t.start()
+
+    def get(self, year) -> AtmData:
+        with self._lock:
+            t = self._threads.pop(year, None)
+        if t is not None:
+            t.join()
+        with self._lock:
+            if year in self._cache:
+                return self._cache[year]
+        self._load(year)
+        return self._cache[year]
+
+    def evict(self, year):
+        with self._lock:
+            self._cache.pop(year, None)
 
 
 def _vector_g2r(m, glon, glat, rlon, rlat, u, v):
@@ -225,102 +429,3 @@ def update_atm_forcing(atm: AtmData, t_sec, ice_u, ice_v, ocean_u_w,
                     stress_atmoce_x=sox, stress_atmoce_y=soy,
                     stress_atmice_x=six, stress_atmice_y=siy,
                     Ch_atm_oce=ch, Ce_atm_oce=ce)
-
-
-# --------------------------------------------------------------------------
-# generic per-variable forcing spec (&nam_sbc analog)
-# --------------------------------------------------------------------------
-@dataclass
-class SbcVar:
-    """One forcing variable: file (or yearly file prefix), variable name,
-    and the netCDF time-axis origin offset in seconds (ref &nam_sbc
-    namelist.forcing:28-56: nm_*_file/nm_*_var/nm_nc_*)."""
-    file: str
-    var: str
-    time_unit: float = 3600.0      # seconds per time-axis unit
-    time_offset: float = 0.0       # seconds added to the axis
-    scale: float = 1.0             # unit conversion applied to the data
-    offset: float = 0.0
-
-
-@dataclass
-class SbcConfig:
-    """nm_sbc=2 style per-variable inputs (JRA55-do / ERA5 layouts)."""
-    xwind: SbcVar = None
-    ywind: SbcVar = None
-    tair: SbcVar = None            # expected Kelvin in file (offset=-tmelt)
-    humi: SbcVar = None
-    qsr: SbcVar = None             # downward shortwave
-    qlw: SbcVar = None             # downward longwave
-    prec: SbcVar = None            # kg/m2/s in file (scale 1e-3 -> m/s)
-    snow: SbcVar = None
-    runoff_file: str = ""
-    runoff_var: str = ""
-
-
-def _detect_coords(path):
-    """Find lon/lat/time variable names in a forcing file."""
-    from ..io.netcdf import list_vars
-    names = list_vars(path)
-    low = {n.lower(): n for n in names}
-    lon = next(low[k] for k in ("lon", "longitude", "x") if k in low)
-    lat = next(low[k] for k in ("lat", "latitude", "y") if k in low)
-    time = next(low[k] for k in ("time", "t") if k in low)
-    return lon, lat, time
-
-
-def _read_sbc_var(spec: SbcVar, year: int, glon, glat):
-    path = spec.file
-    if not os.path.exists(path):
-        path = f"{spec.file}{year}.nc"
-    lon_n, lat_n, t_n = _detect_coords(path)
-    d = read_vars(path, [lon_n, lat_n, t_n, spec.var])
-    idx, w = bilinear_weights(d[lon_n].astype(np.float64),
-                              d[lat_n].astype(np.float64), glon, glat)
-    vals = apply_weights(d[spec.var].astype(np.float64), idx, w)
-    vals = vals * spec.scale + spec.offset
-    t = d[t_n].astype(np.float64) * spec.time_unit + spec.time_offset
-    return vals, t
-
-
-def load_sbc_forcing(mesh: MeshTables, sbc: SbcConfig, year: int,
-                     dtype=jnp.float64) -> AtmData:
-    """Generic forcing loader for per-variable file/varname configs
-    (the nm_sbc=2 path of sbc_ini/sbc_do, gen_surface_forcing.F90:877-1300).
-    Produces the same AtmData the coupled step consumes."""
-    glon = np.asarray(mesh.geo_coords)[:, 0] / rad
-    glat = np.asarray(mesh.geo_coords)[:, 1] / rad
-
-    u10, t_wind = _read_sbc_var(sbc.xwind, year, glon, glat)
-    v10, _ = _read_sbc_var(sbc.ywind, year, glon, glat)
-    t10, _ = _read_sbc_var(sbc.tair, year, glon, glat)
-    q10, _ = _read_sbc_var(sbc.humi, year, glon, glat)
-    sw, t_rad = _read_sbc_var(sbc.qsr, year, glon, glat)
-    lw, _ = _read_sbc_var(sbc.qlw, year, glon, glat)
-    pr, t_prec = _read_sbc_var(sbc.prec, year, glon, glat)
-    snow, _ = _read_sbc_var(sbc.snow, year, glon, glat)
-
-    runoff = np.zeros(mesh.n_nodes)
-    if sbc.runoff_file:
-        lon_n, lat_n, _t = _detect_coords(sbc.runoff_file)
-        d = read_vars(sbc.runoff_file, [lon_n, lat_n, sbc.runoff_var])
-        idx, w = bilinear_weights(d[lon_n].astype(np.float64),
-                                  d[lat_n].astype(np.float64), glon, glat)
-        r = d[sbc.runoff_var]
-        r = r[0] if r.ndim == 3 else r
-        r = np.where(np.abs(r) > 1e10, 0.0, r.astype(np.float64))
-        runoff = apply_weights(r, idx, w) / 1000.0
-
-    if not mesh.cartesian:
-        m = rotation_matrix(50.0, 15.0, -90.0)
-        rlon = np.asarray(mesh.coords)[:, 0]
-        rlat = np.asarray(mesh.coords)[:, 1]
-        u10, v10 = _vector_g2r(m, glon * rad, glat * rad, rlon, rlat,
-                               u10, v10)
-
-    f = lambda x: jnp.asarray(x, dtype)
-    return AtmData(u_wind=f(u10), v_wind=f(v10), tair=f(t10 - tmelt),
-                   shum=f(q10), t_wind=f(t_wind), swdn=f(sw), lwdn=f(lw),
-                   t_rad=f(t_rad), prec=f(pr / 1000.0),
-                   snow=f(snow / 1000.0), t_prec=f(t_prec),
-                   runoff=f(runoff))

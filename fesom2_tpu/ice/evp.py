@@ -22,6 +22,11 @@ from ..core.ops import (elem_contrib_to_nodes, elem_contrib_to_nodes_3e,
 from .state import IceState, IceForcing, OceanSurface, rhoice, rhosno, inv_rhowat
 
 
+# fori_loop unroll factor for the EVP pseudotime subcycles (tunable;
+# scripts/profile_evp.py measures the sensitivity)
+UNROLL = 4
+
+
 def mevp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
                   ocean: OceanSurface, cfg, strength_node=None) -> IceState:
     icfg = cfg.ice
@@ -123,7 +128,7 @@ def mevp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
 
     init = (ice.u_ice, ice.v_ice, ice.sigma11, ice.sigma12, ice.sigma22)
     u, v, s11, s12, s22 = jax.lax.fori_loop(0, icfg.evp_rheol_steps,
-                                            subcycle, init, unroll=4)
+                                            subcycle, init, unroll=UNROLL)
     return replace(ice, u_ice=u, v_ice=v, sigma11=s11, sigma12=s12,
                    sigma22=s22)
 
@@ -228,7 +233,7 @@ def evp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
 
     init = (ice.u_ice, ice.v_ice, ice.sigma11, ice.sigma12, ice.sigma22)
     u, v, s11, s12, s22 = jax.lax.fori_loop(0, steps, subcycle, init,
-                                            unroll=4)
+                                            unroll=UNROLL)
     return replace(ice, u_ice=u, v_ice=v, sigma11=s11, sigma12=s12,
                    sigma22=s22)
 
@@ -331,7 +336,7 @@ def aevp_dynamics(ice: IceState, mesh: MeshTables, forcing: IceForcing,
 
     init = (ice.u_ice, ice.v_ice, ice.sigma11, ice.sigma12, ice.sigma22)
     u, v, s11, s12, s22 = jax.lax.fori_loop(0, icfg.evp_rheol_steps,
-                                            subcycle, init, unroll=4)
+                                            subcycle, init, unroll=UNROLL)
 
     # refresh alpha/beta from the converged velocity (ref :880-887)
     _, _, _, delta = strain(u, v)

@@ -65,6 +65,7 @@ _GROUP_TARGETS = {
     "ice_dyn": ("ice",),
     "ice_therm": ("ice",),
     "ice_stress": ("ice",),
+    "nam_sbc": ("sbc",),
 }
 
 
@@ -123,7 +124,8 @@ def load_setup(setup_yml: str):
 
     cfg = load_config(os.path.join(REF_ROOT, "config/namelist.config"),
                       os.path.join(REF_ROOT, "config/namelist.oce"),
-                      os.path.join(REF_ROOT, "config/namelist.ice"))
+                      os.path.join(REF_ROOT, "config/namelist.ice"),
+                      os.path.join(REF_ROOT, "config/namelist.forcing"))
 
     # the icepack CI variant is selected by the presence of a
     # namelist.icepack section (the reference CI builds fesom with

@@ -8,6 +8,7 @@ as a pure state transition compiled with jax.jit.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, replace
 from typing import Optional
 
@@ -139,7 +140,8 @@ class Model:
                        for s in cfg.dyn.mix_scheme.split("+")]
             from .core.mixing import cvmix as cvmix_mixing
             main = [s for s in schemes
-                    if s not in ("CVMIX_IDEMIX", "CVMIX_TIDAL")]
+                    if s not in ("CVMIX_IDEMIX", "CVMIX_TIDAL",
+                                 "CVMIX_DDIFF", "CVMIX_CONV")]
             main = main[0] if main else None
             if "CVMIX_IDEMIX" in schemes:
                 state = cvmix_mixing.calc_cvmix_idemix(
@@ -172,6 +174,13 @@ class Model:
             if "CVMIX_TIDAL" in schemes:
                 state = cvmix_mixing.calc_cvmix_tidal(
                     state, mesh, cfg, tidal_forc=S["tidal_forc"])
+            # standalone double diffusion / convection addons (the
+            # reference reaches ddiff only inside native KPP; these close
+            # the cvmix_{ddiff,convection}.F90 menu gap)
+            if "CVMIX_DDIFF" in schemes:
+                state = cvmix_mixing.calc_cvmix_ddiff(state, mesh, cfg)
+            if "CVMIX_CONV" in schemes:
+                state = cvmix_mixing.calc_cvmix_convection(state, mesh, cfg)
 
             # --- momentum (ref :2663-2682; mom_adv=3 -> vector-invariant) -
             if cfg.dyn.mom_adv == 3:
@@ -662,8 +671,9 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
     if cfg.tra.i_vert_diff:
         # per-tracer vertical diffusivity: salinity gets the ddmix-split
         # Kv_s under KPP double diffusion (oce_ale_mixing_kpp.F90 ddmix)
-        use_dd = getattr(cfg.tra, "double_diffusion", False) \
-            and cfg.dyn.mix_scheme.upper() == "KPP"
+        use_dd = (getattr(cfg.tra, "double_diffusion", False)
+                  and cfg.dyn.mix_scheme.upper() == "KPP") \
+            or "CVMIX_DDIFF" in cfg.dyn.mix_scheme.upper()
         if use_dd:
             Kv_all = jnp.stack([state.Kv_s if tids[i] == 1 else state.Kv
                                 for i in range(ntr)])
@@ -845,7 +855,22 @@ def _finish_pi_setup(cfg, mesh_path, forcing_path, dtype, pad_to,
         from .ice.subdomain import build_ice_subdomain
         model.ice_submesh = build_ice_subdomain(
             mesh, lat_deg=cfg.ice.evp_subdomain_lat)
-    atm = load_core_forcing(mesh, forcing_path, dtype=dtype)
+    year = cfg.clock.yearnew
+    from .forcing.atmos import ncep_test_sbc, load_sbc_forcing
+    if cfg.sbc.configured and os.path.exists(
+            f"{cfg.sbc.nm_xwind_file}{year}.nc"):
+        # namelist-driven source layout (&nam_sbc engine)
+        sbc_eff = cfg.sbc
+    else:
+        # shipped NCEP test-set layout expressed through the same engine
+        sbc_eff = ncep_test_sbc(forcing_path)
+        if not os.path.exists(f"{sbc_eff.nm_xwind_file}{year}.nc"):
+            # perpetual-year behavior of the test data set: the shipped
+            # forcing covers 1948 only; clock years without files reuse it
+            # (the y_perpetual knob of &nam_sbc)
+            year = 1948
+    model.sbc = sbc_eff          # run_pi's year-rollover provider hook
+    atm = load_sbc_forcing(mesh, sbc_eff, year=year, dtype=dtype)
     return model, atm
 
 

@@ -105,17 +105,48 @@ def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
     t_all = time.perf_counter()
     dt = model.cfg.dt
 
+    # multi-year runs: year-switching provider with background prefetch
+    # (the forcing_provider_async_module analog at the year granularity)
+    provider = None
+    steps_per_year = None
+    sbc = getattr(model, "sbc", None)
+    if sbc is not None and n_steps - k_start > 0:
+        from .forcing.atmos import SbcProvider
+        steps_per_year = int(round(365 * 86400.0 / dt))
+        if k_start + n_steps > steps_per_year:      # run crosses a year
+            provider = SbcProvider(model.mesh, sbc, dtype)
+            provider._cache[clock.yearnew] = atm
+            provider.prefetch(clock.yearnew + 1)
+
+    # the step closure's time base is seconds-since-year-start, so the
+    # index passed to it is year-relative
+    k_off = 0
+    if steps_per_year is not None:
+        k_off = (k_start // steps_per_year) * steps_per_year
+
     for k in range(k_start, n_steps):
         t0 = time.perf_counter()
+        kk = jnp.asarray(k - k_off)
         if use_icepack:
-            state, ice, ipk, oforc = step(state, ice, jnp.asarray(k), ipk)
+            state, ice, ipk, oforc = step(state, ice, kk, ipk)
         else:
-            state, ice, oforc = step(state, ice, jnp.asarray(k))
+            state, ice, oforc = step(state, ice, kk)
         jax.block_until_ready(state.eta)
         timers.step += time.perf_counter() - t0
         timers.n_steps += 1
         clock_before = clock.copy()
         clock.advance(dt)
+        if provider is not None and clock.yearnew != clock_before.yearnew:
+            # year rollover: swap in the prefetched year, rebuild the step
+            # closure (same shapes -> warm XLA cache), start next prefetch
+            provider.evict(clock_before.yearnew)
+            atm = provider.get(clock.yearnew)
+            provider.prefetch(clock.yearnew + 1)
+            step = pi_coupled_step_fn(model, atm, donate=True)
+            k_off = k + 1
+            if verbose:
+                print(f" --> forcing year switched to {clock.yearnew}",
+                      flush=True)
 
         t0 = time.perf_counter()
         streams.update_means(state, ice, ipk, oforc)

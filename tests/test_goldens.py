@@ -87,3 +87,22 @@ def test_pi_reference_goldens(tmp_path):
     own = _own_goldens("pi")
     if own:
         _check(means, own, {}, 1e-5)
+
+
+@pytest.mark.slow
+def test_pi_icepack_reference_goldens(tmp_path):
+    """The icepack CI variant end-to-end against its fcheck block
+    (setups/test_pi_icepack/setup.yml:75-82), incl. the category field
+    aicen — VERDICT r3 do #3.  Tolerances: ocean means as the plain pi
+    run (IC-era offset applies identically); ice fields wider (the
+    5-category BL99+dEdd column physics is an independent implementation
+    of the external Icepack package's scheme, not a transcription)."""
+    ok, means, gold = mkrun.run_setup(
+        os.path.join(REF, "test_pi_icepack/setup.yml"), str(tmp_path),
+        verbose=False)
+    _check(means, gold,
+           {"sst": 2e-2, "temp": 5e-2, "salt": 5e-3, "a_ice": 0.15,
+            "aicen": 0.15, "u": 0.1, "v": 0.1}, 1e-2)
+    own = _own_goldens("pi_icepack")
+    if own:
+        _check(means, own, {}, 1e-5)

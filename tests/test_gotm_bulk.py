@@ -80,23 +80,15 @@ def test_fairall_fluxes():
 
 
 def test_generic_sbc_loader(pi_mesh):
-    """nm_sbc=2-style per-variable loader reproduces the dedicated CORE
-    loader on the shipped NCEP files (ref sbc_ini gen_surface_forcing.F90)."""
-    from fesom2_tpu.forcing.atmos import (SbcVar, SbcConfig,
+    """nm_sbc-style per-variable loader reproduces the dedicated CORE
+    loader on the shipped NCEP files (ref sbc_ini gen_surface_forcing.F90;
+    the full engine lives in test_sbc_engine.py — this pins the
+    test-layout preset)."""
+    from fesom2_tpu.forcing.atmos import (ncep_test_sbc,
                                           load_sbc_forcing,
                                           load_core_forcing)
     base = "/root/reference/test/input/global/"
-    sbc = SbcConfig(
-        xwind=SbcVar(base + "u_10.", "U_10_MOD", 3600.0, 3.0 * 3600.0),
-        ywind=SbcVar(base + "v_10.", "V_10_MOD", 3600.0, 3.0 * 3600.0),
-        tair=SbcVar(base + "t_10.", "T_10_MOD", 3600.0, 3.0 * 3600.0),
-        humi=SbcVar(base + "q_10.", "Q_10_MOD", 3600.0, 3.0 * 3600.0),
-        qsr=SbcVar(base + "ncar_rad.", "SWDN_MOD", 86400.0, 12.0 * 3600.0),
-        qlw=SbcVar(base + "ncar_rad.", "LWDN_MOD", 86400.0, 12.0 * 3600.0),
-        prec=SbcVar(base + "ncar_precip.", "RAIN", 3600.0, 15.5 * 86400.0),
-        snow=SbcVar(base + "ncar_precip.", "SNOW", 3600.0, 15.5 * 86400.0),
-        runoff_file=base + "runoff.nc", runoff_var="Foxx_o_roff")
-    a = load_sbc_forcing(pi_mesh, sbc, 1948)
+    a = load_sbc_forcing(pi_mesh, ncep_test_sbc(base), 1948)
     b = load_core_forcing(pi_mesh, base)
     for f in ("u_wind", "v_wind", "tair", "shum", "swdn", "lwdn", "prec",
               "snow", "runoff", "t_wind", "t_rad", "t_prec"):

@@ -94,3 +94,64 @@ def test_cubicspline_coupled_steps_stable(zstate):
     assert np.isfinite(np.asarray(state.eta)).all()
     assert np.abs(np.asarray(state.u)).max() < 3.0
     assert T.min() > -4.0 and T.max() < 40.0
+
+
+def test_linfs_partial_cell_dispatch():
+    """The dispatch follows the reference decision matrix
+    (pressure_force_4_linfs :371-427): full-cell linfs -> fullcell form;
+    +partial cells -> shchepetkin by default; +cavity partial -> sergey
+    reachable; unsupported combinations raise with the menu."""
+    from fesom2_tpu.config import ModelConfig
+    from fesom2_tpu.mesh import build_mesh
+    from fesom2_tpu.core.state import allocate_state, init_thickness_linfs
+    mesh = build_mesh("/root/reference/test/meshes/pi", force_rotation=True,
+                      use_partial_cell=True)
+    cfg = ModelConfig()
+    cfg.ale.which_ALE = "linfs"
+    cfg.ale.use_partial_cell = True
+    st = init_thickness_linfs(allocate_state(mesh), mesh)
+    st = eos.pressure_bv(st, mesh, cfg,
+                         jnp.zeros_like(st.density_m_rho0))
+    # default: shchepetkin body on static geometry
+    out = dynamics.pressure_force(st, mesh, cfg)
+    assert np.isfinite(np.asarray(out.pgf_x)).all()
+    # sergey requires cavity partial cells
+    cfg.dyn.which_pgf = "sergey"
+    with pytest.raises(ValueError):
+        dynamics.pressure_force(st, mesh, cfg)
+    cfg.run.use_cavity_partial_cell = True
+    out = dynamics.pressure_force(st, mesh, cfg)
+    assert np.isfinite(np.asarray(out.pgf_x)).all()
+    cfg.dyn.which_pgf = "nosuch"
+    with pytest.raises(ValueError):
+        dynamics.pressure_force(st, mesh, cfg)
+
+
+def test_linfs_cavity_matches_fullcell_in_bulk():
+    """'sergey' bulk layers are the plain hpressure gradient (ref
+    :1576-1580); only surface-under-cavity and partial bottom rows
+    differ."""
+    from fesom2_tpu.config import ModelConfig
+    from fesom2_tpu.mesh import build_mesh
+    from fesom2_tpu.core.state import allocate_state, init_thickness_linfs
+    mesh = build_mesh("/root/reference/test/meshes/pi", force_rotation=True,
+                      use_partial_cell=True)
+    cfg = ModelConfig()
+    st = init_thickness_linfs(allocate_state(mesh), mesh)
+    rng = np.random.RandomState(5)
+    tr = st.tr.at[0].set(jnp.asarray(
+        np.where(np.asarray(mesh.node_layer_mask),
+                 10.0 + rng.randn(mesh.nl - 1, mesh.n_nodes), 0.0)))
+    tr = tr.at[1].set(jnp.where(mesh.node_layer_mask, 34.0, 0.0))
+    st = st.__class__(**{**st.__dict__, "tr": tr})
+    st = eos.pressure_bv(st, mesh, cfg, jnp.zeros_like(st.density_m_rho0))
+    a = dynamics.pressure_force_linfs(st, mesh)
+    b = dynamics.pressure_force_linfs_cavity(st, mesh)
+    lev = np.arange(mesh.nl - 1)[:, None]
+    nle0 = (np.asarray(mesh.nlevels_elem) - 2)[None, :]
+    bulk = np.asarray(mesh.elem_layer_mask) & (lev < nle0)
+    assert np.allclose(np.asarray(a.pgf_x)[bulk], np.asarray(b.pgf_x)[bulk])
+    # the partial bottom row actually differs from the naive form
+    bot = np.asarray(mesh.elem_layer_mask) & (lev == nle0)
+    assert np.abs(np.asarray(a.pgf_x)[bot]
+                  - np.asarray(b.pgf_x)[bot]).max() > 0.0
