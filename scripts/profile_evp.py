@@ -17,12 +17,15 @@ import jax.numpy as jnp
 
 
 def time_fn(fn, args, n=5):
+    from fesom2_tpu.utils.profiling import _barrier
     out = fn(*args)
-    jax.block_until_ready(out)
+    _barrier(out)               # hard host barrier (axon block races)
+    out = fn(*args)
+    _barrier(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _barrier(out)
     return (time.perf_counter() - t0) / n
 
 

@@ -76,5 +76,5 @@ def test_icepack_setup_yaml_maps_to_opts():
     assert not ipc.tr_pond_cesm            # trpnd = 0 in the base file
     # the plain test_pi setup has no icepack section
     from fesom2_tpu.mkrun import load_setup as ls
-    *_, none_opts = ls("/root/reference/setups/test_pi/setup.yml")
+    none_opts = ls("/root/reference/setups/test_pi/setup.yml")[4]
     assert none_opts is None
