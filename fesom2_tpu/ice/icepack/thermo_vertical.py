@@ -136,8 +136,17 @@ def temperature_solve(cfg, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
     Tin_init = Tin0
     Tsn_init = Tsn0
 
+    # f32 stabilization: the brine-pocket capacity ~ 1/(T*T_old) and the
+    # tridiagonal cancellations diverge in single precision on thin
+    # refined-mesh columns (Tin ran to -1e5 before NaN); floor the
+    # temperature product harder and bound every iterate to the physical
+    # range.  f64 keeps the reference-faithful -1e-3 floor.
+    f64 = dtype == jnp.float64
+    t_floor = -1e-3 if f64 else -0.05
+    t_min = jnp.asarray(-100.0, dtype)       # Icepack's Tmin error bound
+
     def heat_capacity_ice(T_iter):
-        Tprod = jnp.minimum(T_iter, -1e-3) * jnp.minimum(Tin_init, -1e-3)
+        Tprod = jnp.minimum(T_iter, t_floor) * jnp.minimum(Tin_init, t_floor)
         return c.rhoi * (c.cp_ice - c.Lfresh * Tm_l / Tprod)
 
     cap_snow = jnp.where(snow_on, c.rhos * c.cp_ice * dzs / dt,
@@ -190,8 +199,8 @@ def temperature_solve(cfg, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
         Tsf_new = x[0]
         Tsn_new = jnp.stack([x[1 + j] for j in range(ns)], axis=1)
         Tin_new = jnp.stack([x[1 + ns + k] for k in range(ni)], axis=1)
-        Tsn_new = jnp.minimum(Tsn_new, 0.0)
-        Tin_new = jnp.minimum(Tin_new, Tm_l - 1e-6)
+        Tsn_new = jnp.clip(Tsn_new, t_min, 0.0)
+        Tin_new = jnp.clip(Tin_new, t_min, Tm_l - 1e-6)
 
         # melting-state update: pin when the free solve wants Tsf > 0;
         # unpin when the balance at Tsf=0 no longer delivers excess heat
@@ -199,7 +208,8 @@ def temperature_solve(cfg, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
                                          Tair, shum, wind, cfg.emissivity)
         fct0 = Cs[0] * (0.0 - x[1])
         melt_next = jnp.where(melting, fs0 > fct0, Tsf_new > 0.0)
-        Tsf_new = jnp.where(melt_next, 0.0, jnp.minimum(Tsf_new, 0.0))
+        Tsf_new = jnp.where(melt_next, 0.0,
+                            jnp.clip(Tsf_new, t_min, 0.0))
         return (Tsf_new, Tsn_new, Tin_new, melt_next)
 
     melting0 = jnp.zeros_like(Tsf0, dtype=bool)
@@ -330,7 +340,11 @@ def thickness_changes(cfg, hi, hs, qin, qsn, Tsf, sol, fbot, Tbot,
     # consume snow *thickness* bottom-up
     frac_s_fl, _ = _consume_bottomup(dhs_fl, ts)
     E_fl = (ts * frac_s_fl * (-qsn)).sum(1)               # energy moved
-    q_fl = jnp.where(dhi_fl > c.puny, -E_fl / jnp.maximum(dhi_fl, c.puny),
+    # dtype-aware thinness threshold: E/dh with dh just above puny=1e-11
+    # produces O(1e11) enthalpies whose downstream products overflow f32;
+    # sub-micrometer flooding increments are physically nil
+    fl_min = c.puny if ts.dtype == jnp.float64 else 1e-6
+    q_fl = jnp.where(dhi_fl > fl_min, -E_fl / jnp.maximum(dhi_fl, fl_min),
                      0.0)
     ts = ts * (1.0 - frac_s_fl)
     snoice = dhi_fl
