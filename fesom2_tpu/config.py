@@ -322,6 +322,7 @@ class SbcConfig:
     nm_nc_idd: int = 1
     nm_nc_freq: int = 1          # data points per day in the raw time axis
     nm_nc_tmid: int = 0          # 1: stamps already at interval mid-points
+    y_perpetual: bool = False    # repeat one forcing year forever
     l_xwind: bool = True
     l_ywind: bool = True
     l_humi: bool = True

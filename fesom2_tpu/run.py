@@ -113,7 +113,11 @@ def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
     if sbc is not None and n_steps - k_start > 0:
         from .forcing.atmos import SbcProvider
         steps_per_year = int(round(365 * 86400.0 / dt))
-        if k_start + n_steps > steps_per_year:      # run crosses a year
+        # y_perpetual (&nam_sbc): one forcing year repeats forever — the
+        # loaded series is reused, no provider needed (the k_off reset at
+        # rollover re-aligns the year-relative time base)
+        if (k_start + n_steps > steps_per_year
+                and not getattr(sbc, "y_perpetual", False)):
             provider = SbcProvider(model.mesh, sbc, dtype)
             provider._cache[clock.yearnew] = atm
             provider.prefetch(clock.yearnew + 1)
@@ -136,16 +140,20 @@ def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
         timers.n_steps += 1
         clock_before = clock.copy()
         clock.advance(dt)
-        if provider is not None and clock.yearnew != clock_before.yearnew:
-            # year rollover: swap in the prefetched year, rebuild the step
-            # closure (same shapes -> warm XLA cache), start next prefetch
-            provider.evict(clock_before.yearnew)
-            atm = provider.get(clock.yearnew)
-            provider.prefetch(clock.yearnew + 1)
-            step = pi_coupled_step_fn(model, atm, donate=True)
+        if steps_per_year is not None \
+                and clock.yearnew != clock_before.yearnew:
+            # year rollover: re-align the year-relative step index; with a
+            # provider, also swap in the prefetched year and rebuild the
+            # step closure (same shapes -> warm XLA cache)
             k_off = k + 1
+            if provider is not None:
+                provider.evict(clock_before.yearnew)
+                atm = provider.get(clock.yearnew)
+                provider.prefetch(clock.yearnew + 1)
+                step = pi_coupled_step_fn(model, atm, donate=True)
             if verbose:
-                print(f" --> forcing year switched to {clock.yearnew}",
+                print(f" --> forcing year switched to {clock.yearnew}"
+                      f"{' (perpetual)' if provider is None else ''}",
                       flush=True)
 
         t0 = time.perf_counter()
