@@ -119,16 +119,18 @@ def main():
     nmask = mesh.node_layer_mask
     av = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
 
-    def make_lo(tA):
+    def make_lo(tA, stt):
         def one(t):
-            fh = tracers.adv_hor_upw1(t, state.u, state.v, state.helem, mesh)
-            fv = tracers.adv_ver_upw1(t, state.w_e, mesh)
+            fh = tracers.adv_hor_upw1(t, stt.u, stt.v, stt.helem, mesh)
+            fv = tracers.adv_ver_upw1(t, stt.w_e, mesh)
             lo_h = ops.edge_divergence(fh, mesh)
-            lo = (t * state.hnode + (lo_h + (fv[:-1] - fv[1:])) * dt / av) \
-                / jnp.where(nmask, state.hnode_new, 1.0)
+            lo = (t * stt.hnode + (lo_h + (fv[:-1] - fv[1:])) * dt / av) \
+                / jnp.where(nmask, stt.hnode_new, 1.0)
             return jnp.where(nmask, lo, 0.0)
         return jax.vmap(one)(tA)
-    lo = jax.jit(make_lo)(tr)
+    # state as a jit ARGUMENT: closing over the big arrays embeds them as
+    # constants and the remote-compile payload exceeds the relay limit
+    lo = jax.jit(make_lo)(tr, state)
     jax.block_until_ready(lo)
 
     jt("fct_limiter", lambda tA, loa, fha, fva: jax.vmap(
