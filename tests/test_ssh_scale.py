@@ -97,9 +97,10 @@ def test_cg_iteration_count_at_core2plus_scale():
     x, it, res = pcg(op, rhs, bs, tol=1e-10, maxiter=2000)
     it = int(it)
     assert float(res) < 1e-9
-    # regression bound: the 2-level Schwarz held ~36 iters at 47.6k; the
-    # operator is better-conditioned than Jacobi's O(100s) everywhere.
-    assert it <= 120, f"CG iterations regressed at 188k: {it}"
+    # regression bound: measured 48 cold / 38 warm at 188k (f64); the
+    # 2-level Schwarz holds the count mesh-size-robust (36 at 47.6k)
+    # vs Jacobi's O(100s).
+    assert it <= 80, f"CG iterations regressed at 188k: {it}"
 
     # warm start from a nearby solution must cut iterations further
     x2, it2, _ = pcg(op, rhs * 1.01, bs, tol=1e-10, maxiter=2000, x0=x)
