@@ -76,19 +76,10 @@ def fill_up_dn_grad(gx, gy, mesh: MeshTables, st: TracerStatics):
         (jnp.minimum(nln_min[n0], nln_min[n1]) - 1)[None, :]
     use_tri = shared & both[None, :]
 
-    # merged up/dn gathers: one [2, Ed]-indexed take per operand instead
-    # of two [Ed]-indexed ones (gather_micro variant C vs A; the operand
-    # stays rank-2, which keeps the fast gather mode)
-    updn = jnp.stack([ups, dns])                          # [2, Ed]
-    n01 = jnp.stack([n0, n1])
-    tri_x = jnp.take(gx, updn, axis=-1)                   # [nl-1, 2, Ed]
-    tri_y = jnp.take(gy, updn, axis=-1)
-    nod_x = jnp.take(gx_n, n01, axis=-1)
-    nod_y = jnp.take(gy_n, n01, axis=-1)
-    e0 = jnp.where(use_tri, tri_x[:, 0], nod_x[:, 0])
-    e1 = jnp.where(use_tri, tri_x[:, 1], nod_x[:, 1])
-    e2 = jnp.where(use_tri, tri_y[:, 0], nod_y[:, 0])
-    e3 = jnp.where(use_tri, tri_y[:, 1], nod_y[:, 1])
+    e0 = jnp.where(use_tri, gx[:, ups], gx_n[:, n0])
+    e1 = jnp.where(use_tri, gx[:, dns], gx_n[:, n1])
+    e2 = jnp.where(use_tri, gy[:, ups], gy_n[:, n0])
+    e3 = jnp.where(use_tri, gy[:, dns], gy_n[:, n1])
     return jnp.stack([e0, e1, e2, e3], axis=0)
 
 
