@@ -458,7 +458,11 @@ def calc_cvmix_ddiff(state: OceanState, mesh: MeshTables, cfg) -> OceanState:
     den = jnp.zeros((nl, N), T.dtype).at[1:-1].set(
         bS * (S[:-1] - S[1:]) / dz)
 
-    safe_den = jnp.where(jnp.abs(den) > 1e-30, den, 1e-30)
+    # sign-preserving guard: a +1e-30 replacement for tiny-NEGATIVE den
+    # flipped Rrho's sign in the dconv branch (num,den<0 => Rrho>0), and
+    # the MC76 double exponential then overflowed to inf
+    safe_den = jnp.where(jnp.abs(den) > 1e-30, den,
+                         jnp.where(den < 0.0, -1e-30, 1e-30))
     Rrho = num / safe_den
     # salt fingering
     finger = (num >= den) & (den > 0.0) & (Rrho < cv.ddiff_strat_param_max)
@@ -468,7 +472,9 @@ def calc_cvmix_ddiff(state: OceanState, mesh: MeshTables, cfg) -> OceanState:
     Td_f = 0.7 * Sd_f
     # diffusive convection (MC76)
     dconv = (num >= den) & (num < 0.0)
-    Rs = jnp.where(dconv, Rrho, 0.5)
+    # dconv implies den <= num < 0, so Rrho in (0, 1]; clamp to that range
+    # anyway (the reference only evaluates MC76 for 0 < Rrho < 1)
+    Rs = jnp.where(dconv, jnp.clip(Rrho, 1e-10, 1.0), 0.5)
     Td_c = cv.ddiff_mol_diff * cv.ddiff_param1 \
         * jnp.exp(cv.ddiff_param2
                   * jnp.exp(cv.ddiff_param3 * (1.0 / jnp.where(

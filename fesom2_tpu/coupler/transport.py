@@ -101,6 +101,8 @@ class OasisEndpoint:
         self.address = self._srv.getsockname()
         self._srv.listen(4)
         self._closing = False
+        self._conns = []
+        self._handlers = []
         self._thread = threading.Thread(target=self._serve, daemon=True)
         self._thread.start()
 
@@ -129,8 +131,15 @@ class OasisEndpoint:
                 conn, _ = self._srv.accept()
             except OSError:
                 return
-            threading.Thread(target=self._handle, args=(conn,),
-                             daemon=True).start()
+            if self._closing:
+                conn.close()
+                return
+            t = threading.Thread(target=self._handle, args=(conn,),
+                                 daemon=True)
+            with self._lock:
+                self._conns.append(conn)
+                self._handlers.append(t)
+            t.start()
 
     def _handle(self, conn):
         try:
@@ -150,11 +159,36 @@ class OasisEndpoint:
             conn.close()
 
     def close(self):
+        """Shut the server down and JOIN every thread it spawned: a leaked
+        accept/handler thread alive during later eager JAX dispatch was a
+        (flaky) SIGABRT source under full-suite test collection."""
         self._closing = True
+        try:
+            self._srv.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
         try:
             self._srv.close()
         except OSError:
             pass
+        with self._lock:
+            conns = list(self._conns)
+            handlers = list(self._handlers)
+        for c in conns:
+            try:
+                c.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                c.close()
+            except OSError:
+                pass
+        # wake any get() blocked in _handle threads so they can exit
+        with self._cv:
+            self._cv.notify_all()
+        self._thread.join(timeout=5.0)
+        for t in handlers:
+            t.join(timeout=5.0)
 
 
 class SocketTransport:

@@ -167,9 +167,12 @@ def _time_axis_seconds(t, units, year, sbc):
            + (sbc.nm_nc_idd - 1)) * 86400.0
     tt = t / max(sbc.nm_nc_freq, 1) * 86400.0 + off
     if not sbc.nm_nc_tmid and tt.size > 1:
-        # shift stamps to interval mid-points (ref :433-439, JRA-style)
+        # shift stamps to interval mid-points (ref :433-439, JRA-style).
+        # The reference updates in place, so the last stamp is extrapolated
+        # from the already-midpointed N-1 stamp: t_N + (t_N - mid_{N-1})/2
+        # = t_N + (t_N - t_{N-1})/4 — a quarter interval, not a half.
         tt = np.concatenate([0.5 * (tt[:-1] + tt[1:]),
-                             [tt[-1] + 0.5 * (tt[-1] - tt[-2])]])
+                             [tt[-1] + 0.25 * (tt[-1] - tt[-2])]])
     return tt
 
 

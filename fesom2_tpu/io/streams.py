@@ -23,6 +23,16 @@ from .netcdf import write_dataset, read_vars
 from ..utils.clock import Clock, event_triggered
 
 
+class AtmHolder:
+    """Mutable indirection for atm-backed stream closures: the run loop
+    swaps `.current` at a forcing-year rollover (and the OutputStreams jit
+    cache is invalidated) so the streams read the active year's series
+    instead of the one captured at registry build time."""
+
+    def __init__(self, atm):
+        self.current = atm
+
+
 @dataclass
 class StreamDef:
     name: str
@@ -33,6 +43,7 @@ class StreamDef:
     comment: str = ""
     wants_extra: bool = False    # extract takes a third arg (e.g. icepack)
     wants_forcing: bool = False  # extract takes (state, ice, forcing)
+    atm_holder: Optional[AtmHolder] = None   # set for atm-backed streams
 
 
 @dataclass
@@ -59,6 +70,20 @@ class OutputStreams:
         self.async_write = async_write
         self._threads: List[threading.Thread] = []
         os.makedirs(result_path, exist_ok=True)
+
+    def set_atm(self, atm):
+        """Swap the forcing-year series the atm-backed streams read (year
+        rollover) and drop the jitted accumulators so the next update
+        retraces against the new arrays (same shapes -> warm XLA cache is
+        NOT reusable here: the series are baked as constants)."""
+        found = False
+        for d in self.defs:
+            if d.atm_holder is not None:
+                d.atm_holder.current = atm
+                found = True
+        if found:
+            self._init_fn = None
+            self._add_fn = None
 
     # -- accumulate (device side) -----------------------------------------
     def _extract_all(self, state, ice, extra, forcing):
@@ -301,13 +326,18 @@ def make_stream(sid: str, mesh, cfg, freq: int = 1, unit: str = "d",
     def atm_stream(series_name, taxis_name):
         # interp the preloaded atm series at the step's own model time
         # (state.step is on device, so this stays inside the jitted
-        # accumulation); step-1: means accumulate post-step
+        # accumulation); step-1: means accumulate post-step.
+        # The forcing time axis is YEAR-relative, so the absolute step
+        # index is reduced modulo steps-per-year (365-day no-leap axis,
+        # matching the &nam_sbc engine's own time conversion).
         from ..forcing.atmos import _time_interp
+        spy = max(int(round(365 * 86400.0 / dt)), 1)
 
         def f(s, i):
-            t = (s.step - 1) * dt          # weak-typed scalar, dtype-safe
-            return _time_interp(getattr(atm, series_name),
-                                getattr(atm, taxis_name), t)
+            a = atm.current if isinstance(atm, AtmHolder) else atm
+            t = ((s.step - 1) % spy) * dt  # weak-typed scalar, dtype-safe
+            return _time_interp(getattr(a, series_name),
+                                getattr(a, taxis_name), t)
         return f
 
     # ---- 2D from state ---------------------------------------------------
@@ -392,16 +422,21 @@ def make_stream(sid: str, mesh, cfg, freq: int = 1, unit: str = "d",
                "lwr": ("lwdn", "t_rad", "longwave radiation"),
                "prec": ("prec", "t_prec", "precipitation rain"),
                "snow": ("snow", "t_prec", "precipitation snow")}
+    hold = atm if isinstance(atm, AtmHolder) else None
     if sid in atm_map:
         if atm is None:
             return None
         attr, tax, cm = atm_map[sid]
-        return StreamDef(sid, atm_stream(attr, tax), comment=cm, **k)
+        return StreamDef(sid, atm_stream(attr, tax), comment=cm,
+                         atm_holder=hold, **k)
     if sid == "runoff":
         if atm is None:
             return None
-        return StreamDef("runoff", lambda s, i: atm.runoff,
-                         comment="runoff", **k)
+        return StreamDef(
+            "runoff",
+            lambda s, i: (atm.current if isinstance(atm, AtmHolder)
+                          else atm).runoff,
+            comment="runoff", atm_holder=hold, **k)
 
     # ---- 3D prognostics + mixing ----------------------------------------
     if sid == "temp":
@@ -497,6 +532,8 @@ def streams_from_io_list(io_list, mesh, cfg, atm=None,
                          fill_T=None, fill_S=None):
     """Resolve a parsed &nml_list into StreamDefs, skipping (with the
     reference's behavior) ids whose feature gate is off."""
+    if atm is not None and not isinstance(atm, AtmHolder):
+        atm = AtmHolder(atm)
     defs = []
     for sid, freq, unit, prec in io_list:
         d = make_stream(sid, mesh, cfg, freq=freq, unit=unit,

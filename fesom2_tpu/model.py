@@ -867,7 +867,11 @@ def _finish_pi_setup(cfg, mesh_path, forcing_path, dtype, pad_to,
         if not os.path.exists(f"{sbc_eff.nm_xwind_file}{year}.nc"):
             # perpetual-year behavior of the test data set: the shipped
             # forcing covers 1948 only; clock years without files reuse it
-            # (the y_perpetual knob of &nam_sbc)
+            # (the y_perpetual knob of &nam_sbc).  y_perpetual must actually
+            # be SET here, or run_pi builds an SbcProvider at the first year
+            # rollover and crashes on the nonexistent next-year file.
+            import dataclasses as _dc
+            sbc_eff = _dc.replace(sbc_eff, y_perpetual=True)
             year = 1948
     model.sbc = sbc_eff          # run_pi's year-rollover provider hook
     atm = load_sbc_forcing(mesh, sbc_eff, year=year, dtype=dtype)

@@ -151,6 +151,7 @@ def run_pi(n_steps: int = 96, result_path: str = "./result_pi",
                 atm = provider.get(clock.yearnew)
                 provider.prefetch(clock.yearnew + 1)
                 step = pi_coupled_step_fn(model, atm, donate=True)
+                streams.set_atm(atm)   # atm-backed streams follow the year
             if verbose:
                 print(f" --> forcing year switched to {clock.yearnew}"
                       f"{' (perpetual)' if provider is None else ''}",
