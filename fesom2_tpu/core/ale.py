@@ -15,27 +15,18 @@ import jax
 import jax.numpy as jnp
 
 from ..mesh import MeshTables
-from .ops import cumsum_bottom_up, edge_divergence
+from .ops import cumsum_bottom_up, edge_divergence, edge_transport
 from .state import OceanState, Forcing
 
 
 def vert_vel_ale(state: OceanState, mesh: MeshTables, cfg,
                  forcing: Forcing) -> OceanState:
     """Divergence-driven vertical velocity + ALE dhbar distribution."""
-    et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
-    has2 = et2 >= 0
-    et2s = jnp.where(has2, et2, 0)
-    dX1, dY1 = mesh.edge_cross_dxdy[:, 0], mesh.edge_cross_dxdy[:, 1]
-    dX2, dY2 = mesh.edge_cross_dxdy[:, 2], mesh.edge_cross_dxdy[:, 3]
     lmask = mesh.elem_layer_mask
     he = jnp.where(lmask, state.helem, 0.0)
 
-    # per-edge, per-layer transports (ref :1724-1780)
-    c1 = (state.v * he)[:, et1] * dX1[None] - (state.u * he)[:, et1] * dY1[None]
-    c2 = jnp.where(has2[None, :],
-                   -((state.v * he)[:, et2s] * dX2[None]
-                     - (state.u * he)[:, et2s] * dY2[None]), 0.0)
-    flux = c1 + c2                                        # [nl-1, Ed]
+    # per-edge, per-layer transports (ref :1724-1780), merged u/v gathers
+    flux = edge_transport(state.u * he, state.v * he, mesh)  # [nl-1, Ed]
     div = jnp.concatenate([edge_divergence(flux, mesh),
                            jnp.zeros((1, mesh.n_nodes), flux.dtype)], 0)
 
@@ -154,18 +145,9 @@ def bolus_wvel(fer_u, fer_v, state: OceanState, mesh: MeshTables):
 
     Same edge-divergence + bottom-up cumulation as vert_vel_ale's first part
     (ref :1720-1815 with fer_UV -> fer_Wvel)."""
-    et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
-    has2 = et2 >= 0
-    et2s = jnp.where(has2, et2, 0)
-    dX1, dY1 = mesh.edge_cross_dxdy[:, 0], mesh.edge_cross_dxdy[:, 1]
-    dX2, dY2 = mesh.edge_cross_dxdy[:, 2], mesh.edge_cross_dxdy[:, 3]
     lmask = mesh.elem_layer_mask
     he = jnp.where(lmask, state.helem, 0.0)
-    c1 = (fer_v * he)[:, et1] * dX1[None] - (fer_u * he)[:, et1] * dY1[None]
-    c2 = jnp.where(has2[None, :],
-                   -((fer_v * he)[:, et2s] * dX2[None]
-                     - (fer_u * he)[:, et2s] * dY2[None]), 0.0)
-    flux = c1 + c2
+    flux = edge_transport(fer_u * he, fer_v * he, mesh)
     div = jnp.concatenate([edge_divergence(flux, mesh),
                            jnp.zeros((1, mesh.n_nodes), flux.dtype)], 0)
     w = cumsum_bottom_up(div)

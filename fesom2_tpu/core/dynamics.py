@@ -18,7 +18,8 @@ from ..mesh import MeshTables
 from .state import OceanState, Forcing
 from .ops import (halo_fix_nodes, halo_fix_elems,
                   scalar_gradient, tridiag_solve, elem_to_node_mean,
-                  edge_divergence, cumsum_bottom_up, elem_contrib_to_nodes)
+                  edge_divergence, cumsum_bottom_up, elem_contrib_to_nodes,
+                  take_last)
 
 
 def _elem_interface_mask(mesh: MeshTables):
@@ -635,8 +636,11 @@ def momentum_adv_scalar(state: OceanState, mesh: MeshTables,
     valid = nie >= 0
     safe = jnp.where(valid, nie, 0)
     w_area = jnp.where(valid, jnp.take(area, safe), 0.0)   # [N, K]
-    wu = halo_fix_nodes((jnp.take(u_up, safe, axis=-1) * w_area).sum(-1))
-    wv = halo_fix_nodes((jnp.take(v_up, safe, axis=-1) * w_area).sum(-1))
+    # (u_up, v_up) ride one merged nod_in_elem gather (ops.take_last
+    # flattens the stack; per-index gather cost dominates on TPU)
+    wuv = halo_fix_nodes(
+        (take_last(jnp.stack([u_up, v_up]), safe) * w_area).sum(-1))
+    wu, wv = wuv[0], wuv[1]
 
     wu = wu * state.w_e
     wv = wv * state.w_e
@@ -658,26 +662,28 @@ def momentum_adv_scalar(state: OceanState, mesh: MeshTables,
     m1 = lmask[:, et1]                                      # [nl-1, Ed]
     m2 = jnp.where(has2[None, :], lmask[:, et2s], False)
 
-    u1, v1 = u[:, et1], v[:, et1]
-    u2, v2 = u[:, et2s], v[:, et2s]
+    uv = jnp.stack([u, v])                                  # [2, nl-1, E]
+    q1 = take_last(uv, et1)                                 # merged u,v gathers
+    q2 = take_last(uv, et2s)
+    u1, v1 = q1[0], q1[1]
+    u2, v2 = q2[0], q2[1]
     un1 = jnp.where(m1, v1 * dX1[None] - u1 * dY1[None], 0.0)
     un2 = jnp.where(m2, -v2 * dX2[None] + u2 * dY2[None], 0.0)
 
     fu = un1 * jnp.where(m1, u1, 0.0) + un2 * jnp.where(m2, u2, 0.0)
     fv = un1 * jnp.where(m1, v1, 0.0) + un2 * jnp.where(m2, v2, 0.0)
 
-    un_rhs = un_rhs + edge_divergence(fu, mesh)
-    vn_rhs = vn_rhs + edge_divergence(fv, mesh)
+    # one merged incident-edge gather for both components
+    duv = edge_divergence(jnp.stack([fu, fv]), mesh)
+    un_rhs = (un_rhs + duv[0]) * mesh.areasvol_inv[:-1]
+    vn_rhs = (vn_rhs + duv[1]) * mesh.areasvol_inv[:-1]
 
-    un_rhs = un_rhs * mesh.areasvol_inv[:-1]
-    vn_rhs = vn_rhs * mesh.areasvol_inv[:-1]
-
-    # ---- back to elements --------------------------------------------------
+    # ---- back to elements (merged elem_nodes gather) -----------------------
     en = mesh.elem_nodes
-    ue = jnp.take(un_rhs, en, axis=-1).sum(-1) / 3.0 * area[None, :]
-    ve = jnp.take(vn_rhs, en, axis=-1).sum(-1) / 3.0 * area[None, :]
-    u_rhsAB = u_rhsAB + jnp.where(lmask, ue, 0.0)
-    v_rhsAB = v_rhsAB + jnp.where(lmask, ve, 0.0)
+    uve = take_last(jnp.stack([un_rhs, vn_rhs]), en).sum(-1) / 3.0 \
+        * area[None, :]
+    u_rhsAB = u_rhsAB + jnp.where(lmask, uve[0], 0.0)
+    v_rhsAB = v_rhsAB + jnp.where(lmask, uve[1], 0.0)
     return u_rhsAB, v_rhsAB
 
 
@@ -820,8 +826,12 @@ def visc_filt_bcksct(state: OceanState, mesh: MeshTables, cfg, u_rhs, v_rhs):
     shared = jnp.logical_and(lmask[:, et1], lmask[:, et2s])
     shared = jnp.logical_and(shared, internal[None, :])
 
-    du = state.u[:, et1] - state.u[:, et2s]
-    dv = state.v[:, et1] - state.v[:, et2s]
+    # merged (u, v) gathers at each edge-triangle side
+    uv = jnp.stack([state.u, state.v])
+    q1 = take_last(uv, et1)
+    q2 = take_last(uv, et2s)
+    du = q1[0] - q2[0]
+    dv = q1[1] - q2[1]
     sp2 = du * du + dv * dv
     sp = jnp.sqrt(sp2)
     vi = dt * jnp.maximum(d.gamma0,
@@ -831,25 +841,23 @@ def visc_filt_bcksct(state: OceanState, mesh: MeshTables, cfg, u_rhs, v_rhs):
 
     # gather-based edge->element accumulation: each element touches exactly
     # its 3 edges; sign -1 when the element is the edge's left triangle
+    # (one merged gather for both components)
     ee = mesh.elem_edges                                  # [E, 3]
     e_is_left = mesh.edge_tri[ee, 0] == jnp.arange(mesh.n_elems)[:, None]
     esign = jnp.where(e_is_left, -1.0, 1.0)               # [E, 3]
     inv_area_e = 1.0 / jnp.maximum(area, 1e-30)
-    U_b = halo_fix_elems((jnp.take(du, ee, axis=-1) * esign).sum(-1)
-                         * inv_area_e[None, :])
-    V_b = halo_fix_elems((jnp.take(dv, ee, axis=-1) * esign).sum(-1)
-                         * inv_area_e[None, :])
+    UV_b = halo_fix_elems((take_last(jnp.stack([du, dv]), ee)
+                           * esign).sum(-1) * inv_area_e[None, :])
+    U_b, V_b = UV_b[0], UV_b[1]
 
     # smooth to nodes (area-weighted over ALL adjacent elements, no level
     # check in the denominator — matches the reference loop :619-635)
-    U_c = elem_to_node_mean(U_b, mesh, respect_levels=False)
-    V_c = elem_to_node_mean(V_b, mesh, respect_levels=False)
+    UV_c = elem_to_node_mean(UV_b, mesh, respect_levels=False)
 
     en = mesh.elem_nodes
-    Uc_e = jnp.take(U_c, en, axis=-1).mean(-1)
-    Vc_e = jnp.take(V_c, en, axis=-1).mean(-1)
-    u_rhs = u_rhs + jnp.where(lmask, U_b - d.easy_bs_return * Uc_e, 0.0)
-    v_rhs = v_rhs + jnp.where(lmask, V_b - d.easy_bs_return * Vc_e, 0.0)
+    UVc_e = take_last(UV_c, en).mean(-1)
+    u_rhs = u_rhs + jnp.where(lmask, U_b - d.easy_bs_return * UVc_e[0], 0.0)
+    v_rhs = v_rhs + jnp.where(lmask, V_b - d.easy_bs_return * UVc_e[1], 0.0)
     return u_rhs, v_rhs
 
 
@@ -1327,9 +1335,9 @@ def update_vel(state: OceanState, mesh: MeshTables, cfg, u_rhs, v_rhs,
 
 
 def compute_vel_nodes(state: OceanState, mesh: MeshTables) -> OceanState:
-    """Element->node velocity average (ref compute_vel_nodes oce_dyn.F90:133)."""
-    un = elem_to_node_mean(state.u, mesh)
-    vn = elem_to_node_mean(state.v, mesh)
+    """Element->node velocity average (ref compute_vel_nodes oce_dyn.F90:133).
+    One merged nod_in_elem gather for (u, v)."""
+    uvn = elem_to_node_mean(jnp.stack([state.u, state.v]), mesh)
     nm = mesh.node_layer_mask
-    return replace(state, unode=jnp.where(nm, un, 0.0),
-                   vnode=jnp.where(nm, vn, 0.0))
+    return replace(state, unode=jnp.where(nm, uvn[0], 0.0),
+                   vnode=jnp.where(nm, uvn[1], 0.0))

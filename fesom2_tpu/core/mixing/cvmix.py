@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ...mesh import MeshTables
 from ...constants import g, density_0
 from ..state import OceanState
-from ..ops import tridiag_solve, elem_to_node_mean
+from ..ops import tridiag_solve, elem_to_node_mean, elem_to_node_mean_flat
 
 
 # --------------------------------------------------------------------------
@@ -175,9 +175,9 @@ def calc_cvmix_tke(state: OceanState, mesh: MeshTables, cfg, forcing,
     forc = Ssqr * KappaM - Nsqr * KappaH
     if iw_diss is not None:
         forc = forc + iw_diss
-    sx = elem_to_node_mean(forcing.stress_x, mesh)
-    sy = elem_to_node_mean(forcing.stress_y, mesh)
-    forc_surf = jnp.sqrt(sx ** 2 + sy ** 2) / density_0
+    sxy = elem_to_node_mean_flat(jnp.stack([forcing.stress_x,
+                                            forcing.stress_y]), mesh)
+    forc_surf = jnp.sqrt(sxy[0] ** 2 + sxy[1] ** 2) / density_0
     forc = forc.at[0].add(cv.tke_cd * forc_surf ** 1.5 / dzt[0])
 
     # ---- ke on layers: alpha*0.5*(K[min(k+1,nb-1)] + K[max(k,1)]) --------

@@ -371,7 +371,8 @@ def oce_mixing_kpp(state: OceanState, mesh: MeshTables, cfg,
 
 def _node_stress(forcing: Forcing, mesh: MeshTables):
     """stress^2 magnitude averaged from elements to nodes."""
-    from ..ops import elem_to_node_mean
-    sx = elem_to_node_mean(forcing.stress_x, mesh)
-    sy = elem_to_node_mean(forcing.stress_y, mesh)
-    return sx ** 2 + sy ** 2
+    import jax.numpy as _jnp
+    from ..ops import elem_to_node_mean_flat
+    sxy = elem_to_node_mean_flat(
+        _jnp.stack([forcing.stress_x, forcing.stress_y]), mesh)
+    return sxy[0] ** 2 + sxy[1] ** 2

@@ -83,12 +83,20 @@ def node_sum(v: jnp.ndarray):
 
 
 def take_last(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """jnp.take along the last axis, dodging the degenerate TPU gather path
-    for rank-1 tables (a 1-row-table gather is ~2.3x slower than the same
-    gather from a >=2-row stack; extra leading rows are free)."""
+    """jnp.take along the last axis, always presenting a RANK-2 operand.
+
+    Two measured TPU gather cliffs this dodges (scripts/gather_micro.py,
+    scripts/gather_cost_model.py): a 1-row-table gather is ~2.3x slower
+    than the same gather from a >=2-row stack, and a rank-3+ operand falls
+    into a ~7x-slower batched gather mode.  Leading axes are flattened into
+    the row axis (cheap: gather cost is ~fixed-per-index plus a small
+    per-row term) and restored on the output."""
     if x.ndim == 1:
         return jnp.take(jnp.stack([x, x]), idx, axis=-1)[0]
-    return jnp.take(x, idx, axis=-1)
+    if x.ndim == 2:
+        return jnp.take(x, idx, axis=-1)
+    out = jnp.take(x.reshape(-1, x.shape[-1]), idx, axis=-1)
+    return out.reshape(x.shape[:-1] + idx.shape)
 
 
 # --------------------------------------------------------------------------
@@ -100,10 +108,12 @@ def gather_nodes(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def take_row(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Per-column row gather: a[L, N] at row idx[N] -> [N].  Used for
-    "the surface row" when the surface index varies per column (ice-shelf
+    """Per-column row gather: a[..., L, N] at row idx[N] -> [..., N].  Used
+    for "the surface row" when the surface index varies per column (ice-shelf
     cavities: row = ulevels-1)."""
-    return jnp.take_along_axis(a, idx[None, :].astype(jnp.int32), 0)[0]
+    ib = jnp.broadcast_to(idx.astype(jnp.int32),
+                          a.shape[:-2] + (1,) + idx.shape[-1:])
+    return jnp.take_along_axis(a, ib, axis=-2)[..., 0, :]
 
 
 def elem_mean_node(x: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
@@ -116,6 +126,29 @@ def scatter_add_nodes(vals: jnp.ndarray, idx: jnp.ndarray, n_nodes: int) -> jnp.
     """Scatter-add vals[.., K] into a zero array [.., n_nodes] at idx[K]."""
     shape = vals.shape[:-1] + (n_nodes,)
     return halo_fix_nodes(jnp.zeros(shape, vals.dtype).at[..., idx].add(vals))
+
+
+def edge_transport(uh: jnp.ndarray, vh: jnp.ndarray,
+                   mesh: MeshTables) -> jnp.ndarray:
+    """Per-edge transport through the two centroid-to-midpoint segments:
+
+    ``c = (vh|et1*dX1 - uh|et1*dY1) - (vh|et2*dX2 - uh|et2*dY2)``
+
+    (ref oce_ale.F90:1724-1780 and compute_hbar/ssh_rhs edge loops).  The
+    (uh, vh) pair rides one merged gather per edge-triangle side.  Callers
+    pass already level-masked uh = u*he etc.; masked rows contribute exact
+    zeros."""
+    et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
+    has2 = et2 >= 0
+    et2s = jnp.where(has2, et2, 0)
+    dX1, dY1 = mesh.edge_cross_dxdy[:, 0], mesh.edge_cross_dxdy[:, 1]
+    dX2, dY2 = mesh.edge_cross_dxdy[:, 2], mesh.edge_cross_dxdy[:, 3]
+    uv = jnp.stack([uh, vh])
+    q1 = take_last(uv, et1)
+    q2 = take_last(uv, et2s)
+    c1 = q1[1] * dX1 - q1[0] * dY1
+    c2 = jnp.where(has2, -(q2[1] * dX2 - q2[0] * dY2), 0.0)
+    return c1 + c2
 
 
 def edge_divergence(flux: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
@@ -149,6 +182,51 @@ def edge_signed_reduce(flux: jnp.ndarray, mesh: MeshTables, fn) -> jnp.ndarray:
     sign = jnp.where(valid, mesh.node_edge_sign.T, 0.0)
     vals = fn(take_last(flux, safe) * sign)
     return halo_fix_nodes(jnp.where(valid, vals, 0.0).sum(-2))
+
+
+def take_multi(fields, *idxs):
+    """Gather a list of arrays (any leading shapes, same trailing axis) at one
+    or more index tables, with ONE merged rank-2 gather per index table.
+
+    All fields are flattened to rows and concatenated once; each idx in
+    ``idxs`` triggers a single jnp.take of the merged operand.  Returns a
+    tuple (one entry per idx) of lists (one entry per field) with shapes
+    ``field.shape[:-1] + idx.shape``.  Merging amortises the per-index
+    gather cost that dominates TPU gathers (scripts/gather_cost_model.py)."""
+    X = fields[0].shape[-1]
+    flats = [f[None] if f.ndim == 1 else f.reshape(-1, X) for f in fields]
+    rows = jnp.concatenate(flats, 0)
+    if rows.shape[0] == 1:
+        rows = jnp.concatenate([rows, rows], 0)
+    outs = []
+    for idx in idxs:
+        got = jnp.take(rows, idx, axis=-1)
+        res = []
+        o = 0
+        for f, fl in zip(fields, flats):
+            r = fl.shape[0]
+            res.append(got[o:o + r].reshape(f.shape[:-1] + idx.shape))
+            o += r
+        outs.append(res)
+    return tuple(outs) if len(idxs) > 1 else outs[0]
+
+
+def edge_signed_reduce2(flux: jnp.ndarray, mesh: MeshTables):
+    """(plus, minus) antidiffusive sums over each node's incident edges from
+    ONE gather of the node-oriented signed flux — the FCT b1 pair
+    (ref oce_adv_tra_fct.F90:215-263).  Identical results to calling
+    edge_signed_reduce with max(0,.) and min(0,.) separately, at half the
+    gather-index cost (the gather dominates; the two reductions are
+    elementwise on the already-gathered values)."""
+    ne = mesh.node_edges.T
+    valid = ne >= 0
+    safe = jnp.where(valid, ne, 0)
+    sign = jnp.where(valid, mesh.node_edge_sign.T, 0.0)
+    vals = take_last(flux, safe) * sign
+    plus = jnp.maximum(vals, 0.0).sum(-2)
+    minus = jnp.minimum(vals, 0.0).sum(-2)
+    both = halo_fix_nodes(jnp.stack([plus, minus]))
+    return both[0], both[1]
 
 
 def elem_contrib_to_nodes(contrib: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
@@ -210,12 +288,12 @@ def elem_to_node_mean(x_elem: jnp.ndarray, mesh: MeshTables,
     safe = jnp.where(valid, nie, 0)
     w = jnp.where(valid, jnp.take(mesh.elem_area, safe), 0.0)  # [N, K]
     if x_elem.ndim == 1:
-        xv = jnp.take(x_elem, safe, axis=-1)                   # [N, K]
+        xv = take_last(x_elem, safe)                           # [N, K]
         num = (xv * w).sum(-1)
         den = w.sum(-1)
         return halo_fix_nodes(num / den)
-    # leveled: x_elem [nl-1, E]
-    xv = jnp.take(x_elem, safe, axis=-1)                       # [nl-1, N, K]
+    # leveled: x_elem [..., nl-1, E] (leading axes flattened for the gather)
+    xv = take_last(x_elem, safe)                               # [..., nl-1, N, K]
     if respect_levels:
         lmask = jnp.take(mesh.elem_layer_mask, safe, axis=-1)  # [nl-1, N, K]
         wl = jnp.where(lmask, w[None], 0.0)
@@ -224,6 +302,20 @@ def elem_to_node_mean(x_elem: jnp.ndarray, mesh: MeshTables,
     num = (xv * wl).sum(-1)
     den = wl.sum(-1)
     return halo_fix_nodes(num / jnp.maximum(den, 1e-30))
+
+
+def elem_to_node_mean_flat(xs: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
+    """Stacked SURFACE element fields [F, E] -> [F, N]: the area-weighted
+    1-D branch of elem_to_node_mean with the nod_in_elem gather merged over
+    the F fields (level masks do not apply to surface fields)."""
+    nie = mesh.nod_in_elem              # [N, K]
+    valid = nie >= 0
+    safe = jnp.where(valid, nie, 0)
+    w = jnp.where(valid, jnp.take(mesh.elem_area, safe), 0.0)
+    xv = take_last(xs, safe)            # [F, N, K]
+    num = (xv * w).sum(-1)
+    den = w.sum(-1)
+    return halo_fix_nodes(num / den)
 
 
 # --------------------------------------------------------------------------

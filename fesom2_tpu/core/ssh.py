@@ -25,7 +25,8 @@ import numpy as np
 from ..constants import g
 from ..mesh import MeshTables
 from . import ops
-from .ops import scalar_gradient, edge_divergence, pcg, elem_mean_node
+from .ops import (scalar_gradient, edge_divergence, pcg,
+                  elem_mean_node, edge_transport)
 from .state import OceanState, Forcing
 
 
@@ -693,22 +694,12 @@ def compute_ssh_rhs(state: OceanState, mesh: MeshTables, cfg, forcing: Forcing,
                     u_rhs, v_rhs):
     """ssh_rhs = -alpha*div(int (u+du) dz) + ... (ref compute_ssh_rhs_ale :1478)."""
     alpha = cfg.dyn.alpha
-    et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
-    has2 = et2 >= 0
-    et2s = jnp.where(has2, et2, 0)
-    dX1, dY1 = mesh.edge_cross_dxdy[:, 0], mesh.edge_cross_dxdy[:, 1]
-    dX2, dY2 = mesh.edge_cross_dxdy[:, 2], mesh.edge_cross_dxdy[:, 3]
     lmask = mesh.elem_layer_mask
     he = jnp.where(lmask, state.helem, 0.0)
 
-    U1 = ((state.v + v_rhs) * he)[:, et1]
-    V1 = ((state.u + u_rhs) * he)[:, et1]
-    c1 = alpha * (U1 * dX1[None] - V1 * dY1[None]).sum(0)
-    U2 = ((state.v + v_rhs) * he)[:, et2s]
-    V2 = ((state.u + u_rhs) * he)[:, et2s]
-    c2 = jnp.where(has2, -alpha * (U2 * dX2[None] - V2 * dY2[None]).sum(0), 0.0)
-
-    rhs = edge_divergence(c1 + c2, mesh)
+    c = alpha * edge_transport((state.u + u_rhs) * he,
+                               (state.v + v_rhs) * he, mesh).sum(0)
+    rhs = edge_divergence(c, mesh)
     if cfg.ale.which_ALE == "linfs":
         rhs = rhs + (1.0 - alpha) * state.ssh_rhs_old
     else:
@@ -755,19 +746,11 @@ def solve_ssh(state: OceanState, mesh: MeshTables, cfg, diag_inv, rhs,
 def compute_hbar(state: OceanState, mesh: MeshTables, cfg,
                  forcing: Forcing) -> OceanState:
     """hbar(n+1/2) update (ref compute_hbar_ale :1585-1676)."""
-    et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
-    has2 = et2 >= 0
-    et2s = jnp.where(has2, et2, 0)
-    dX1, dY1 = mesh.edge_cross_dxdy[:, 0], mesh.edge_cross_dxdy[:, 1]
-    dX2, dY2 = mesh.edge_cross_dxdy[:, 2], mesh.edge_cross_dxdy[:, 3]
     lmask = mesh.elem_layer_mask
     he = jnp.where(lmask, state.helem, 0.0)
 
-    c1 = ((state.v * he)[:, et1] * dX1[None] - (state.u * he)[:, et1] * dY1[None]).sum(0)
-    c2 = jnp.where(has2,
-                   -((state.v * he)[:, et2s] * dX2[None]
-                     - (state.u * he)[:, et2s] * dY2[None]).sum(0), 0.0)
-    rhs_old = edge_divergence(c1 + c2, mesh)
+    c = edge_transport(state.u * he, state.v * he, mesh).sum(0)
+    rhs_old = edge_divergence(c, mesh)
     av_srf = jnp.take_along_axis(
         mesh.areasvol, (mesh.ulevels_node - 1)[None, :].astype(jnp.int32),
         0)[0]

@@ -23,6 +23,9 @@ class TracerStatics:
     nboundary_lay: jnp.ndarray     # [N] i32 (1-based layer count before node
                                    # becomes a lateral-boundary node)
     Ki: jnp.ndarray                # [N] horizontal diffusivity (layer-indep.)
+    nln_min: jnp.ndarray = None    # [N] i32 min nlevels over adjacent elems
+                                   # (static; saves a [K,N] gather per
+                                   # fill_up_dn_grad call when present)
 
 
 def _find_up_downwind_triangles(mesh: MeshTables) -> np.ndarray:
@@ -99,6 +102,11 @@ def build_tracer_statics(mesh: MeshTables, K_hor: float = 10.0,
 
     Ki = K_hor * (np.asarray(mesh.resolution) / 100000.0) ** 2
 
+    nie = np.asarray(mesh.nod_in_elem)
+    nln_min = np.where(nie >= 0, np.asarray(mesh.nlevels_elem)[np.clip(nie, 0, None)],
+                       10 ** 6).min(-1)
+
     return TracerStatics(edge_up_dn_tri=jnp.asarray(edge_up_dn, jnp.int32),
                          nboundary_lay=jnp.asarray(nb, jnp.int32),
-                         Ki=jnp.asarray(Ki, dtype))
+                         Ki=jnp.asarray(Ki, dtype),
+                         nln_min=jnp.asarray(nln_min, jnp.int32))

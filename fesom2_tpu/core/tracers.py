@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from ..constants import r_earth, vcpw
 from ..mesh import MeshTables
 from .ops import (tridiag_solve, elem_to_node_mean, edge_divergence,
-                  edge_signed_reduce, halo_fix_nodes)
+                  edge_signed_reduce, edge_signed_reduce2, halo_fix_nodes,
+                  take_last)
 from .tracer_setup import TracerStatics
 
 
@@ -34,8 +35,11 @@ from .tracer_setup import TracerStatics
 # gradients
 # --------------------------------------------------------------------------
 def tracer_gradient_elements(t, mesh: MeshTables):
-    """[nl-1, N] -> (gx, gy) [nl-1, E] (ref oce_tracer_mod.F90:19-45)."""
-    te = jnp.take(t, mesh.elem_nodes, axis=-1)            # [nl-1, E, 3]
+    """[..., nl-1, N] -> (gx, gy) [..., nl-1, E] (ref oce_tracer_mod.F90:19-45).
+
+    Leading batch axes (tracer stacking) are flattened into the gather's row
+    axis (ops.take_last), so a T-tracer call costs one merged gather."""
+    te = take_last(t, mesh.elem_nodes)                    # [..., nl-1, E, 3]
     gx = (te * mesh.gradient_sca[:, 0:3]).sum(-1)
     gy = (te * mesh.gradient_sca[:, 3:6]).sum(-1)
     m = mesh.elem_layer_mask
@@ -43,12 +47,13 @@ def tracer_gradient_elements(t, mesh: MeshTables):
 
 
 def tracer_gradient_z(t, Z_3d, mesh: MeshTables):
-    """d t / dz on interfaces [nl, N] (zero at surface and bottom)."""
+    """d t / dz on interfaces [..., nl, N] (zero at surface and bottom)."""
     dz = Z_3d[:-1] - Z_3d[1:]
-    g = (t[:-1] - t[1:]) / jnp.where(dz == 0, 1.0, dz)
+    g = (t[..., :-1, :] - t[..., 1:, :]) / jnp.where(dz == 0, 1.0, dz)
     interior = mesh.node_level_mask[1:-1] & mesh.node_layer_mask[1:]
-    out = jnp.zeros((mesh.nl, t.shape[-1]), t.dtype)
-    return out.at[1:-1].set(jnp.where(interior, g, 0.0))
+    g = jnp.where(interior, g, 0.0)
+    zrow = jnp.zeros(t.shape[:-2] + (1, t.shape[-1]), t.dtype)
+    return jnp.concatenate([zrow, g, zrow], axis=-2)
 
 
 def fill_up_dn_grad(gx, gy, mesh: MeshTables, st: TracerStatics):
@@ -65,21 +70,27 @@ def fill_up_dn_grad(gx, gy, mesh: MeshTables, st: TracerStatics):
     ups = jnp.where(both, up, 0)
     dns = jnp.where(both, dn, 0)
 
-    # node-averaged gradients (area-weighted, level-aware)
-    gx_n = elem_to_node_mean(gx, mesh)                    # [nl-1, N]
-    gy_n = elem_to_node_mean(gy, mesh)
+    # node-averaged gradients (area-weighted, level-aware); gx/gy stacked so
+    # the nod_in_elem gather and the four edge gathers each run ONCE on a
+    # merged operand (per-index gather cost dominates on TPU)
+    gxy = jnp.stack([gx, gy])                             # [2, ..., nl-1, E]
+    gn = elem_to_node_mean(gxy, mesh)                     # [2, ..., nl-1, N]
     n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
 
     # shared layer range: nz < min(nlevels_nod2D_min(ednodes)) - 1 (0-based)
-    nln_min = _node_min_levels(mesh)
+    nln_min = st.nln_min if st.nln_min is not None else _node_min_levels(mesh)
     shared = jnp.arange(mesh.nl - 1)[:, None] < \
         (jnp.minimum(nln_min[n0], nln_min[n1]) - 1)[None, :]
     use_tri = shared & both[None, :]
 
-    e0 = jnp.where(use_tri, gx[:, ups], gx_n[:, n0])
-    e1 = jnp.where(use_tri, gx[:, dns], gx_n[:, n1])
-    e2 = jnp.where(use_tri, gy[:, ups], gy_n[:, n0])
-    e3 = jnp.where(use_tri, gy[:, dns], gy_n[:, n1])
+    g_up = take_last(gxy, ups)                            # [2, ..., nl-1, Ed]
+    g_dn = take_last(gxy, dns)
+    gn0 = take_last(gn, n0)
+    gn1 = take_last(gn, n1)
+    e0 = jnp.where(use_tri, g_up[0], gn0[0])
+    e1 = jnp.where(use_tri, g_dn[0], gn1[0])
+    e2 = jnp.where(use_tri, g_up[1], gn0[1])
+    e3 = jnp.where(use_tri, g_dn[1], gn1[1])
     return jnp.stack([e0, e1, e2, e3], axis=0)
 
 
@@ -96,7 +107,8 @@ def _node_min_levels(mesh: MeshTables):
 # --------------------------------------------------------------------------
 def _edge_vflux(u, v, helem, mesh: MeshTables):
     """vflux [nl-1, Ed]: volume transport through the dual edge face,
-    as contribution c1 (from el1, masked) + c2 (from el2, masked)."""
+    as contribution c1 (from el1, masked) + c2 (from el2, masked).
+    (u*h, v*h) are stacked so each edge-triangle gather runs once."""
     et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
     has2 = et2 >= 0
     et2s = jnp.where(has2, et2, 0)
@@ -104,10 +116,11 @@ def _edge_vflux(u, v, helem, mesh: MeshTables):
     dX2, dY2 = mesh.edge_cross_dxdy[:, 2], mesh.edge_cross_dxdy[:, 3]
     lmask = mesh.elem_layer_mask
     he = jnp.where(lmask, helem, 0.0)
-    c1 = -(v * he)[:, et1] * dX1[None] + (u * he)[:, et1] * dY1[None]
-    c2 = jnp.where(has2[None, :],
-                   (v * he)[:, et2s] * dX2[None] - (u * he)[:, et2s] * dY2[None],
-                   0.0)
+    uvh = jnp.stack([u * he, v * he])          # [2, nl-1, E]
+    q1 = take_last(uvh, et1)                   # [2, nl-1, Ed]
+    q2 = take_last(uvh, et2s)
+    c1 = -q1[1] * dX1[None] + q1[0] * dY1[None]
+    c2 = jnp.where(has2[None, :], q2[1] * dX2[None] - q2[0] * dY2[None], 0.0)
     return c1 + c2
 
 
@@ -131,11 +144,12 @@ def _mpow(x, moment: int):
 
 
 def adv_hor_upw1(t, u, v, helem, mesh: MeshTables, flux_prev=None,
-                 moment: int = 1):
+                 moment: int = 1, vflux=None):
     """First-order upwind horizontal flux (ref adv_tra_hor_upw1 :57-213)."""
-    vflux = _edge_vflux(u, v, helem, mesh)
-    t1 = _mpow(t[:, mesh.edges[:, 0]], moment)
-    t2 = _mpow(t[:, mesh.edges[:, 1]], moment)
+    if vflux is None:
+        vflux = _edge_vflux(u, v, helem, mesh)
+    t1 = _mpow(take_last(t, mesh.edges[:, 0]), moment)
+    t2 = _mpow(take_last(t, mesh.edges[:, 1]), moment)
     av = jnp.abs(vflux)
     expr = 0.5 * (t1 * (vflux + av) + t2 * (vflux - av))
     flux = -expr
@@ -144,21 +158,11 @@ def adv_hor_upw1(t, u, v, helem, mesh: MeshTables, flux_prev=None,
     return flux
 
 
-def adv_hor_muscl(t, u, v, helem, mesh: MeshTables, st: TracerStatics,
-                  eg, num_ord, flux_prev=None, moment: int = 1,
-                  boundary_fallback: bool = True):
-    """MUSCL horizontal flux (ref adv_tra_hor_muscl :215-485).
-
-    With ``boundary_fallback=False`` this is the reference's MFCT scheme
-    (adv_tra_hor_mfct :485-734): the two routines are line-identical except
-    that MUSCL zeroes the high-order reconstruction correction at nodes
-    within ``nboundary_lay`` of the lateral boundary (the ``c_lo`` factors,
-    oce_adv_tra_hor.F90:262-267) while MFCT keeps it everywhere."""
-    vflux = _edge_vflux(u, v, helem, mesh)
+def _muscl_reconstruct(t1, t2, eg, mesh: MeshTables, st: TracerStatics,
+                       dtype, boundary_fallback: bool):
+    """Interface values (tm1, tm2) from the endpoint values and the up/down
+    gradients (ref oce_adv_tra_hor.F90:301-309)."""
     n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
-    t1 = t[:, n0]
-    t2 = t[:, n1]
-
     # edge blending factor a (ref :306,:281): cos factor, averaged when el2
     et2 = mesh.edge_tri[:, 1]
     has2 = et2 >= 0
@@ -168,17 +172,35 @@ def adv_hor_muscl(t, u, v, helem, mesh: MeshTables, st: TracerStatics,
 
     if boundary_fallback:
         nz1 = jnp.arange(mesh.nl - 1)[:, None] + 1               # 1-based layer
-        c1 = (st.nboundary_lay[n0][None, :] >= nz1).astype(t.dtype)
-        c2 = (st.nboundary_lay[n1][None, :] >= nz1).astype(t.dtype)
+        c1 = (st.nboundary_lay[n0][None, :] >= nz1).astype(dtype)
+        c2 = (st.nboundary_lay[n1][None, :] >= nz1).astype(dtype)
     else:
-        c1 = c2 = jnp.ones((), t.dtype)
+        c1 = c2 = jnp.ones((), dtype)
 
     dx = mesh.edge_dxdy[:, 0][None, :] * a[None, :]
     dy = mesh.edge_dxdy[:, 1][None, :] * r_earth
     common = 2.0 * (t2 - t1)
     tm1 = t1 + (common + dx * eg[0] + dy * eg[2]) / 6.0 * c1
     tm2 = t2 - (common + dx * eg[1] + dy * eg[3]) / 6.0 * c2
+    return tm1, tm2
 
+
+def adv_hor_muscl(t, u, v, helem, mesh: MeshTables, st: TracerStatics,
+                  eg, num_ord, flux_prev=None, moment: int = 1,
+                  boundary_fallback: bool = True, vflux=None):
+    """MUSCL horizontal flux (ref adv_tra_hor_muscl :215-485).
+
+    With ``boundary_fallback=False`` this is the reference's MFCT scheme
+    (adv_tra_hor_mfct :485-734): the two routines are line-identical except
+    that MUSCL zeroes the high-order reconstruction correction at nodes
+    within ``nboundary_lay`` of the lateral boundary (the ``c_lo`` factors,
+    oce_adv_tra_hor.F90:262-267) while MFCT keeps it everywhere."""
+    if vflux is None:
+        vflux = _edge_vflux(u, v, helem, mesh)
+    t1 = take_last(t, mesh.edges[:, 0])
+    t2 = take_last(t, mesh.edges[:, 1])
+    tm1, tm2 = _muscl_reconstruct(t1, t2, eg, mesh, st, t.dtype,
+                                  boundary_fallback)
     av = jnp.abs(vflux)
     cHO = (vflux + av) * _mpow(tm1, moment) + (vflux - av) * _mpow(tm2, moment)
     expr = 0.5 * (1.0 - num_ord) * cHO \
@@ -187,6 +209,36 @@ def adv_hor_muscl(t, u, v, helem, mesh: MeshTables, st: TracerStatics,
     if flux_prev is not None:
         flux = flux - flux_prev
     return flux
+
+
+def adv_hor_lo_ho(t, tAB, vflux, mesh: MeshTables, st: TracerStatics,
+                  eg, num_ord, moment: int = 1, scheme: str = "MUSCL"):
+    """Fused LO (upwind of t) + HO antidiffusive (scheme of tAB) horizontal
+    fluxes: returns (flux_lo, flux_adf) with flux_adf already minus the LO
+    flux — exactly adv_hor_upw1 followed by adv_hor_{muscl,mfct,upw1}
+    (flux_prev=LO), but the endpoint gathers of t and tAB are merged into
+    one gather per edge endpoint (the driver pattern of
+    oce_adv_tra_driver.F90:83-135)."""
+    pair = jnp.stack([t, tAB])                    # [2, ..., nl-1, N]
+    p1 = take_last(pair, mesh.edges[:, 0])        # [2, ..., nl-1, Ed]
+    p2 = take_last(pair, mesh.edges[:, 1])
+    av = jnp.abs(vflux)
+    t1 = _mpow(p1[0], moment)
+    t2 = _mpow(p2[0], moment)
+    flux_lo = -0.5 * (t1 * (vflux + av) + t2 * (vflux - av))
+    if scheme in ("MUSCL", "MFCT"):
+        tm1, tm2 = _muscl_reconstruct(p1[1], p2[1], eg, mesh, st, t.dtype,
+                                      boundary_fallback=(scheme == "MUSCL"))
+    else:                                          # UPW1 high-order pass
+        tm1, tm2 = p1[1], p2[1]
+    cHO = (vflux + av) * _mpow(tm1, moment) + (vflux - av) * _mpow(tm2, moment)
+    if scheme in ("MUSCL", "MFCT"):
+        expr = 0.5 * (1.0 - num_ord) * cHO \
+            + vflux * num_ord * _mpow(0.5 * (tm1 + tm2), moment)
+    else:
+        expr = 0.5 * cHO
+    flux_adf = -expr - flux_lo
+    return flux_lo, flux_adf
 
 
 # --------------------------------------------------------------------------
@@ -205,13 +257,13 @@ def adv_ver_upw1(t, w, mesh: MeshTables, flux_prev=None, moment: int = 1):
     uln0 = (mesh.ulevels_node - 1).astype(jnp.int32)
     lev = jnp.arange(mesh.nl)[:, None]
     aw = jnp.abs(w)
-    t_above = _mpow(jnp.concatenate([t[:1], t], 0), moment)   # t[k-1] at iface k
-    t_below = _mpow(jnp.concatenate([t, t[-1:]], 0), moment)  # t[k]   at iface k
+    t_above = _mpow(jnp.concatenate([t[..., :1, :], t], -2), moment)
+    t_below = _mpow(jnp.concatenate([t, t[..., -1:, :]], -2), moment)
     interior = 0.5 * (t_below * (w + aw) + t_above * (w - aw)) * area
     from .ops import take_row
     surf = take_row(w, uln0) * _mpow(take_row(t, uln0), moment) \
-        * take_row(area, uln0)                   # [N]
-    expr = jnp.where(lev == uln0[None, :], surf[None, :], interior)
+        * take_row(area, uln0)                   # [..., N]
+    expr = jnp.where(lev == uln0[None, :], surf[..., None, :], interior)
     expr = jnp.where(lev < uln0[None, :], 0.0, expr)        # above cavity
     expr = jnp.where(lev >= (nln - 1)[None, :], 0.0, expr)  # zero bottom flux
     flux = -expr
@@ -230,10 +282,13 @@ def adv_ver_qr4c(t, w, Z3, zb3, mesh: MeshTables, num_ord, flux_prev=None,
 
     # padded layer arrays aligned on the interface axis k: interface k sits
     # between layer k-1 (above) and layer k (below)
-    tm1 = jnp.concatenate([t[:1], t], 0)[:nl]        # t[k-1]
-    t0 = jnp.concatenate([t, t[-1:]], 0)[:nl]        # t[k]
-    tm2 = jnp.concatenate([t[:1], t[:1], t], 0)[:nl]  # t[k-2]
-    tp1 = jnp.concatenate([t[1:], t[-1:], t[-1:]], 0)[:nl]  # t[k+1]
+    def cat(parts):
+        return jnp.concatenate(parts, -2)[..., :nl, :]
+    t1r, tLr = t[..., :1, :], t[..., -1:, :]
+    tm1 = cat([t1r, t])                       # t[k-1]
+    t0 = cat([t, tLr])                        # t[k]
+    tm2 = cat([t1r, t1r, t])                  # t[k-2]
+    tp1 = cat([t[..., 1:, :], tLr, tLr])      # t[k+1]
 
     Zm1 = jnp.concatenate([Z3[:1], Z3], 0)[:nl]
     Z0 = jnp.concatenate([Z3, Z3[-1:]], 0)[:nl]
@@ -262,13 +317,13 @@ def adv_ver_qr4c(t, w, Z3, zb3, mesh: MeshTables, num_ord, flux_prev=None,
     from .ops import take_row
     uln0 = (mesh.ulevels_node - 1).astype(jnp.int32)
     surf = take_row(w, uln0) * _mpow(take_row(t, uln0), moment) \
-        * take_row(area, uln0)                   # [N]
+        * take_row(area, uln0)                   # [..., N]
 
     is_surf = lev == uln0[None, :]
     is_bot = (lev >= (nln - 1)[None, :]) | (lev < uln0[None, :])
     is_cent = (lev == uln0[None, :] + 1) | (lev == (nln - 2)[None, :])
     expr = jnp.where(is_cent, centered, inner)
-    expr = jnp.where(is_surf, surf[None, :], expr)
+    expr = jnp.where(is_surf, surf[..., None, :], expr)
     expr = jnp.where(is_bot, 0.0, expr)
     flux = -expr
     if flux_prev is not None:
@@ -282,13 +337,13 @@ def adv_ver_cdiff(t, w, mesh: MeshTables, flux_prev=None, moment: int = 1):
     nln = mesh.nlevels_node
     uln0 = (mesh.ulevels_node - 1).astype(jnp.int32)
     lev = jnp.arange(mesh.nl)[:, None]
-    tm1 = jnp.concatenate([t[:1], t], 0)[:mesh.nl]
-    t0 = jnp.concatenate([t, t[-1:]], 0)[:mesh.nl]
+    tm1 = jnp.concatenate([t[..., :1, :], t], -2)[..., :mesh.nl, :]
+    t0 = jnp.concatenate([t, t[..., -1:, :]], -2)[..., :mesh.nl, :]
     interior = _mpow(0.5 * (tm1 + t0), moment) * w * area
     from .ops import take_row
     surf = take_row(w, uln0) * _mpow(take_row(t, uln0), moment) \
         * take_row(area, uln0)
-    expr = jnp.where(lev == uln0[None, :], surf[None, :], interior)
+    expr = jnp.where(lev == uln0[None, :], surf[..., None, :], interior)
     expr = jnp.where(lev < uln0[None, :], 0.0, expr)
     expr = jnp.where(lev >= (nln - 1)[None, :], 0.0, expr)
     flux = -expr
@@ -451,30 +506,31 @@ def fct_limiter(ttf, lo, adf_h, adf_v, mesh: MeshTables, dt):
     nmask = mesh.node_layer_mask
     emask = mesh.elem_layer_mask
 
-    # a1: node max/min of (LO, ttf)
+    # a1: node max/min of (LO, ttf).  The min-side fields ride stacked with
+    # the max side, NEGATED, so every a2/a3 gather+reduce pair runs as a
+    # single merged gather + max (per-index gather cost dominates on TPU;
+    # -max(-x) == min(x) exactly in IEEE float).
     tmax = jnp.where(nmask, jnp.maximum(lo, ttf), -bignumber)
     tmin = jnp.where(nmask, jnp.minimum(lo, ttf), bignumber)
 
-    # a2: elementwise max/min over vertices
-    te_max = jnp.take(tmax, mesh.elem_nodes, axis=-1).max(-1)
-    te_min = jnp.take(tmin, mesh.elem_nodes, axis=-1).min(-1)
-    te_max = jnp.where(emask, te_max, -bignumber)
-    te_min = jnp.where(emask, te_min, bignumber)
+    # a2: elementwise max/min over vertices (one merged gather)
+    tpair = jnp.stack([tmax, -tmin])                   # [2, ..., nl-1, N]
+    tep = take_last(tpair, mesh.elem_nodes).max(-1)    # [2, ..., nl-1, E]
+    tep = jnp.where(emask, tep, -bignumber)
 
     # a3 (vlimit=1): cluster max/min over adjacent elements, +-1 layer
+    # (one merged gather over nod_in_elem)
     nie = mesh.nod_in_elem
     valid = nie >= 0
     safe = jnp.where(valid, nie, 0)
-    cl_max = halo_fix_nodes(
-        jnp.where(valid[None, :, :], jnp.take(te_max, safe, axis=-1),
-                  -bignumber).max(-1))            # [nl-1, N]
-    cl_min = halo_fix_nodes(
-        jnp.where(valid[None, :, :], jnp.take(te_min, safe, axis=-1),
-                  bignumber).min(-1))
-    up_max = jnp.concatenate([cl_max[:1], cl_max[:-1]], 0)
-    dn_max = jnp.concatenate([cl_max[1:], cl_max[-1:]], 0)
-    up_min = jnp.concatenate([cl_min[:1], cl_min[:-1]], 0)
-    dn_min = jnp.concatenate([cl_min[1:], cl_min[-1:]], 0)
+    clp = halo_fix_nodes(
+        jnp.where(valid[None, :, :], take_last(tep, safe),
+                  -bignumber).max(-1))                 # [2, ..., nl-1, N]
+    cl_max, cl_min = clp[0], -clp[1]
+    up_max = jnp.concatenate([cl_max[..., :1, :], cl_max[..., :-1, :]], -2)
+    dn_max = jnp.concatenate([cl_max[..., 1:, :], cl_max[..., -1:, :]], -2)
+    up_min = jnp.concatenate([cl_min[..., :1, :], cl_min[..., :-1, :]], -2)
+    dn_min = jnp.concatenate([cl_min[..., 1:, :], cl_min[..., -1:, :]], -2)
     nln = mesh.nlevels_node
     lay = jnp.arange(mesh.nl - 1)[:, None]
     interior = (lay >= 1) & (lay <= (nln - 3)[None, :])
@@ -483,11 +539,12 @@ def fct_limiter(ttf, lo, adf_h, adf_v, mesh: MeshTables, dt):
     inc_max = jnp.where(nmask, vmax - lo, 0.0)
     inc_min = jnp.where(nmask, vmin - lo, 0.0)
 
-    # b1: positive/negative antidiffusive sums
-    pv = jnp.maximum(0.0, adf_v[:-1]) + jnp.maximum(0.0, -adf_v[1:])
-    mv = jnp.minimum(0.0, adf_v[:-1]) + jnp.minimum(0.0, -adf_v[1:])
-    fplus = pv + edge_signed_reduce(adf_h, mesh, lambda x: jnp.maximum(0.0, x))
-    fminus = mv + edge_signed_reduce(adf_h, mesh, lambda x: jnp.minimum(0.0, x))
+    # b1: positive/negative antidiffusive sums (one merged edge gather)
+    pv = jnp.maximum(0.0, adf_v[..., :-1, :]) + jnp.maximum(0.0, -adf_v[..., 1:, :])
+    mv = jnp.minimum(0.0, adf_v[..., :-1, :]) + jnp.minimum(0.0, -adf_v[..., 1:, :])
+    hplus, hminus = edge_signed_reduce2(adf_h, mesh)
+    fplus = pv + hplus
+    fminus = mv + hminus
 
     # b2: limiting factors
     av = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
@@ -497,23 +554,28 @@ def fct_limiter(ttf, lo, adf_h, adf_v, mesh: MeshTables, dt):
     fminus = jnp.where(nmask, fminus, 0.0)
 
     # b3 vertical: ae from donor/receiver cells (ref :284-313)
-    fplus_up = jnp.concatenate([jnp.full_like(fplus[:1], 1.0), fplus[:-1]], 0)
-    fminus_up = jnp.concatenate([jnp.full_like(fminus[:1], 1.0), fminus[:-1]], 0)
-    pos = adf_v[:-1] >= 0.0
+    ones = jnp.full_like(fplus[..., :1, :], 1.0)
+    fplus_up = jnp.concatenate([ones, fplus[..., :-1, :]], -2)
+    fminus_up = jnp.concatenate([ones, fminus[..., :-1, :]], -2)
+    pos = adf_v[..., :-1, :] >= 0.0
     lev = jnp.arange(mesh.nl - 1)[:, None]
     ae_surf = jnp.where(pos, fplus, fminus)
     ae_int = jnp.where(pos, jnp.minimum(fminus_up, fplus),
                        jnp.minimum(fplus_up, fminus))
     ae_v = jnp.where(lev == 0, ae_surf, ae_int)
     ae_v = jnp.clip(ae_v, None, 1.0)
-    adf_v = adf_v.at[:-1].set(adf_v[:-1] * ae_v)
+    adf_v = jnp.concatenate([adf_v[..., :-1, :] * ae_v, adf_v[..., -1:, :]],
+                            -2)
 
-    # b3 horizontal
+    # b3 horizontal: donor/receiver factors (one merged gather per endpoint)
     n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
+    fpm = jnp.stack([fplus, fminus])                   # [2, ..., nl-1, N]
+    f0 = take_last(fpm, n0)                            # [2, ..., nl-1, Ed]
+    f1 = take_last(fpm, n1)
     posh = adf_h >= 0.0
     ae_h = jnp.where(posh,
-                     jnp.minimum(fplus[:, n0], fminus[:, n1]),
-                     jnp.minimum(fminus[:, n0], fplus[:, n1]))
+                     jnp.minimum(f0[0], f1[1]),
+                     jnp.minimum(f0[1], f1[0]))
     ae_h = jnp.clip(ae_h, None, 1.0)
     adf_h = adf_h * ae_h
     return adf_h, adf_v
@@ -527,7 +589,7 @@ def flux2dtracer(flux_h, flux_v, mesh: MeshTables, dt,
     """(ref oce_tra_adv_flux2dtracer :201-269). Returns (dttf_h, dttf_v)."""
     av = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
     nmask = mesh.node_layer_mask
-    dttf_v = (flux_v[:-1] - flux_v[1:]) * dt / av
+    dttf_v = (flux_v[..., :-1, :] - flux_v[..., 1:, :]) * dt / av
     if lo is not None:
         dttf_v = dttf_v - ttf * hnode + lo * hnode_new
     dttf_h = edge_divergence(flux_h, mesh) * dt / av
@@ -544,6 +606,7 @@ def diff_hor(gx, gy, helem, Ki_node, mesh: MeshTables, dt,
     gx/gy are CURRENT-step tracer gradients on elements.  Ki_node is [N] or
     layered [nl-1, N].  With `tr_z` [nl, N] and `slope_tapered` [3, nl-1, N]
     given, the Redi cross terms Kh*(Sx*Tz, Sy*Tz) are added (isredi=1)."""
+    from .ops import take_multi
     et1, et2 = mesh.edge_tri[:, 0], mesh.edge_tri[:, 1]
     has2 = et2 >= 0
     et2s = jnp.where(has2, et2, 0)
@@ -555,28 +618,31 @@ def diff_hor(gx, gy, helem, Ki_node, mesh: MeshTables, dt,
     m2 = lmask[:, et2s] & has2[None, :]
     both = m1 & m2
 
-    if Ki_node.ndim == 1:
-        Kh = 0.5 * (Ki_node[n0] + Ki_node[n1])[None, :]
-    else:
-        Kh = 0.5 * (Ki_node[:, n0] + Ki_node[:, n1])
     he = jnp.where(lmask, helem, 0.0)
-    h1 = he[:, et1]
-    h2 = he[:, et2s]
-    gx1, gy1 = gx[:, et1], gy[:, et1]
-    gx2, gy2 = gx[:, et2s], gy[:, et2s]
+    # one merged gather per edge-triangle side for (gx, gy, he)
+    (gx1, gy1, h1), (gx2, gy2, h2) = take_multi([gx, gy, he], et1, et2s)
 
     if tr_z is not None and slope_tapered is not None:
         # Redi cross terms (ref :984-991): Tz at layer mid from the two
-        # bounding interfaces, averaged over the edge's two nodes
-        Tz_lay = 0.5 * (tr_z[:-1] + tr_z[1:])               # [nl-1, N]
+        # bounding interfaces, averaged over the edge's two nodes; the node
+        # fields (Ki, Sx*Tz, Sy*Tz) ride one merged gather per endpoint
+        Tz_lay = 0.5 * (tr_z[..., :-1, :] + tr_z[..., 1:, :])  # [.., nl-1, N]
         SxTz_n = Tz_lay * slope_tapered[0]
         SyTz_n = Tz_lay * slope_tapered[1]
-        SxTz = 0.5 * (SxTz_n[:, n0] + SxTz_n[:, n1])
-        SyTz = 0.5 * (SyTz_n[:, n0] + SyTz_n[:, n1])
+        (ki0, sx0, sy0), (ki1, sx1, sy1) = take_multi(
+            [Ki_node, SxTz_n, SyTz_n], n0, n1)
+        Kh = 0.5 * (ki0 + ki1)
+        SxTz = 0.5 * (sx0 + sx1)
+        SyTz = 0.5 * (sy0 + sy1)
         gx1 = gx1 + SxTz
         gy1 = gy1 + SyTz
         gx2 = gx2 + SxTz
         gy2 = gy2 + SyTz
+    else:
+        ki0, ki1 = take_multi([Ki_node], n0, n1)
+        Kh = 0.5 * (ki0[0] + ki1[0])
+        if Ki_node.ndim == 1:
+            Kh = Kh[None, :]
 
     # shared layers: mean gradient, mean h, combined (dX2-dX1) stencil;
     # single-sided layers: one element only
@@ -604,6 +670,7 @@ def diff_ver_redi_expl(gx, gy, slope_tapered, Ki_layered, hnode_new,
     gradients of the CURRENT step (tr_xy).
     """
     # node-averaged gradients: tx/(3*areasvol) with elem_area weights
+    # (gx, gy stacked through one merged nod_in_elem gather)
     nie = mesh.nod_in_elem
     valid = nie >= 0
     safe = jnp.where(valid, nie, 0)
@@ -611,8 +678,9 @@ def diff_ver_redi_expl(gx, gy, slope_tapered, Ki_layered, hnode_new,
     lm = jnp.take(mesh.elem_layer_mask, safe, axis=-1)
     wl = jnp.where(lm, w[None], 0.0)
     av = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
-    tx = halo_fix_nodes((jnp.take(gx, safe, axis=-1) * wl).sum(-1) / 3.0 / av)
-    ty = halo_fix_nodes((jnp.take(gy, safe, axis=-1) * wl).sum(-1) / 3.0 / av)
+    gpair = take_last(jnp.stack([gx, gy]), safe)       # [2, .., nl-1, N, K]
+    txy = halo_fix_nodes((gpair * wl).sum(-1) / 3.0 / av)
+    tx, ty = txy[0], txy[1]
 
     # actual interface/mid depths
     lmask = mesh.node_layer_mask
@@ -626,17 +694,18 @@ def diff_ver_redi_expl(gx, gy, slope_tapered, Ki_layered, hnode_new,
     dZ = Z_n[:-1] - Z_n[1:]
     dZ = jnp.where(dZ == 0, 1.0, dZ)
 
-    sxt = slope_tapered[0] * tx + slope_tapered[1] * ty      # [nl-1, N]
+    sxt = slope_tapered[0] * tx + slope_tapered[1] * ty      # [.., nl-1, N]
     ks = Ki_layered * sxt
     # interface flux (interior interfaces 1..nl-2)
-    fa = (Z_n[:-1] - zbar_n[1:-1]) * ks[:-1]
-    fb = (zbar_n[1:-1] - Z_n[1:]) * ks[1:]
+    fa = (Z_n[:-1] - zbar_n[1:-1]) * ks[..., :-1, :]
+    fb = (zbar_n[1:-1] - Z_n[1:]) * ks[..., 1:, :]
     vd = (fa + fb) / dZ * mesh.area[1:-1]
     lev = jnp.arange(mesh.nl)[:, None]
     interior = (lev >= 1) & (lev <= (nln - 2)[None, :])
-    vd_full = jnp.zeros((mesh.nl, mesh.n_nodes), gx.dtype).at[1:-1].set(vd)
+    zrow = jnp.zeros(vd.shape[:-2] + (1, vd.shape[-1]), gx.dtype)
+    vd_full = jnp.concatenate([zrow, vd, zrow], -2)
     vd_full = jnp.where(interior, vd_full, 0.0)
-    out = (vd_full[:-1] - vd_full[1:]) * dt / av
+    out = (vd_full[..., :-1, :] - vd_full[..., 1:, :]) * dt / av
     return jnp.where(lmask, out, 0.0)
 
 

@@ -12,15 +12,15 @@ import jax.numpy as jnp
 from ..constants import density_0, vcpw
 from ..mesh import MeshTables
 from ..core.state import OceanState, Forcing
-from ..core.ops import elem_to_node_mean
+from ..core.ops import elem_to_node_mean, elem_to_node_mean_flat
 from .state import IceState, IceForcing, OceanSurface, rhoice, rhosno, inv_rhowat
 
 
 def ocean2ice(state: OceanState, mesh: MeshTables) -> OceanSurface:
     """Copy SST/SSS/hbar and surface velocity (elem->node avg) to the ice."""
     # surface-layer element velocity averaged to nodes (ref :126-149)
-    u_w = elem_to_node_mean(state.u[0], mesh)
-    v_w = elem_to_node_mean(state.v[0], mesh)
+    uv_w = elem_to_node_mean_flat(jnp.stack([state.u[0], state.v[0]]), mesh)
+    u_w, v_w = uv_w[0], uv_w[1]
     return OceanSurface(T_oc=state.tr[0, 0], S_oc=state.tr[1, 0],
                         u_w=u_w, v_w=v_w, elevation=state.hbar)
 

@@ -131,15 +131,21 @@ def fct_advect_fields(u_ice, v_ice, fields, mesh: MeshTables, gamma, ice_dt):
     nvalid = nn >= 0
     nsafe = jnp.where(nvalid, nn, 0)
     big = jnp.finfo(low.dtype).max
-    lowg = low[..., nsafe]                                # [F, KE, N]
-    nb_max = halo_fix_nodes(jnp.where(nvalid, lowg, -big).max(-2))
-    nb_min = halo_fix_nodes(jnp.where(nvalid, lowg, big).min(-2))
+    # (low, -low) stacked: one merged neighbor gather serves the max and the
+    # min cluster bound (-max(-x) == min(x) exactly)
+    from ..core.ops import take_last
+    lowpair = take_last(jnp.stack([low, -low]), nsafe)    # [2, F, KE, N]
+    nbp = halo_fix_nodes(
+        jnp.where(nvalid, lowpair, -big).max(-2))         # [2, F, N]
+    nb_max, nb_min = nbp[0], -nbp[1]
     tmax = jnp.maximum(low, nb_max) - low
     tmin = jnp.minimum(low, nb_min) - low
 
-    # sums of +/- fluxes (gather-based) -> nodal limiting factors
-    pplus = elem_contrib_to_nodes(jnp.maximum(flux_q, 0.0), mesh)
-    pminus = elem_contrib_to_nodes(jnp.minimum(flux_q, 0.0), mesh)
+    # sums of +/- fluxes (one merged gather) -> nodal limiting factors
+    ppair = elem_contrib_to_nodes(
+        jnp.stack([jnp.maximum(flux_q, 0.0), jnp.minimum(flux_q, 0.0)]),
+        mesh)
+    pplus, pminus = ppair[0], ppair[1]
     pplus = jnp.where(jnp.abs(pplus) > 0,
                       jnp.minimum(1.0, tmax / jnp.where(pplus != 0, pplus, 1.0)),
                       0.0)
@@ -147,8 +153,9 @@ def fct_advect_fields(u_ice, v_ice, fields, mesh: MeshTables, gamma, ice_dt):
                        jnp.minimum(1.0, tmin / jnp.where(pminus != 0, pminus, 1.0)),
                        0.0)
 
-    # element limiting factor ae = min over its 3 nodes
-    fac = jnp.where(flux_q >= 0, pplus[..., en], pminus[..., en])  # [F,E,3]
+    # element limiting factor ae = min over its 3 nodes (merged gather)
+    pm = take_last(jnp.stack([pplus, pminus]), en)        # [2, F, E, 3]
+    fac = jnp.where(flux_q >= 0, pm[0], pm[1])            # [F, E, 3]
     ae = fac.min(-1)
     out = low + elem_contrib_to_nodes(ae[..., None] * flux_q, mesh)
 

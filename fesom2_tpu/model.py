@@ -511,47 +511,65 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
             for i in range(ntr)]
 
     # ---- advection operator (do_oce_adv_tra); moment=2 reruns it on
-    # squared face reconstructions for the DVD diagnostic -------------------
+    # squared face reconstructions for the DVD diagnostic.
+    # ALL tracers run stacked [T, nl-1, N]: every horizontal gather flattens
+    # the (tracer, level) axes into one rank-2 operand row axis
+    # (ops.take_last), so the dominant per-index gather cost is paid ONCE
+    # for the whole tracer batch instead of per tracer (the round-4 unroll
+    # existed because a [T,nl-1,X] gather OPERAND hits the slow batched
+    # mode; flattening avoids it, scripts/gather_cost_model.py).
+    vflux = tracers._edge_vflux(adv_u, adv_v, state.helem, mesh)
+
     def run_adv(t, tAB, eg, moment=1):
-        flux_h_lo = tracers.adv_hor_upw1(t, adv_u, adv_v, state.helem,
-                                         mesh, moment=moment)
         flux_v_lo = tracers.adv_ver_upw1(t, adv_we, mesh, moment=moment)
+        hor = cfg.tra.tra_adv_hor if cfg.tra.tra_adv_hor in ("MUSCL", "MFCT") \
+            else "UPW1"
         if use_fct:
+            flux_h_lo, flux_h = tracers.adv_hor_lo_ho(
+                t, tAB, vflux, mesh, st, eg, cfg.tra.tra_adv_ph,
+                moment=moment, scheme=hor)
             lo_h = ops.edge_divergence(flux_h_lo, mesh)
             fct_lo = (tracers._mpow(t, moment) * state.hnode
-                      + (lo_h + (flux_v_lo[:-1] - flux_v_lo[1:])) * dt / av) \
+                      + (lo_h + (flux_v_lo[..., :-1, :]
+                                 - flux_v_lo[..., 1:, :])) * dt / av) \
                 / jnp.where(nmask, state.hnode_new, 1.0)
             fct_lo = jnp.where(nmask, fct_lo, 0.0)
             if cfg.dyn.w_split:
-                fct_lo = tracers.adv_vert_impl(fct_lo, state.w_i,
-                                               state.hnode_new, mesh, dt)
+                impl = lambda tt: tracers.adv_vert_impl(
+                    tt, state.w_i, state.hnode_new, mesh, dt)
+                fct_lo = jax.vmap(impl)(fct_lo) if fct_lo.ndim == 3 \
+                    else impl(fct_lo)
                 flux_v_lo = tracers.adv_ver_upw1(t, adv_w, mesh,
                                                  moment=moment)
             w_for_ho = adv_w
+            fp = flux_v_lo
         else:
             fct_lo = None
             w_for_ho = adv_we if not cfg.dyn.w_split else adv_we
-
-        fph = flux_h_lo if use_fct else None
-        if cfg.tra.tra_adv_hor in ("MUSCL", "MFCT"):
-            flux_h = tracers.adv_hor_muscl(
-                tAB, adv_u, adv_v, state.helem, mesh, st, eg,
-                cfg.tra.tra_adv_ph, flux_prev=fph, moment=moment,
-                boundary_fallback=(cfg.tra.tra_adv_hor == "MUSCL"))
-        else:
-            flux_h = tracers.adv_hor_upw1(tAB, adv_u, adv_v, state.helem,
-                                          mesh, flux_prev=fph,
-                                          moment=moment)
-        fp = flux_v_lo if use_fct else None
+            fp = None
+            if hor in ("MUSCL", "MFCT"):
+                flux_h = tracers.adv_hor_muscl(
+                    tAB, adv_u, adv_v, state.helem, mesh, st, eg,
+                    cfg.tra.tra_adv_ph, moment=moment,
+                    boundary_fallback=(hor == "MUSCL"), vflux=vflux)
+            else:
+                flux_h = tracers.adv_hor_upw1(tAB, adv_u, adv_v,
+                                              state.helem, mesh,
+                                              moment=moment, vflux=vflux)
         if cfg.tra.tra_adv_ver == "QR4C":
             flux_v = tracers.adv_ver_qr4c(tAB, w_for_ho, state.Z_3d,
                                           state.zbar_3d, mesh,
                                           cfg.tra.tra_adv_pv,
                                           flux_prev=fp, moment=moment)
         elif cfg.tra.tra_adv_ver == "PPM":
-            flux_v = tracers.adv_ver_ppm(tAB, w_for_ho, state.hnode,
-                                         state.hnode_new, mesh, dt,
-                                         flux_prev=fp, moment=moment)
+            ppm = lambda tt, fpp: tracers.adv_ver_ppm(
+                tt, w_for_ho, state.hnode, state.hnode_new, mesh, dt,
+                flux_prev=fpp, moment=moment)
+            if tAB.ndim == 3:
+                flux_v = jax.vmap(ppm)(tAB, fp) if fp is not None \
+                    else jax.vmap(lambda tt: ppm(tt, None))(tAB)
+            else:
+                flux_v = ppm(tAB, fp)
         elif cfg.tra.tra_adv_ver == "CDIFF":
             flux_v = tracers.adv_ver_cdiff(tAB, w_for_ho, mesh,
                                            flux_prev=fp, moment=moment)
@@ -569,18 +587,26 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
                                         hnode_new=state.hnode_new)
         return tracers.flux2dtracer(flux_h, flux_v, mesh, dt)
 
-    # ---- stage 1 (vmapped over tracers): advection + explicit diffusion --
+    # ---- stage 1 (tracer-stacked): advection + explicit diffusion --------
     def stage1(t, t_prev, moment=1):
         # AB interpolation (init_tracers_AB, oce_tracer_mod.F90:48-62)
         tAB = -(0.5 + eps) * t_prev + (1.5 + eps) * t
-        gxAB, gyAB = tracers.tracer_gradient_elements(tAB, mesh)
+        if moment == 2:
+            gxAB, gyAB = tracers.tracer_gradient_elements(tAB, mesh)
+            eg = tracers.fill_up_dn_grad(gxAB, gyAB, mesh, st)
+            dttf_h, dttf_v = run_adv(t, tAB, eg, moment=moment)
+            return tAB, dttf_h, dttf_v
+        # merged gradients: tAB rows (for the MUSCL up/down fill) and t rows
+        # (for the diffusion operator) through one elem_nodes gather
+        T = t.shape[0]
+        gxc, gyc = tracers.tracer_gradient_elements(
+            jnp.concatenate([tAB, t], 0), mesh)
+        gxAB, gyAB = gxc[:T], gyc[:T]
+        gx, gy = gxc[T:], gyc[T:]
         eg = tracers.fill_up_dn_grad(gxAB, gyAB, mesh, st)
         dttf_h, dttf_v = run_adv(t, tAB, eg, moment=moment)
-        if moment == 2:
-            return tAB, dttf_h, dttf_v
         del_ttf = dttf_h + dttf_v
         # ---- explicit diffusion (diff_tracers_ale) ----------------------
-        gx, gy = tracers.tracer_gradient_elements(t, mesh)
         if redi is not None:
             taper, Ki_l = redi
             tr_z = tracers.tracer_gradient_z(t, state.Z_3d, mesh)
@@ -597,19 +623,8 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
         t_new = jnp.where(nmask, t_new, 0.0)
         return t_new, tAB, dttf_h, dttf_v
 
-    # statically unrolled per-tracer loop, NOT jax.vmap: a batched tracer
-    # axis makes every [K,N]-indexed gather a 3-D-operand gather, which
-    # TPU executes ~4.5x slower per value at CORE2+ operand sizes
-    # (measured: [2,47,566k] idx[8,N] 323 ms vs 2x[47,566k] 71 ms); at
-    # 47k sizes the loop is no slower, so it is unconditional
-    def batched(fn, *arrs):
-        outs = [fn(*[a[i] for a in arrs]) for i in range(arrs[0].shape[0])]
-        if isinstance(outs[0], tuple):
-            return tuple(jnp.stack(z) for z in zip(*outs))
-        return jnp.stack(outs)
-
-    t_expl, tAB_all, dttf_h_all, dttf_v_all = batched(
-        stage1, state.tr[:ntr], state.tr_old[:ntr])
+    t_expl, tAB_all, dttf_h_all, dttf_v_all = stage1(
+        state.tr[:ntr], state.tr_old[:ntr])
     tr_old = state.tr[:ntr]                 # reset AB memory to T^n
 
     # discrete variance decay (Klingbeil et al. 2014 eq. 23; ref
@@ -617,8 +632,7 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
     # subtract the square of the advected field
     if cfg.diag.ldiag_DVD and state.dvd_h.shape[0] > 0:
         nd = state.dvd_h.shape[0]
-        _, d2h, d2v = batched(lambda a, b: stage1(a, b, moment=2),
-                              state.tr[:nd], state.tr_old[:nd])
+        _, d2h, d2v = stage1(state.tr[:nd], state.tr_old[:nd], moment=2)
         hN = jnp.where(nmask, state.hnode_new, 1.0)
         tABd = tAB_all[:nd]
         td = state.tr[:nd]
@@ -686,11 +700,12 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
                 kw.update(Ki_layered=redi[1], slope3=redi[0][2])
             return tracers.diff_ver_impl(t, Kv_i, state.hnode_new,
                                          zbar_n_bot, mesh, dt, surf_bc, **kw)
+        # vmapped (gather-free column work: tridiagonals only)
         if src_all is None:
-            tr = batched(lambda a, b, c: stage2(a, b, None, c),
-                         t_expl, surf_bc_all, Kv_all)
+            tr = jax.vmap(lambda a, b, c: stage2(a, b, None, c))(
+                t_expl, surf_bc_all, Kv_all)
         else:
-            tr = batched(stage2, t_expl, surf_bc_all, src_all, Kv_all)
+            tr = jax.vmap(stage2)(t_expl, surf_bc_all, src_all, Kv_all)
     else:
         tr = t_expl
 

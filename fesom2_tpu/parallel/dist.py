@@ -746,10 +746,15 @@ def build_layout(mesh: MeshTables, S: int, st: TracerStatics = None,
                                       node_l2g[s], 0, axis=-1))
             ki_rows.append(slice_rows(np.asarray(st.Ki), node_l2g[s], 0.0,
                                       axis=-1))
+        nm_rows = [slice_rows(np.asarray(st.nln_min), node_l2g[s], 1,
+                              axis=-1) for s in range(S)] \
+            if st.nln_min is not None else None
         st_local = TracerStatics(
             edge_up_dn_tri=jnp.asarray(np.stack(ud_rows), jnp.int32),
             nboundary_lay=jnp.asarray(np.stack(nb_rows), jnp.int32),
-            Ki=jnp.asarray(np.stack(ki_rows), st.Ki.dtype))
+            Ki=jnp.asarray(np.stack(ki_rows), st.Ki.dtype),
+            nln_min=(jnp.asarray(np.stack(nm_rows), jnp.int32)
+                     if nm_rows is not None else None))
 
     # ---- SSH preconditioners on the local numbering ------------------------
     diag_local = None

@@ -113,7 +113,7 @@ def pallas_probe():
     idx = jnp.asarray(rng.randint(0, W, (G, T)).astype(np.int32))
 
     def kern(idx_ref, val_ref, out_ref):
-        out_ref[:] = jnp.take(val_ref[:], idx_ref[:], axis=0)
+        out_ref[:] = jnp.take(val_ref[0], idx_ref[0], axis=0)[None]
 
     try:
         f = pl.pallas_call(
@@ -141,30 +141,37 @@ def pallas_probe():
         print(f"  pallas take-based gather FAILED: {type(e).__name__}: "
               f"{str(e)[:300]}")
 
-    # one-hot MXU variant for comparison (always works)
+    # one-hot MXU variant for comparison (8 tiles per program for tiling)
     try:
+        B = 8
+
         def kern2(idx_ref, val_ref, out_ref):
             oh = (idx_ref[:][:, :, None]
-                  == jax.lax.broadcasted_iota(jnp.int32, (1, T, W), 2))
+                  == jax.lax.broadcasted_iota(jnp.int32, (B, T, W), 2))
             out_ref[:] = jax.lax.dot_general(
-                oh.astype(jnp.float32)[0], val_ref[0],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)[None]
+                oh.astype(jnp.float32), val_ref[:],
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
 
         f2 = pl.pallas_call(
             kern2,
-            grid=(G,),
+            grid=(G // B,),
             in_specs=[
-                pl.BlockSpec((1, T), lambda i: (i, 0),
+                pl.BlockSpec((B, T), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, W, NL), lambda i: (i, 0, 0),
+                pl.BlockSpec((B, W, NL), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, T, NL), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((B, T, NL), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((G, T, NL), jnp.float32),
         )
         bench("pallas one-hot MXU gather", lambda i, v: f2(i, v), idx, vals)
+        ref = jnp.take_along_axis(vals, idx[:, :, None].astype(jnp.int32)
+                                  .repeat(NL, -1), axis=1)
+        got = jax.jit(f2)(idx, vals)
+        err = float(jnp.abs(got - ref).max())
+        print(f"  pallas one-hot correctness max err: {err:.2e}")
     except Exception as e:  # noqa: BLE001
         print(f"  pallas one-hot gather FAILED: {type(e).__name__}: "
               f"{str(e)[:300]}")
@@ -172,5 +179,6 @@ def pallas_probe():
 
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
-    main()
+    if "--pallas-only" not in sys.argv:
+        main()
     pallas_probe()
