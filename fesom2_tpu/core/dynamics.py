@@ -636,10 +636,15 @@ def momentum_adv_scalar(state: OceanState, mesh: MeshTables,
     valid = nie >= 0
     safe = jnp.where(valid, nie, 0)
     w_area = jnp.where(valid, jnp.take(area, safe), 0.0)   # [N, K]
-    # (u_up, v_up) ride one merged nod_in_elem gather (ops.take_last
-    # flattens the stack; per-index gather cost dominates on TPU)
-    wuv = halo_fix_nodes(
-        (take_last(jnp.stack([u_up, v_up]), safe) * w_area).sum(-1))
+    # (u_up, v_up) ride one merged nod_in_elem gather pass (ops.take_last
+    # flattens the stack; per-index gather cost dominates on TPU), chunked
+    # over the incidence slots so the [2, nl, N, K] block stays out of HBM
+    uv_up = jnp.stack([u_up, v_up])
+    acc = None
+    for kk in range(safe.shape[-1]):
+        vk = take_last(uv_up, safe[:, kk]) * w_area[:, kk]
+        acc = vk if acc is None else acc + vk
+    wuv = halo_fix_nodes(acc)
     wu, wv = wuv[0], wuv[1]
 
     wu = wu * state.w_e
@@ -678,10 +683,14 @@ def momentum_adv_scalar(state: OceanState, mesh: MeshTables,
     un_rhs = (un_rhs + duv[0]) * mesh.areasvol_inv[:-1]
     vn_rhs = (vn_rhs + duv[1]) * mesh.areasvol_inv[:-1]
 
-    # ---- back to elements (merged elem_nodes gather) -----------------------
+    # ---- back to elements (merged elem_nodes gather pass, chunked) ---------
     en = mesh.elem_nodes
-    uve = take_last(jnp.stack([un_rhs, vn_rhs]), en).sum(-1) / 3.0 \
-        * area[None, :]
+    uvn2 = jnp.stack([un_rhs, vn_rhs])
+    acc = None
+    for j in range(3):
+        v = take_last(uvn2, en[:, j])
+        acc = v if acc is None else acc + v
+    uve = acc / 3.0 * area[None, :]
     u_rhsAB = u_rhsAB + jnp.where(lmask, uve[0], 0.0)
     v_rhsAB = v_rhsAB + jnp.where(lmask, uve[1], 0.0)
     return u_rhsAB, v_rhsAB
@@ -846,8 +855,12 @@ def visc_filt_bcksct(state: OceanState, mesh: MeshTables, cfg, u_rhs, v_rhs):
     e_is_left = mesh.edge_tri[ee, 0] == jnp.arange(mesh.n_elems)[:, None]
     esign = jnp.where(e_is_left, -1.0, 1.0)               # [E, 3]
     inv_area_e = 1.0 / jnp.maximum(area, 1e-30)
-    UV_b = halo_fix_elems((take_last(jnp.stack([du, dv]), ee)
-                           * esign).sum(-1) * inv_area_e[None, :])
+    duv = jnp.stack([du, dv])
+    acc = None
+    for j in range(3):                                    # chunked edge slots
+        v = take_last(duv, ee[:, j]) * esign[:, j]
+        acc = v if acc is None else acc + v
+    UV_b = halo_fix_elems(acc * inv_area_e[None, :])
     U_b, V_b = UV_b[0], UV_b[1]
 
     # smooth to nodes (area-weighted over ALL adjacent elements, no level

@@ -160,19 +160,28 @@ def edge_divergence(flux: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
 
     Implemented as a GATHER over the precomputed per-node incident-edge table
     (mesh.node_edges/node_edge_sign) — TPU scatters serialize on colliding
-    indices, gathers don't.
+    indices, gathers don't.  The reduce runs CHUNKED over the incidence
+    rows (running sum) so the [.., KE, N] gathered block — GBs at CORE2+
+    scale with merged operands — is never materialized in HBM.
     """
     # transposed [KE, N] tables keep the wide node axis minor (TPU tiling)
     ne = mesh.node_edges.T                 # [KE, N]
     valid = ne >= 0
     safe = jnp.where(valid, ne, 0)
     sign = jnp.where(valid, mesh.node_edge_sign.T, 0.0)
-    vals = take_last(flux, safe)           # [.., KE, N]
-    return halo_fix_nodes((vals * sign).sum(-2))
+    if _rows(flux) * ne.shape[0] * ne.shape[1] <= _CHUNK_ELEMS:
+        vals = take_last(flux, safe)       # [.., KE, N]
+        return halo_fix_nodes((vals * sign).sum(-2))
+    out = None
+    for kk in range(ne.shape[0]):
+        v = take_last(flux, safe[kk]) * sign[kk]
+        out = v if out is None else out + v
+    return halo_fix_nodes(out)
 
 
 def edge_signed_reduce(flux: jnp.ndarray, mesh: MeshTables, fn) -> jnp.ndarray:
-    """Reduce fn(sign * flux) over each node's incident edges (gather-based).
+    """Reduce fn(sign * flux) over each node's incident edges (gather-based,
+    chunked running reduce — see edge_divergence).
 
     Used by the FCT limiter's plus/minus antidiffusive sums (fn = relu / -relu
     of the node-oriented flux)."""
@@ -180,8 +189,12 @@ def edge_signed_reduce(flux: jnp.ndarray, mesh: MeshTables, fn) -> jnp.ndarray:
     valid = ne >= 0
     safe = jnp.where(valid, ne, 0)
     sign = jnp.where(valid, mesh.node_edge_sign.T, 0.0)
-    vals = fn(take_last(flux, safe) * sign)
-    return halo_fix_nodes(jnp.where(valid, vals, 0.0).sum(-2))
+    out = None
+    for kk in range(ne.shape[0]):
+        v = fn(take_last(flux, safe[kk]) * sign[kk])
+        v = jnp.where(valid[kk], v, 0.0)
+        out = v if out is None else out + v
+    return halo_fix_nodes(out)
 
 
 def take_multi(fields, *idxs):
@@ -213,20 +226,58 @@ def take_multi(fields, *idxs):
 
 def edge_signed_reduce2(flux: jnp.ndarray, mesh: MeshTables):
     """(plus, minus) antidiffusive sums over each node's incident edges from
-    ONE gather of the node-oriented signed flux — the FCT b1 pair
+    ONE gather pass of the node-oriented signed flux — the FCT b1 pair
     (ref oce_adv_tra_fct.F90:215-263).  Identical results to calling
     edge_signed_reduce with max(0,.) and min(0,.) separately, at half the
-    gather-index cost (the gather dominates; the two reductions are
-    elementwise on the already-gathered values)."""
+    gather-index cost (the gather dominates; both reductions consume the
+    same gathered values).  Chunked running reduce over the incidence rows
+    (peak-memory, see edge_divergence)."""
     ne = mesh.node_edges.T
     valid = ne >= 0
     safe = jnp.where(valid, ne, 0)
     sign = jnp.where(valid, mesh.node_edge_sign.T, 0.0)
-    vals = take_last(flux, safe) * sign
-    plus = jnp.maximum(vals, 0.0).sum(-2)
-    minus = jnp.minimum(vals, 0.0).sum(-2)
+    if _rows(flux) * ne.shape[0] * ne.shape[1] <= _CHUNK_ELEMS:
+        vals = take_last(flux, safe) * sign
+        plus = jnp.maximum(vals, 0.0).sum(-2)
+        minus = jnp.minimum(vals, 0.0).sum(-2)
+    else:
+        plus = minus = None
+        for kk in range(ne.shape[0]):
+            v = take_last(flux, safe[kk]) * sign[kk]
+            p = jnp.maximum(v, 0.0)
+            m = jnp.minimum(v, 0.0)
+            plus = p if plus is None else plus + p
+            minus = m if minus is None else minus + m
     both = halo_fix_nodes(jnp.stack([plus, minus]))
     return both[0], both[1]
+
+
+# gathered blocks above this element count run as chunked running reduces
+# (one gather per incidence row) instead of one [..., K, N] gather — same
+# total index count, but the K-wide block never hits HBM (it OOM'd the
+# 188k-node coupled step once the tracer pipeline was batched)
+_CHUNK_ELEMS = 1 << 26
+
+
+def _masked_gather_sum(flat, idx, valid, rows: int):
+    """sum_k where(valid[k], flat[..., idx[k]], 0) with the K axis chunked
+    when the gathered block would be large."""
+    K, N = idx.shape
+    if rows * K * N <= _CHUNK_ELEMS:
+        vals = take_last(flat, idx)                          # [..., K, N]
+        return jnp.where(valid, vals, 0.0).sum(-2)
+    out = None
+    for kk in range(K):
+        v = jnp.where(valid[kk], take_last(flat, idx[kk]), 0.0)
+        out = v if out is None else out + v
+    return out
+
+
+def _rows(x: jnp.ndarray) -> int:
+    n = 1
+    for s in x.shape[:-1]:
+        n *= s
+    return n
 
 
 def elem_contrib_to_nodes(contrib: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
@@ -244,8 +295,8 @@ def elem_contrib_to_nodes(contrib: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray
     slot = mesh.nod_in_elem_slot.T
     flat = contrib.reshape(contrib.shape[:-2] + (-1,))       # [..., E*3]
     idx = safe * 3 + slot                                    # [K, N]
-    vals = take_last(flat, idx)                              # [..., K, N]
-    return halo_fix_nodes(jnp.where(valid, vals, 0.0).sum(-2))
+    return halo_fix_nodes(
+        _masked_gather_sum(flat, idx, valid, _rows(flat)))
 
 
 def elem_contrib_to_nodes_3e(contrib: jnp.ndarray, mesh: MeshTables) -> jnp.ndarray:
@@ -258,8 +309,8 @@ def elem_contrib_to_nodes_3e(contrib: jnp.ndarray, mesh: MeshTables) -> jnp.ndar
     E = mesh.n_elems
     flat = contrib.reshape(contrib.shape[:-2] + (-1,))       # [..., 3*E]
     idx = slot * E + safe                                    # [K, N]
-    vals = take_last(flat, idx)
-    return halo_fix_nodes(jnp.where(valid, vals, 0.0).sum(-2))
+    return halo_fix_nodes(
+        _masked_gather_sum(flat, idx, valid, _rows(flat)))
 
 
 def scalar_gradient(f_nodes: jnp.ndarray, mesh: MeshTables):
@@ -293,14 +344,28 @@ def elem_to_node_mean(x_elem: jnp.ndarray, mesh: MeshTables,
         den = w.sum(-1)
         return halo_fix_nodes(num / den)
     # leveled: x_elem [..., nl-1, E] (leading axes flattened for the gather)
-    xv = take_last(x_elem, safe)                               # [..., nl-1, N, K]
-    if respect_levels:
-        lmask = jnp.take(mesh.elem_layer_mask, safe, axis=-1)  # [nl-1, N, K]
-        wl = jnp.where(lmask, w[None], 0.0)
-    else:
-        wl = jnp.broadcast_to(w[None], xv.shape)
-    num = (xv * wl).sum(-1)
-    den = wl.sum(-1)
+    K = safe.shape[-1]
+    if _rows(x_elem) * K * safe.shape[0] <= _CHUNK_ELEMS:
+        xv = take_last(x_elem, safe)                           # [..., L, N, K]
+        if respect_levels:
+            lmask = jnp.take(mesh.elem_layer_mask, safe, axis=-1)
+            wl = jnp.where(lmask, w[None], 0.0)
+        else:
+            wl = jnp.broadcast_to(w[None], xv.shape)
+        num = (xv * wl).sum(-1)
+        den = wl.sum(-1)
+        return halo_fix_nodes(num / jnp.maximum(den, 1e-30))
+    # chunked running reduce over the incidence slots (peak memory)
+    num = den = None
+    for kk in range(K):
+        if respect_levels:
+            lm = jnp.take(mesh.elem_layer_mask, safe[:, kk], axis=-1)
+            wk = jnp.where(lm, w[:, kk], 0.0)                  # [L, N]
+        else:
+            wk = w[:, kk]
+        v = take_last(x_elem, safe[:, kk]) * wk
+        num = v if num is None else num + v
+        den = wk if den is None else den + wk
     return halo_fix_nodes(num / jnp.maximum(den, 1e-30))
 
 

@@ -29,11 +29,13 @@ class OceanState:
     hbar: jnp.ndarray
     hbar_old: jnp.ndarray
     ssh_rhs_old: jnp.ndarray
-    # previous step's SSH increment [N]: CG warm start (the solution is
-    # smooth in time, so x0=d_eta(n-1) roughly halves the Krylov iteration
-    # count at unchanged tolerance; the reference's pARMS solve always
-    # starts from zero, psolve.c:152-221)
+    # previous SSH increments [N]: CG warm start (the solution is smooth in
+    # time; x0 = 2*d_eta(n-1) - d_eta(n-2), linear extrapolation, cuts the
+    # Krylov iteration count further than the plain x0=d_eta(n-1) restart
+    # at unchanged tolerance; the reference's pARMS solve always starts
+    # from zero, psolve.c:152-221)
     d_eta: jnp.ndarray
+    d_eta_prev: jnp.ndarray
     # tracers [ntr, nl-1, N]; AB memory
     tr: jnp.ndarray
     tr_old: jnp.ndarray
@@ -137,7 +139,7 @@ def allocate_state(mesh: MeshTables, n_tracers: int = 2,
         u=zE(nl - 1, E), v=zE(nl - 1, E),
         u_rhsAB=zE(nl - 1, E), v_rhsAB=zE(nl - 1, E),
         eta=zE(N), hbar=zE(N), hbar_old=zE(N), ssh_rhs_old=zE(N),
-        d_eta=zE(N),
+        d_eta=zE(N), d_eta_prev=zE(N),
         tr=zE(n_tracers, nl - 1, N), tr_old=zE(n_tracers, nl - 1, N),
         w=zE(nl, N), w_e=zE(nl, N), w_i=zE(nl, N), cfl_z=zE(nl, N),
         hnode=zE(nl - 1, N), hnode_new=zE(nl - 1, N), helem=zE(nl - 1, E),

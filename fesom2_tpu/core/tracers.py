@@ -38,10 +38,16 @@ def tracer_gradient_elements(t, mesh: MeshTables):
     """[..., nl-1, N] -> (gx, gy) [..., nl-1, E] (ref oce_tracer_mod.F90:19-45).
 
     Leading batch axes (tracer stacking) are flattened into the gather's row
-    axis (ops.take_last), so a T-tracer call costs one merged gather."""
-    te = take_last(t, mesh.elem_nodes)                    # [..., nl-1, E, 3]
-    gx = (te * mesh.gradient_sca[:, 0:3]).sum(-1)
-    gy = (te * mesh.gradient_sca[:, 3:6]).sum(-1)
+    axis (ops.take_last), so a T-tracer call costs one merged gather pass;
+    the vertex axis is chunked (running sum) so the [.., E, 3] block never
+    materializes in HBM."""
+    gx = gy = None
+    for j in range(3):
+        v = take_last(t, mesh.elem_nodes[:, j])           # [..., nl-1, E]
+        gxj = v * mesh.gradient_sca[:, j]
+        gyj = v * mesh.gradient_sca[:, 3 + j]
+        gx = gxj if gx is None else gx + gxj
+        gy = gyj if gy is None else gy + gyj
     m = mesh.elem_layer_mask
     return jnp.where(m, gx, 0.0), jnp.where(m, gy, 0.0)
 
@@ -91,7 +97,9 @@ def fill_up_dn_grad(gx, gy, mesh: MeshTables, st: TracerStatics):
     e1 = jnp.where(use_tri, g_dn[0], gn1[0])
     e2 = jnp.where(use_tri, g_up[1], gn0[1])
     e3 = jnp.where(use_tri, g_dn[1], gn1[1])
-    return jnp.stack([e0, e1, e2, e3], axis=0)
+    # tuple, NOT jnp.stack: the stacked [4, .., nl-1, Ed] copy costs
+    # ~850 MB of peak HBM at CORE2+ scale with batched tracers
+    return (e0, e1, e2, e3)
 
 
 def _node_min_levels(mesh: MeshTables):
@@ -513,19 +521,26 @@ def fct_limiter(ttf, lo, adf_h, adf_v, mesh: MeshTables, dt):
     tmax = jnp.where(nmask, jnp.maximum(lo, ttf), -bignumber)
     tmin = jnp.where(nmask, jnp.minimum(lo, ttf), bignumber)
 
-    # a2: elementwise max/min over vertices (one merged gather)
+    # a2: elementwise max/min over vertices (one merged gather pass,
+    # chunked over the 3 vertex slots so the [.., E, 3] block never lands
+    # in HBM)
     tpair = jnp.stack([tmax, -tmin])                   # [2, ..., nl-1, N]
-    tep = take_last(tpair, mesh.elem_nodes).max(-1)    # [2, ..., nl-1, E]
+    tep = None
+    for j in range(3):
+        v = take_last(tpair, mesh.elem_nodes[:, j])    # [2, ..., nl-1, E]
+        tep = v if tep is None else jnp.maximum(tep, v)
     tep = jnp.where(emask, tep, -bignumber)
 
     # a3 (vlimit=1): cluster max/min over adjacent elements, +-1 layer
-    # (one merged gather over nod_in_elem)
+    # (one merged gather pass, chunked over the incidence slots)
     nie = mesh.nod_in_elem
     valid = nie >= 0
     safe = jnp.where(valid, nie, 0)
-    clp = halo_fix_nodes(
-        jnp.where(valid[None, :, :], take_last(tep, safe),
-                  -bignumber).max(-1))                 # [2, ..., nl-1, N]
+    clp = None
+    for kk in range(nie.shape[-1]):
+        v = jnp.where(valid[:, kk], take_last(tep, safe[:, kk]), -bignumber)
+        clp = v if clp is None else jnp.maximum(clp, v)
+    clp = halo_fix_nodes(clp)                          # [2, ..., nl-1, N]
     cl_max, cl_min = clp[0], -clp[1]
     up_max = jnp.concatenate([cl_max[..., :1, :], cl_max[..., :-1, :]], -2)
     dn_max = jnp.concatenate([cl_max[..., 1:, :], cl_max[..., -1:, :]], -2)
@@ -678,8 +693,14 @@ def diff_ver_redi_expl(gx, gy, slope_tapered, Ki_layered, hnode_new,
     lm = jnp.take(mesh.elem_layer_mask, safe, axis=-1)
     wl = jnp.where(lm, w[None], 0.0)
     av = jnp.where(mesh.areasvol[:-1] > 0, mesh.areasvol[:-1], 1.0)
-    gpair = take_last(jnp.stack([gx, gy]), safe)       # [2, .., nl-1, N, K]
-    txy = halo_fix_nodes((gpair * wl).sum(-1) / 3.0 / av)
+    # chunked over incidence slots: the [2, .., nl-1, N, K] gathered block
+    # is GB-scale at CORE2+ sizes with batched tracers
+    gxy2 = jnp.stack([gx, gy])
+    acc = None
+    for kk in range(nie.shape[-1]):
+        v = take_last(gxy2, safe[:, kk]) * wl[..., kk]
+        acc = v if acc is None else acc + v
+    txy = halo_fix_nodes(acc / 3.0 / av)
     tx, ty = txy[0], txy[1]
 
     # actual interface/mid depths

@@ -131,12 +131,17 @@ def fct_advect_fields(u_ice, v_ice, fields, mesh: MeshTables, gamma, ice_dt):
     nvalid = nn >= 0
     nsafe = jnp.where(nvalid, nn, 0)
     big = jnp.finfo(low.dtype).max
-    # (low, -low) stacked: one merged neighbor gather serves the max and the
-    # min cluster bound (-max(-x) == min(x) exactly)
+    # (low, -low) stacked: one merged neighbor gather pass serves the max
+    # and the min cluster bound (-max(-x) == min(x) exactly); chunked over
+    # the neighbor slots (the [2, F, KE, N] block is ~1 GB for the icepack
+    # category-tracer stack at CORE2+ scale)
     from ..core.ops import take_last
-    lowpair = take_last(jnp.stack([low, -low]), nsafe)    # [2, F, KE, N]
-    nbp = halo_fix_nodes(
-        jnp.where(nvalid, lowpair, -big).max(-2))         # [2, F, N]
+    lp = jnp.stack([low, -low])
+    nbp = None
+    for kk in range(nn.shape[0]):
+        v = jnp.where(nvalid[kk], take_last(lp, nsafe[kk]), -big)
+        nbp = v if nbp is None else jnp.maximum(nbp, v)
+    nbp = halo_fix_nodes(nbp)                             # [2, F, N]
     nb_max, nb_min = nbp[0], -nbp[1]
     tmax = jnp.maximum(low, nb_max) - low
     tmin = jnp.minimum(low, nb_min) - low

@@ -61,7 +61,9 @@ class IcepackConfig:
     tfrz_option: str = "linear_salt"
     natmiter: int = 5
     # numerics
-    niter_therm: int = 12         # outer Newton iterations of the BL99 solve
+    niter_therm: int = 4          # MINIMUM BL99 Newton sweeps; the solve
+                                  # then iterates until max|dTsf| < 5e-4 C
+                                  # (Icepack Tsf_errmax), maxiter 100
     ndtd: int = 1
     # optional tracers (tracer_nml; reference ships the pond variant as
     # config/namelist.icepack.cesm.ponds: trpnd=1, tr_pond_cesm)

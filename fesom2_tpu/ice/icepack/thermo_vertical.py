@@ -94,11 +94,11 @@ def temperature_solve(cfg, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
     hi, hs, Tsf0, fswsfc: [ncat, N]; Tsn0 [ncat, ns, N]; Tin0/iabs
     [ncat, ni, N]; flw/Tair/shum/wind/Tbot: [N] (broadcast over
     categories).  Unknowns per column: [Tsf, snow layers, ice layers]
-    with a Dirichlet bottom at Tbot.  Fixed ``cfg.niter_therm``
-    Picard/Newton iterations re-linearizing the BL99 brine-pocket heat
-    capacity c(T) = cp_i - Lfresh*Tm/(T_iter*T_init) and the surface
-    balance; the melting branch pins Tsf = 0 and is re-evaluated each
-    iteration.  Returns dict(Tsf, Tsn, Tin, melting, fsurf, fcondtop,
+    with a Dirichlet bottom at Tbot.  Picard/Newton iterations (at least
+    ``cfg.niter_therm``, then until max|dTsf| < 5e-4 C like Icepack's
+    temperature_changes) re-linearize the BL99 brine-pocket heat capacity
+    c(T) = cp_i - Lfresh*Tm/(T_iter*T_init) and the surface balance; the
+    melting branch pins Tsf = 0 and is re-evaluated each iteration.  Returns dict(Tsf, Tsn, Tin, melting, fsurf, fcondtop,
     fcondbot, fsens, flat, flwout)."""
     ni, ns = cfg.nilyr, cfg.nslyr
     m = 1 + ns + ni
@@ -215,9 +215,32 @@ def temperature_solve(cfg, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
                             jnp.clip(Tsf_new, t_min, 0.0))
         return (Tsf_new, Tsn_new, Tin_new, melt_next)
 
+    # Iterate to tolerance like Icepack's temperature_changes (Tsf_errmax
+    # = 5e-4 C, maxiter 100 — icepack_therm_vertical.F90), with
+    # cfg.niter_therm as the MINIMUM sweep count: columns at the fixed
+    # point are unchanged by extra sweeps, so the global-max criterion is
+    # exact per column.  A lax.while_loop keeps the loop on-device; typical
+    # convergence is 4-8 sweeps, so this is also faster than the old fixed
+    # 12 when the state is quiet.
+    tsf_errmax = jnp.asarray(5e-4, dtype)
+    nit_max = 100
+
+    def wcond(carry):
+        i, _, err = carry
+        return (i < nit_max) & ((err > tsf_errmax) | (i < cfg.niter_therm))
+
+    def wbody(carry):
+        i, st, _ = carry
+        nst = body(i, st)
+        dT = jnp.abs(nst[0] - st[0])
+        err = jnp.max(jnp.where(jnp.isfinite(dT), dT, 0.0))
+        return (i + 1, nst, err)
+
     melting0 = jnp.zeros_like(Tsf0, dtype=bool)
-    Tsf, Tsn, Tin, melting = jax.lax.fori_loop(
-        0, cfg.niter_therm, body, (Tsf0, Tsn0, Tin0, melting0))
+    init = (Tsf0, Tsn0, Tin0, melting0)
+    _, (Tsf, Tsn, Tin, melting), _ = jax.lax.while_loop(
+        wcond, wbody, (jnp.asarray(0, jnp.int32), init,
+                       jnp.asarray(jnp.inf, dtype)))
 
     Cs, K_bot = couplings(Tin)
     fsurf, dfsurf, fsens, flat, flwout = surface_fluxes(

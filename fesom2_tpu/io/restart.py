@@ -18,7 +18,8 @@ from .netcdf import write_dataset, read_vars
 from ..core.state import OceanState
 
 
-OCE_FIELDS = ["eta", "hbar", "hbar_old", "ssh_rhs_old", "d_eta", "u", "v",
+OCE_FIELDS = ["eta", "hbar", "hbar_old", "ssh_rhs_old", "d_eta",
+              "d_eta_prev", "u", "v",
               "u_rhsAB", "v_rhsAB", "w", "w_e", "w_i", "tr", "tr_old",
               "hnode", "hnode_new", "uke", "uke_rhs",
               # persistent mixing memory: Monin-Obukhov mixing length is

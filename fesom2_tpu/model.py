@@ -204,8 +204,10 @@ class Model:
                 d_eta, _, _ = ssh.solve_ssh(
                     state, mesh, cfg,
                     block_pc if use_block else diag_inv, rhs,
-                    ring=S["ssh_ring"], x0=state.d_eta)
-                state = replace(state, d_eta=d_eta)
+                    ring=S["ssh_ring"],
+                    x0=2.0 * state.d_eta - state.d_eta_prev)
+                state = replace(state, d_eta=d_eta,
+                                d_eta_prev=state.d_eta)
 
             if is_souf:
                 zvel, ztem = soufflet.zonal_means(state, mesh, sst)

@@ -100,7 +100,8 @@ def _node_avg_grad(mesh, gx, gy, n, nz0):
 def test_fill_up_dn_grad_oracle(fields):
     mesh, st = fields["mesh"], fields["st"]
     gx, gy = tracers.tracer_gradient_elements(jnp.asarray(fields["t"]), mesh)
-    eg_vec = np.asarray(tracers.fill_up_dn_grad(gx, gy, mesh, st))
+    eg_vec = np.stack([np.asarray(e) for e in
+                       tracers.fill_up_dn_grad(gx, gy, mesh, st)])
     gx, gy = np.asarray(gx), np.asarray(gy)
 
     edges = np.asarray(mesh.edges)
