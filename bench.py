@@ -47,7 +47,9 @@ def bench_coupled(n_refine: int, parity: str = "ci",
         # keep only the benched time window on device: the full-year
         # 6-hourly series is multi-GB at CORE2+ sizes (HBM pressure ->
         # XLA rematerialization in the tracer stage)
-        atm = atm_window(atm, 0.0, 25 * model.cfg.dt)
+        atm = atm_window(atm, 0.0,
+                         (int(os.environ.get("BENCH_STEPS", "30")) + 10)
+                         * model.cfg.dt)
         if use_icepack:
             from fesom2_tpu.ice.icepack import (IcepackConfig,
                                                 init_icepack_state)
@@ -72,7 +74,7 @@ def bench_coupled(n_refine: int, parity: str = "ci",
     one(1)
     float(state.eta.sum())
 
-    n_steps = 15
+    n_steps = int(os.environ.get("BENCH_STEPS", "30"))
     t0 = time.perf_counter()
     for k in range(2, n_steps + 2):
         one(k)

@@ -24,7 +24,8 @@ from . import constants as c
 from .state import (IcepackConfig, IcepackState, temperature_ice,
                     temperature_snow, salinity_profile, melt_temps)
 from .shortwave import ccsm3_shortwave
-from .thermo_vertical import temperature_solve, thickness_changes
+from .thermo_vertical import (temperature_solve, thickness_changes,
+                              atmo_boundary_coeffs)
 from .thermo_itd import add_new_ice, lateral_melt
 from .itd import (aggregate, aggregate_tsfc, linear_itd, rebin, cleanup_itd)
 from .ridge import ice_strength, ridge_ice
@@ -160,9 +161,15 @@ def icepack_timestep(ipk: IcepackState, ice: IceState, mesh,
                 ipc, albedo, fswsfc, ta0[:, ia], ta0[:, ih], hs,
                 forcing.shortwave)
 
+    # stability-iterated transfer coefficients from the pre-solve surface
+    # state (Icepack atmo_boundary_layer; held fixed through the solve)
+    if getattr(ipc, "atmbndy", "similarity") == "similarity":
+        shc, lhc = atmo_boundary_coeffs(Tsf0, Ta, forcing.shum, ug)
+    else:
+        shc = lhc = None
     sol = temperature_solve(ipc, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
                             forcing.longwave, Ta, forcing.shum, ug, tf, dt,
-                            sal, Tmlt)
+                            sal, Tmlt, shcoef=shc, lhcoef=lhc)
 
     # ocean -> ice-bottom heat flux (per unit ice area)
     ustar = jnp.maximum(jnp.sqrt(((ice.u_ice - ocean.u_w) ** 2

@@ -61,6 +61,8 @@ class IcepackConfig:
     tfrz_option: str = "linear_salt"
     natmiter: int = 5
     # numerics
+    atmbndy: str = "similarity"   # 'similarity' = Icepack MO-iterated
+                                  # transfer coeffs; 'const' = FESIM bulk
     niter_therm: int = 4          # MINIMUM BL99 Newton sweeps; the solve
                                   # then iterates until max|dTsf| < 5e-4 C
                                   # (Icepack Tsf_errmax), maxiter 100

@@ -22,8 +22,11 @@ from .state import enthalpy_ice, enthalpy_snow
 
 
 # --------------------------------------------------------------------------
-# surface fluxes over ice (constant-coefficient bulk, like the FESIM
-# thermodynamics; Icepack's stability iteration is a documented deviation)
+# surface fluxes over ice.  Default coefficients: Icepack's
+# stability-iterated similarity-theory boundary layer (atmo_boundary_layer,
+# icepack_atmo.F90, invoked from icedrv_step.F90 step_therm1); the
+# constant-coefficient FESIM-style bulk remains as the fallback when no
+# (shcoef, lhcoef) are supplied.
 # --------------------------------------------------------------------------
 Ch_ice = 1.75e-3
 Ce_ice = 1.75e-3
@@ -34,17 +37,66 @@ def _qsat_ice(Tsf):
     return (c.qqqice / c.rhoair) * jnp.exp(-c.TTTice / (Tsf + c.Tffresh))
 
 
-def surface_fluxes(Tsf, fswsfc, flw, Tair, shum, wind, emiss):
+def atmo_boundary_coeffs(Tsf, Tair, shum, wind, natmiter: int = 5):
+    """Icepack similarity-theory transfer coefficients over ice.
+
+    Monin-Obukhov iteration with ice roughness z0 = 5e-4 m (Icepack
+    atmo_boundary_layer, atmbndy='similarity'; natmiter=5 is the Icepack
+    default).  Returns (shcoef, lhcoef) with
+    ``fsens = shcoef*(Tair - Tsf)``, ``flat = lhcoef*(shum - qsat(Tsf))``
+    — the coefficients are computed once per step from the pre-solve Tsf
+    and held fixed through the temperature iteration, exactly as Icepack
+    feeds shcoef/lhcoef into temperature_changes."""
+    zlvl = 10.0
+    iceruf = 5.0e-4
+    zvir = 0.606
+    vonkar = 0.4
+    gravit = 9.80616
+    halfpi = jnp.pi / 2.0
+    vmag = jnp.maximum(wind, 1.0)
+    TaK = Tair + c.Tffresh
+    TsfK = Tsf + c.Tffresh
+    Qsfc = _qsat_ice(Tsf)
+    alz = jnp.log(zlvl / iceruf)
+
+    ustar = vonkar * vmag / alz
+    tstar = vonkar * (TaK - TsfK) / alz
+    qstar = vonkar * (shum - Qsfc) / alz
+    psixh = jnp.zeros_like(ustar)
+    for _ in range(natmiter):
+        thva = TaK * (1.0 + zvir * shum)
+        hol = vonkar * gravit * zlvl * (
+            tstar / thva + qstar / (1.0 / zvir + shum)) \
+            / jnp.maximum(ustar ** 2, 1e-12)
+        hol = jnp.sign(hol) * jnp.minimum(jnp.abs(hol), 10.0)
+        stable = 0.5 * (1.0 + jnp.sign(hol))
+        xqq = jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * hol)), 1.0)
+        xqq = jnp.sqrt(xqq)
+        psimh = -5.0 * hol * stable + (1.0 - stable) * (
+            2.0 * jnp.log(0.5 * (1.0 + xqq))
+            + jnp.log(0.5 * (1.0 + xqq * xqq))
+            - 2.0 * jnp.arctan(xqq) + halfpi)
+        psixh = -5.0 * hol * stable + (1.0 - stable) * (
+            2.0 * jnp.log(0.5 * (1.0 + xqq * xqq)))
+        ustar = vonkar * vmag / (alz - psimh)
+        tstar = vonkar * (TaK - TsfK) / (alz - psixh)
+        qstar = vonkar * (shum - Qsfc) / (alz - psixh)
+    coef = c.rhoair * ustar * vonkar / (alz - psixh)
+    return coef * c.cp_air, coef * c.Lsub
+
+
+def surface_fluxes(Tsf, fswsfc, flw, Tair, shum, wind, emiss,
+                   shcoef=None, lhcoef=None):
     """Net surface flux fsurf(Tsf) [W/m^2, + downward] and d(fsurf)/dTsf.
 
     Returns (fsurf, dfsurf, fsens, flat, flwout)."""
     TK = Tsf + c.Tffresh
     flwout = -emiss * c.stefan_boltzmann * TK ** 4
     dflw = -4.0 * emiss * c.stefan_boltzmann * TK ** 3
-    cs = c.rhoair * c.cp_air * Ch_ice * wind
+    cs = c.rhoair * c.cp_air * Ch_ice * wind if shcoef is None else shcoef
     fsens = cs * (Tair - Tsf)
     dfsens = -cs
-    ce = c.rhoair * c.Lsub * Ce_ice * wind
+    ce = c.rhoair * c.Lsub * Ce_ice * wind if lhcoef is None else lhcoef
     qs = _qsat_ice(Tsf)
     flat = ce * (shum - qs)
     dflat = -ce * qs * c.TTTice / TK ** 2
@@ -88,7 +140,8 @@ def _thomas(sub, diag, sup, rhs):
 # temperature solve
 # --------------------------------------------------------------------------
 def temperature_solve(cfg, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
-                      flw, Tair, shum, wind, Tbot, dt, sal, Tmlt):
+                      flw, Tair, shum, wind, Tbot, dt, sal, Tmlt,
+                      shcoef=None, lhcoef=None):
     """Implicit BL99 temperature update.
 
     hi, hs, Tsf0, fswsfc: [ncat, N]; Tsn0 [ncat, ns, N]; Tin0/iabs
@@ -159,7 +212,8 @@ def temperature_solve(cfg, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
         Tsf, Tsn, Tin, melting = carry
         Cs, K_bot = couplings(Tin)
         fsurf, dfsurf, _, _, _ = surface_fluxes(Tsf, fswsfc, flw, Tair,
-                                                shum, wind, cfg.emissivity)
+                                                shum, wind, cfg.emissivity,
+                                                shcoef, lhcoef)
 
         sub = [jnp.zeros_like(Tsf) for _ in range(m)]
         diag = [None] * m
@@ -208,7 +262,8 @@ def temperature_solve(cfg, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
         # melting-state update: pin when the free solve wants Tsf > 0;
         # unpin when the balance at Tsf=0 no longer delivers excess heat
         fs0, _, _, _, _ = surface_fluxes(jnp.zeros_like(Tsf), fswsfc, flw,
-                                         Tair, shum, wind, cfg.emissivity)
+                                         Tair, shum, wind, cfg.emissivity,
+                                         shcoef, lhcoef)
         fct0 = Cs[0] * (0.0 - x[1])
         melt_next = jnp.where(melting, fs0 > fct0, Tsf_new > 0.0)
         Tsf_new = jnp.where(melt_next, 0.0,
@@ -244,7 +299,7 @@ def temperature_solve(cfg, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
 
     Cs, K_bot = couplings(Tin)
     fsurf, dfsurf, fsens, flat, flwout = surface_fluxes(
-        Tsf, fswsfc, flw, Tair, shum, wind, cfg.emissivity)
+        Tsf, fswsfc, flw, Tair, shum, wind, cfg.emissivity, shcoef, lhcoef)
     # conductive flux from the surface into the interior; when snow is off
     # the chain series-collapses and Cs[0]*(Tsf - Tsn1) still equals the
     # through-flux because the intermediate nodes carry no capacity
