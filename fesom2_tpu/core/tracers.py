@@ -102,6 +102,53 @@ def fill_up_dn_grad(gx, gy, mesh: MeshTables, st: TracerStatics):
     return (e0, e1, e2, e3)
 
 
+def _muscl_dxdy(mesh: MeshTables):
+    """The static per-edge reconstruction factors (ref :281,:306): dx
+    includes the cos blend a, dy the earth radius."""
+    et2 = mesh.edge_tri[:, 1]
+    has2 = et2 >= 0
+    cos1 = mesh.elem_cos[mesh.edge_tri[:, 0]]
+    cos2 = mesh.elem_cos[jnp.where(has2, et2, 0)]
+    a = jnp.where(has2, 0.5 * (cos1 + cos2), cos1) * r_earth
+    dx = mesh.edge_dxdy[:, 0] * a
+    dy = mesh.edge_dxdy[:, 1] * r_earth
+    return dx, dy
+
+
+def fill_up_dn_grad_r(gx, gy, mesh: MeshTables, st: TracerStatics):
+    """fill_up_dn_grad with the MUSCL direction factors folded in at the
+    gather site: returns (R1, R2) with R1 = dx*eg0 + dy*eg2 and
+    R2 = dx*eg1 + dy*eg3 — the only combinations _muscl_reconstruct
+    consumes (oce_adv_tra_hor.F90:301-309).  Halves the reconstruction's
+    HBM footprint vs materializing the 4 per-edge gradient components
+    (the batched-tracer pipeline OOM'd a 16 GB chip at 188k without it)."""
+    up = st.edge_up_dn_tri[:, 0]
+    dn = st.edge_up_dn_tri[:, 1]
+    both = (up >= 0) & (dn >= 0)
+    ups = jnp.where(both, up, 0)
+    dns = jnp.where(both, dn, 0)
+    gxy = jnp.stack([gx, gy])
+    gn = elem_to_node_mean(gxy, mesh)
+    n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
+    nln_min = st.nln_min if st.nln_min is not None else _node_min_levels(mesh)
+    shared = jnp.arange(mesh.nl - 1)[:, None] < \
+        (jnp.minimum(nln_min[n0], nln_min[n1]) - 1)[None, :]
+    use_tri = shared & both[None, :]
+    dx, dy = _muscl_dxdy(mesh)
+
+    g_up = take_last(gxy, ups)
+    r_up = dx * g_up[0] + dy * g_up[1]
+    g_dn = take_last(gxy, dns)
+    r_dn = dx * g_dn[0] + dy * g_dn[1]
+    gn0 = take_last(gn, n0)
+    r_n0 = dx * gn0[0] + dy * gn0[1]
+    gn1 = take_last(gn, n1)
+    r_n1 = dx * gn1[0] + dy * gn1[1]
+    R1 = jnp.where(use_tri, r_up, r_n0)
+    R2 = jnp.where(use_tri, r_dn, r_n1)
+    return R1, R2
+
+
 def _node_min_levels(mesh: MeshTables):
     nie = mesh.nod_in_elem
     valid = nie >= 0
@@ -166,31 +213,28 @@ def adv_hor_upw1(t, u, v, helem, mesh: MeshTables, flux_prev=None,
     return flux
 
 
-def _muscl_reconstruct(t1, t2, eg, mesh: MeshTables, st: TracerStatics,
+def _muscl_reconstruct(t1, t2, R1, R2, mesh: MeshTables, st: TracerStatics,
                        dtype, boundary_fallback: bool):
-    """Interface values (tm1, tm2) from the endpoint values and the up/down
-    gradients (ref oce_adv_tra_hor.F90:301-309)."""
+    """Interface values (tm1, tm2) from the endpoint values and the
+    direction-folded up/down gradients R1/R2 (fill_up_dn_grad_r;
+    ref oce_adv_tra_hor.F90:301-309)."""
     n0, n1 = mesh.edges[:, 0], mesh.edges[:, 1]
-    # edge blending factor a (ref :306,:281): cos factor, averaged when el2
-    et2 = mesh.edge_tri[:, 1]
-    has2 = et2 >= 0
-    cos1 = mesh.elem_cos[mesh.edge_tri[:, 0]]
-    cos2 = mesh.elem_cos[jnp.where(has2, et2, 0)]
-    a = jnp.where(has2, 0.5 * (cos1 + cos2), cos1) * r_earth    # [Ed]
-
     if boundary_fallback:
         nz1 = jnp.arange(mesh.nl - 1)[:, None] + 1               # 1-based layer
         c1 = (st.nboundary_lay[n0][None, :] >= nz1).astype(dtype)
         c2 = (st.nboundary_lay[n1][None, :] >= nz1).astype(dtype)
     else:
         c1 = c2 = jnp.ones((), dtype)
-
-    dx = mesh.edge_dxdy[:, 0][None, :] * a[None, :]
-    dy = mesh.edge_dxdy[:, 1][None, :] * r_earth
     common = 2.0 * (t2 - t1)
-    tm1 = t1 + (common + dx * eg[0] + dy * eg[2]) / 6.0 * c1
-    tm2 = t2 - (common + dx * eg[1] + dy * eg[3]) / 6.0 * c2
+    tm1 = t1 + (common + R1) / 6.0 * c1
+    tm2 = t2 - (common + R2) / 6.0 * c2
     return tm1, tm2
+
+
+def _eg_to_r(eg, mesh: MeshTables):
+    """Fold a 4-component edge_up_dn_grad into the (R1, R2) combinations."""
+    dx, dy = _muscl_dxdy(mesh)
+    return dx * eg[0] + dy * eg[2], dx * eg[1] + dy * eg[3]
 
 
 def adv_hor_muscl(t, u, v, helem, mesh: MeshTables, st: TracerStatics,
@@ -207,7 +251,8 @@ def adv_hor_muscl(t, u, v, helem, mesh: MeshTables, st: TracerStatics,
         vflux = _edge_vflux(u, v, helem, mesh)
     t1 = take_last(t, mesh.edges[:, 0])
     t2 = take_last(t, mesh.edges[:, 1])
-    tm1, tm2 = _muscl_reconstruct(t1, t2, eg, mesh, st, t.dtype,
+    R1, R2 = _eg_to_r(eg, mesh)
+    tm1, tm2 = _muscl_reconstruct(t1, t2, R1, R2, mesh, st, t.dtype,
                                   boundary_fallback)
     av = jnp.abs(vflux)
     cHO = (vflux + av) * _mpow(tm1, moment) + (vflux - av) * _mpow(tm2, moment)
@@ -219,14 +264,31 @@ def adv_hor_muscl(t, u, v, helem, mesh: MeshTables, st: TracerStatics,
     return flux
 
 
+def adv_hor_muscl_r(t, vflux, mesh: MeshTables, st: TracerStatics, rec,
+                    num_ord, moment: int = 1,
+                    boundary_fallback: bool = True):
+    """adv_hor_muscl with a precomputed vflux and the direction-folded
+    (R1, R2) reconstruction pair (fill_up_dn_grad_r)."""
+    t1 = take_last(t, mesh.edges[:, 0])
+    t2 = take_last(t, mesh.edges[:, 1])
+    tm1, tm2 = _muscl_reconstruct(t1, t2, rec[0], rec[1], mesh, st,
+                                  t.dtype, boundary_fallback)
+    av = jnp.abs(vflux)
+    cHO = (vflux + av) * _mpow(tm1, moment) + (vflux - av) * _mpow(tm2, moment)
+    expr = 0.5 * (1.0 - num_ord) * cHO \
+        + vflux * num_ord * _mpow(0.5 * (tm1 + tm2), moment)
+    return -expr
+
+
 def adv_hor_lo_ho(t, tAB, vflux, mesh: MeshTables, st: TracerStatics,
-                  eg, num_ord, moment: int = 1, scheme: str = "MUSCL"):
+                  rec, num_ord, moment: int = 1, scheme: str = "MUSCL"):
     """Fused LO (upwind of t) + HO antidiffusive (scheme of tAB) horizontal
     fluxes: returns (flux_lo, flux_adf) with flux_adf already minus the LO
     flux — exactly adv_hor_upw1 followed by adv_hor_{muscl,mfct,upw1}
     (flux_prev=LO), but the endpoint gathers of t and tAB are merged into
     one gather per edge endpoint (the driver pattern of
-    oce_adv_tra_driver.F90:83-135)."""
+    oce_adv_tra_driver.F90:83-135).  ``rec`` is the (R1, R2) pair from
+    fill_up_dn_grad_r."""
     pair = jnp.stack([t, tAB])                    # [2, ..., nl-1, N]
     p1 = take_last(pair, mesh.edges[:, 0])        # [2, ..., nl-1, Ed]
     p2 = take_last(pair, mesh.edges[:, 1])
@@ -235,7 +297,8 @@ def adv_hor_lo_ho(t, tAB, vflux, mesh: MeshTables, st: TracerStatics,
     t2 = _mpow(p2[0], moment)
     flux_lo = -0.5 * (t1 * (vflux + av) + t2 * (vflux - av))
     if scheme in ("MUSCL", "MFCT"):
-        tm1, tm2 = _muscl_reconstruct(p1[1], p2[1], eg, mesh, st, t.dtype,
+        tm1, tm2 = _muscl_reconstruct(p1[1], p2[1], rec[0], rec[1], mesh,
+                                      st, t.dtype,
                                       boundary_fallback=(scheme == "MUSCL"))
     else:                                          # UPW1 high-order pass
         tm1, tm2 = p1[1], p2[1]

@@ -61,8 +61,11 @@ class IcepackConfig:
     tfrz_option: str = "linear_salt"
     natmiter: int = 5
     # numerics
-    atmbndy: str = "similarity"   # 'similarity' = Icepack MO-iterated
-                                  # transfer coeffs; 'const' = FESIM bulk
+    atmbndy: str = "const"        # 'const' = FESIM bulk (default);
+                                  # 'similarity' = Icepack MO-iterated
+                                  # transfer coeffs (experimental: blows
+                                  # up the pi day-run at step ~21, needs
+                                  # stability work before it can default)
     niter_therm: int = 4          # MINIMUM BL99 Newton sweeps; the solve
                                   # then iterates until max|dTsf| < 5e-4 C
                                   # (Icepack Tsf_errmax), maxiter 100

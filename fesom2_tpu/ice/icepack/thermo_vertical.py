@@ -196,10 +196,13 @@ def temperature_solve(cfg, hi, hs, Tsf0, Tsn0, Tin0, fswsfc, iabs,
     # range.  f64 keeps the reference-faithful -1e-3 floor.
     f64 = dtype == jnp.float64
     t_floor = -1e-3 if f64 else -0.05
-    # Icepack's Tmin error bound; the lower clip is an f32-only stabilizer
-    # (f64 iterates never need it, and clipping them changed the Picard
-    # fixed point — the round-4 own-golden Tsfcn drift)
-    t_min = jnp.asarray(-jnp.inf if f64 else -100.0, dtype)
+    # Icepack's Tmin error bound, applied as a clamp on the ITERATES (both
+    # dtypes).  Under the fixed-sweep solve this changed the 12th iterate
+    # on near-divergent columns (the round-4 own-golden drift); under the
+    # convergence-to-tolerance loop the clamp only touches transients —
+    # converged columns reach the same fixed point — while keeping truly
+    # divergent columns (which NaN'd the unclamped f64 day-run) bounded.
+    t_min = jnp.asarray(-100.0, dtype)
 
     def heat_capacity_ice(T_iter):
         Tprod = jnp.minimum(T_iter, t_floor) * jnp.minimum(Tin_init, t_floor)

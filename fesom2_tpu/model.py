@@ -522,13 +522,13 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
     # mode; flattening avoids it, scripts/gather_cost_model.py).
     vflux = tracers._edge_vflux(adv_u, adv_v, state.helem, mesh)
 
-    def run_adv(t, tAB, eg, moment=1):
+    def run_adv(t, tAB, rec, moment=1):
         flux_v_lo = tracers.adv_ver_upw1(t, adv_we, mesh, moment=moment)
         hor = cfg.tra.tra_adv_hor if cfg.tra.tra_adv_hor in ("MUSCL", "MFCT") \
             else "UPW1"
         if use_fct:
             flux_h_lo, flux_h = tracers.adv_hor_lo_ho(
-                t, tAB, vflux, mesh, st, eg, cfg.tra.tra_adv_ph,
+                t, tAB, vflux, mesh, st, rec, cfg.tra.tra_adv_ph,
                 moment=moment, scheme=hor)
             lo_h = ops.edge_divergence(flux_h_lo, mesh)
             fct_lo = (tracers._mpow(t, moment) * state.hnode
@@ -550,10 +550,9 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
             w_for_ho = adv_we if not cfg.dyn.w_split else adv_we
             fp = None
             if hor in ("MUSCL", "MFCT"):
-                flux_h = tracers.adv_hor_muscl(
-                    tAB, adv_u, adv_v, state.helem, mesh, st, eg,
-                    cfg.tra.tra_adv_ph, moment=moment,
-                    boundary_fallback=(hor == "MUSCL"), vflux=vflux)
+                flux_h = tracers.adv_hor_muscl_r(
+                    tAB, vflux, mesh, st, rec, cfg.tra.tra_adv_ph,
+                    moment=moment, boundary_fallback=(hor == "MUSCL"))
             else:
                 flux_h = tracers.adv_hor_upw1(tAB, adv_u, adv_v,
                                               state.helem, mesh,
@@ -595,8 +594,8 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
         tAB = -(0.5 + eps) * t_prev + (1.5 + eps) * t
         if moment == 2:
             gxAB, gyAB = tracers.tracer_gradient_elements(tAB, mesh)
-            eg = tracers.fill_up_dn_grad(gxAB, gyAB, mesh, st)
-            dttf_h, dttf_v = run_adv(t, tAB, eg, moment=moment)
+            rec = tracers.fill_up_dn_grad_r(gxAB, gyAB, mesh, st)
+            dttf_h, dttf_v = run_adv(t, tAB, rec, moment=moment)
             return tAB, dttf_h, dttf_v
         # merged gradients: tAB rows (for the MUSCL up/down fill) and t rows
         # (for the diffusion operator) through one elem_nodes gather
@@ -605,8 +604,8 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
             jnp.concatenate([tAB, t], 0), mesh)
         gxAB, gyAB = gxc[:T], gyc[:T]
         gx, gy = gxc[T:], gyc[T:]
-        eg = tracers.fill_up_dn_grad(gxAB, gyAB, mesh, st)
-        dttf_h, dttf_v = run_adv(t, tAB, eg, moment=moment)
+        rec = tracers.fill_up_dn_grad_r(gxAB, gyAB, mesh, st)
+        dttf_h, dttf_v = run_adv(t, tAB, rec, moment=moment)
         del_ttf = dttf_h + dttf_v
         # ---- explicit diffusion (diff_tracers_ale) ----------------------
         if redi is not None:
@@ -625,8 +624,25 @@ def solve_tracers(state: OceanState, mesh: MeshTables, cfg,
         t_new = jnp.where(nmask, t_new, 0.0)
         return t_new, tAB, dttf_h, dttf_v
 
-    t_expl, tAB_all, dttf_h_all, dttf_v_all = stage1(
-        state.tr[:ntr], state.tr_old[:ntr])
+    # Batch ALL tracers through one stage-1 pass when the transient edge
+    # arrays fit comfortably (cross-tracer gather merging ~halves the
+    # per-index cost); above the threshold, feed [1, nl-1, N] slices
+    # through the same code — every within-call pair merge is kept, but
+    # the [T,...] flux/reconstruction transients (several GB at 188k
+    # nodes, which OOM'd a 16 GB chip) shrink by the tracer count.
+    batch = getattr(cfg.tra, "batch_tracers", None)
+    if batch is None:
+        itemsize = jnp.dtype(state.tr.dtype).itemsize
+        batch = (ntr * (mesh.nl - 1) * mesh.n_edges * itemsize) \
+            <= (96 << 20)
+    if batch:
+        t_expl, tAB_all, dttf_h_all, dttf_v_all = stage1(
+            state.tr[:ntr], state.tr_old[:ntr])
+    else:
+        outs = [stage1(state.tr[i:i + 1], state.tr_old[i:i + 1])
+                for i in range(ntr)]
+        t_expl, tAB_all, dttf_h_all, dttf_v_all = (
+            jnp.concatenate(z, 0) for z in zip(*outs))
     tr_old = state.tr[:ntr]                 # reset AB memory to T^n
 
     # discrete variance decay (Klingbeil et al. 2014 eq. 23; ref
